@@ -1,0 +1,296 @@
+"""Derived financial-domain fixtures over the driver testdata.
+
+The reference's data model (market_data / market_index_data /
+market_data_monthly keyed tables + request payloads — SURVEY.md §1.2,
+reference: etl/jobs/fetch_market_data/fetch_market_data.py:36-56,
+etl/jobs/fetch_market_index_data/fetch_market_index_data.py:79-98,
+etl/jobs/fetch_historical_market_data/fetch_historical_market_data.py:92-103)
+is re-derived deterministically from the TPC-H-ish testdata so every
+operator can be differentially checked against DuckDB.
+
+Each fixture exists twice, and the two MUST stay in sync:
+
+- a DataFrame builder (Spark side, used by the engine), and
+- a CTE snippet in :data:`FIXTURE_SQL` (DuckDB side, spliced into
+  ``oracle_sql()`` strings).
+
+Only cross-engine-deterministic expressions are used: integer modulo,
+concat, min/max (never sum/avg of doubles over many rows), date_trunc,
+single-value arithmetic. Aggregates that would depend on floating-point
+accumulation order are avoided by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Shared derivation rules
+# ---------------------------------------------------------------------------
+
+# asset taxonomy dispatch (reference: etl/fetch_utils.py:6-27): key % 4
+# COMMODITY is the deliberately-unknown type that must be dropped
+# (reference: tests/test_data_processing.py:87-96).
+ASSET_TYPES = ("STOCK", "CRYPTO", "FOREX", "COMMODITY")
+KNOWN_ASSET_TYPES = ("STOCK", "CRYPTO", "FOREX")
+
+
+def asset_type_col(key: Column) -> Column:
+    m = key % 4
+    return (
+        F.when(m == 0, "STOCK")
+        .when(m == 1, "CRYPTO")
+        .when(m == 2, "FOREX")
+        .otherwise("COMMODITY")
+    )
+
+
+def asset_type_sql(key: str) -> str:
+    return (
+        f"CASE WHEN {key} % 4 = 0 THEN 'STOCK' "
+        f"WHEN {key} % 4 = 1 THEN 'CRYPTO' "
+        f"WHEN {key} % 4 = 2 THEN 'FOREX' "
+        f"ELSE 'COMMODITY' END"
+    )
+
+
+def symbol_col(prefix: str, key: Column) -> Column:
+    return F.concat(F.lit(prefix), key.cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders
+# ---------------------------------------------------------------------------
+
+
+def assets_request(part: DataFrame) -> DataFrame:
+    """Job request set {symbol, asset_type} (FIXTURES.md §3).
+
+    Mirrors the ``assets`` list of a Kafka payload
+    (reference: etl/jobs/fetch_market_data/fetch_market_data.py:70-77).
+    """
+    return part.select(
+        symbol_col("SYM", F.col("p_partkey")).alias("symbol"),
+        asset_type_col(F.col("p_partkey")).alias("asset_type"),
+    )
+
+
+def market_data(lineitem: DataFrame) -> DataFrame:
+    """Realtime state table, key (symbol, asset_type) (FIXTURES.md §4).
+
+    Partkeys divisible by 3 are deliberately absent so the anti-join
+    (J1) has work to do. min/max aggregates only — deterministic across
+    engines regardless of accumulation order.
+    """
+    return (
+        lineitem.filter((F.col("l_partkey") % 3) != 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.max("l_extendedprice").alias("price"),
+            F.max("l_extendedprice").alias("high"),
+            F.min("l_extendedprice").alias("low"),
+            F.max("l_shipdate").alias("updated_at"),
+        )
+        .select(
+            symbol_col("SYM", F.col("l_partkey")).alias("symbol"),
+            asset_type_col(F.col("l_partkey")).alias("asset_type"),
+            "price",
+            (F.col("high") - F.col("low")).alias("change"),
+            F.round((F.col("high") - F.col("low")) / F.col("low") * 100.0, 6).alias(
+                "percent_change"
+            ),
+            "high",
+            "low",
+            "updated_at",
+        )
+    )
+
+
+MARKET_DATA_SQL = f"""
+market_data AS (
+  SELECT concat('SYM', l_partkey) AS symbol,
+         {asset_type_sql('l_partkey')} AS asset_type,
+         max(l_extendedprice) AS price,
+         max(l_extendedprice) - min(l_extendedprice) AS change,
+         round((max(l_extendedprice) - min(l_extendedprice)) / min(l_extendedprice) * 100.0, 6) AS percent_change,
+         max(l_extendedprice) AS high,
+         min(l_extendedprice) AS low,
+         max(l_shipdate) AS updated_at
+  FROM lineitem
+  WHERE l_partkey % 3 <> 0
+  GROUP BY l_partkey
+)
+"""
+
+ASSETS_REQUEST_SQL = f"""
+assets_request AS (
+  SELECT concat('SYM', p_partkey) AS symbol,
+         {asset_type_sql('p_partkey')} AS asset_type
+  FROM part
+)
+"""
+
+
+def market_data_monthly(lineitem: DataFrame) -> DataFrame:
+    """Monthly time-series table, key (symbol, date, asset_type)
+    (FIXTURES.md §6; reference:
+    etl/jobs/fetch_historical_market_data/fetch_historical_market_data.py:92-103).
+
+    Odd partkeys only, so roughly half the requested symbols are
+    entirely absent and the rest have natural month gaps — the coverage
+    patterns gap detection (J3) must handle.
+    """
+    return (
+        lineitem.filter((F.col("l_partkey") % 2) == 1)
+        .groupBy(
+            F.col("l_partkey"),
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("date"),
+        )
+        .agg(F.max("l_extendedprice").alias("price"))
+        .select(
+            symbol_col("SYM", F.col("l_partkey")).alias("symbol"),
+            "price",
+            "date",
+            asset_type_col(F.col("l_partkey")).alias("asset_type"),
+        )
+    )
+
+
+MARKET_DATA_MONTHLY_SQL = f"""
+market_data_monthly AS (
+  SELECT concat('SYM', l_partkey) AS symbol,
+         max(l_extendedprice) AS price,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS date,
+         {asset_type_sql('l_partkey')} AS asset_type
+  FROM lineitem
+  WHERE l_partkey % 2 = 1
+  GROUP BY l_partkey, CAST(date_trunc('month', l_shipdate) AS DATE)
+)
+"""
+
+
+def market_index_data(supplier: DataFrame) -> DataFrame:
+    """Index state table, key (symbol) (FIXTURES.md §5; reference:
+    etl/jobs/fetch_market_index_data/fetch_market_index_data.py:79-98)."""
+    bal = F.col("s_acctbal")
+    return supplier.select(
+        symbol_col("IDX", F.col("s_suppkey")).alias("symbol"),
+        bal.alias("price"),
+        F.round(bal / 100.0, 4).alias("price_change"),
+        F.round(bal / 10000.0, 6).alias("percent_change"),
+        F.round(bal * 1.01, 4).alias("price_high"),
+        F.round(bal * 0.99, 4).alias("price_low"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("updated_at"),
+    )
+
+
+MARKET_INDEX_DATA_SQL = """
+market_index_data AS (
+  SELECT concat('IDX', s_suppkey) AS symbol,
+         s_acctbal AS price,
+         round(s_acctbal / 100.0, 4) AS price_change,
+         round(s_acctbal / 10000.0, 6) AS percent_change,
+         round(s_acctbal * 1.01, 4) AS price_high,
+         round(s_acctbal * 0.99, 4) AS price_low,
+         TIMESTAMP '2024-01-01 00:00:00' AS updated_at
+  FROM supplier
+)
+"""
+
+
+def index_symbols_request(supplier: DataFrame) -> DataFrame:
+    """Requested index symbols — a superset of what exists so the
+    semi-join (J2) and coverage check (J4) are non-trivial.
+    Suppkeys % 5 < 3 exist in market_index_data-request overlap terms;
+    we also request IDX symbols beyond the supplier range.
+    """
+    extra = supplier.select(
+        symbol_col("IDX", F.col("s_suppkey") + 1000000).alias("symbol")
+    )
+    base = supplier.filter((F.col("s_suppkey") % 5) < 3).select(
+        symbol_col("IDX", F.col("s_suppkey")).alias("symbol")
+    )
+    return base.unionByName(extra)
+
+
+INDEX_SYMBOLS_REQUEST_SQL = """
+index_symbols_request AS (
+  SELECT concat('IDX', s_suppkey) AS symbol FROM supplier WHERE s_suppkey % 5 < 3
+  UNION ALL
+  SELECT concat('IDX', s_suppkey + 1000000) AS symbol FROM supplier
+)
+"""
+
+
+def quotes_raw(lineitem: DataFrame) -> DataFrame:
+    """Realtime quote payload rows with *string-typed decimals*
+    (FIXTURES.md §1; mirrors reference
+    tests/test_utils/mock_responses.py:1-176 where the API returns
+    "close": "204.60001"). Cast semantics (P4/F9) are under test, so
+    measures are strings here. Every 37th partkey has a NULL close and
+    every 41st a NULL percent_change to exercise the validation error
+    path (reference: tests/test_data_processing.py:123-157).
+    """
+    li = lineitem.filter(F.col("l_linenumber") == 1)
+    # measures are integer "cents" formatted as 2-decimal strings —
+    # exact arithmetic, so Spark and DuckDB agree bit-for-bit (a
+    # double->decimal cast would diverge at .xx5 rounding boundaries)
+    cents = lambda c: F.expr(  # noqa: E731
+        f"concat(CAST(({c}) DIV 100 AS STRING), '.', "
+        f"lpad(CAST(({c}) % 100 AS STRING), 2, '0'))"
+    )
+    close_c = "(l_partkey * 9973 + l_orderkey * 7) % 10000000"
+    pct_c = "(l_partkey * 31 + l_orderkey) % 10000"
+    chg_c = "(l_orderkey * 17 + l_partkey) % 100000"
+    high_c = f"({close_c}) + ({chg_c})"
+    low_c = f"({close_c}) - (({chg_c}) % (({close_c}) + 1))"
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("quote_id"),
+        symbol_col("SYM", F.col("l_partkey")).alias("symbol"),
+        asset_type_col(F.col("l_partkey")).alias("asset_type"),
+        F.when((F.col("l_partkey") % 37) != 0, cents(close_c)).alias("close"),
+        F.when((F.col("l_partkey") % 41) != 0, cents(pct_c)).alias(
+            "percent_change"
+        ),
+        cents(chg_c).alias("change"),
+        cents(high_c).alias("high"),
+        cents(low_c).alias("low"),
+        F.unix_seconds(F.col("l_shipdate").cast("timestamp")).alias("timestamp"),
+    )
+
+
+_CLOSE_C = "(l_partkey * 9973 + l_orderkey * 7) % 10000000"
+_PCT_C = "(l_partkey * 31 + l_orderkey) % 10000"
+_CHG_C = "(l_orderkey * 17 + l_partkey) % 100000"
+_HIGH_C = f"({_CLOSE_C}) + ({_CHG_C})"
+_LOW_C = f"({_CLOSE_C}) - (({_CHG_C}) % (({_CLOSE_C}) + 1))"
+
+
+def _cents_sql(c: str) -> str:
+    return (
+        f"concat(CAST(({c}) // 100 AS VARCHAR), '.', "
+        f"lpad(CAST(({c}) % 100 AS VARCHAR), 2, '0'))"
+    )
+
+
+QUOTES_RAW_SQL = f"""
+quotes_raw AS (
+  SELECT l_orderkey * 10 + l_linenumber AS quote_id,
+         concat('SYM', l_partkey) AS symbol,
+         {asset_type_sql('l_partkey')} AS asset_type,
+         CASE WHEN l_partkey % 37 <> 0 THEN {_cents_sql(_CLOSE_C)} END AS close,
+         CASE WHEN l_partkey % 41 <> 0 THEN {_cents_sql(_PCT_C)} END AS percent_change,
+         {_cents_sql(_CHG_C)} AS change,
+         {_cents_sql(_HIGH_C)} AS high,
+         {_cents_sql(_LOW_C)} AS low,
+         CAST(epoch(l_shipdate) AS BIGINT) AS "timestamp"
+  FROM lineitem
+  WHERE l_linenumber = 1
+)
+"""
+
+
+def with_ctes(*ctes: str) -> str:
+    """Compose fixture CTE snippets into a WITH prefix for oracle SQL."""
+    bodies = [c.strip() for c in ctes]
+    return "WITH " + ",\n".join(bodies)

@@ -1,0 +1,526 @@
+"""Reference-parity queries (SURVEY.md §2.A–§2.I) with DuckDB oracles.
+
+Every query here maps 1:1 to an operator row in SURVEY.md §2; the
+oracle SQL re-derives the same fixtures via CTEs (fixtures.py keeps the
+two derivations in sync).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import fixtures
+from ..catalog import load_table
+from ..operators.joins import existing_symbols, symbols_needing_update
+from ..operators.upsert import upsert_last_write_wins
+from ..operators.validation import (
+    cast_measures,
+    rename_project,
+    split_valid,
+)
+from ..operators.windows import last_per_group, with_price_analytics
+from ..plans import historical_repair as hr
+from . import QuerySpec
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (flagship pipeline, SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+_REQUESTS_SQL = """
+requests AS (
+  SELECT * FROM assets_request WHERE asset_type IN ('STOCK', 'CRYPTO', 'FOREX')
+)
+"""
+
+_EXISTING_SQL = f"""
+existing AS (
+  SELECT * FROM market_data_monthly
+  WHERE date >= DATE '{hr.START}' AND date <= DATE '{hr.END}'
+)
+"""
+
+_SPINE_SQL = f"""
+spine AS (
+  SELECT r.symbol, r.asset_type, CAST(gs.m AS DATE) AS month
+  FROM requests r
+  CROSS JOIN (
+    SELECT unnest(generate_series(DATE '{hr.START}', DATE '{hr.END}',
+                                  INTERVAL 1 MONTH)) AS m
+  ) gs
+)
+"""
+
+_MISSING_SQL = """
+missing AS (
+  SELECT s.symbol, s.asset_type, s.month
+  FROM spine s
+  LEFT JOIN (SELECT DISTINCT symbol, date FROM existing) e
+    ON s.symbol = e.symbol AND s.month = e.date
+  WHERE e.symbol IS NULL
+)
+"""
+
+_FETCHED_SQL = """
+fetched AS (
+  SELECT symbol, asset_type, month AS date,
+         CAST(CAST(substr(symbol, 4) AS BIGINT) * 10000
+              + year(month) * 100 + month(month) AS DOUBLE) AS price
+  FROM missing
+)
+"""
+
+_FLAGSHIP_CTES = (
+    fixtures.ASSETS_REQUEST_SQL,
+    fixtures.MARKET_DATA_MONTHLY_SQL,
+    _REQUESTS_SQL,
+    _EXISTING_SQL,
+    _SPINE_SQL,
+    _MISSING_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: historical gap repair (S5/J3/A2/F6-F8, reference §3.2)
+# ---------------------------------------------------------------------------
+
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hr.repaired_table(spark, sf_dir)
+
+
+_FLAGSHIP_ORACLE = (
+    fixtures.with_ctes(*_FLAGSHIP_CTES, _FETCHED_SQL)
+    + """
+SELECT symbol, asset_type, date, price, FALSE AS backfilled FROM existing
+UNION ALL
+SELECT symbol, asset_type, date, price, TRUE AS backfilled FROM fetched
+"""
+)
+
+
+def _q_missing_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hr.missing_months_df(spark, sf_dir)
+
+
+_MISSING_ORACLE = (
+    fixtures.with_ctes(*_FLAGSHIP_CTES)
+    + "\nSELECT symbol, asset_type, month FROM missing"
+)
+
+
+def _q_fetch_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hr.fetch_windows_df(spark, sf_dir)
+
+
+_WINDOWS_ORACLE = (
+    fixtures.with_ctes(*_FLAGSHIP_CTES)
+    + """
+SELECT symbol, asset_type,
+       min(month) AS window_start,
+       max(month) AS window_end,
+       count(*) AS missing_months
+FROM missing
+GROUP BY symbol, asset_type
+"""
+)
+
+
+def _q_repair_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hr.repair_summary(spark, sf_dir)
+
+
+_SUMMARY_ORACLE = (
+    fixtures.with_ctes(*_FLAGSHIP_CTES, _FETCHED_SQL)
+    + """
+SELECT asset_type,
+       count(*) AS total_rows,
+       CAST(sum(CASE WHEN backfilled THEN 1 ELSE 0 END) AS BIGINT) AS backfilled_rows,
+       count(DISTINCT symbol) AS symbols
+FROM (
+  SELECT symbol, asset_type, FALSE AS backfilled FROM existing
+  UNION ALL
+  SELECT symbol, asset_type, TRUE AS backfilled FROM fetched
+)
+GROUP BY asset_type
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# J1 / J2 / J4 — anti/semi join incrementality (reference core logic)
+# ---------------------------------------------------------------------------
+
+
+def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 anti-join (reference:
+    etl/jobs/fetch_market_data/fetch_market_data.py:16-29)."""
+    requests = fixtures.assets_request(load_table(spark, sf_dir, "part"))
+    existing = fixtures.market_data(load_table(spark, sf_dir, "lineitem"))
+    return symbols_needing_update(requests, existing, ["symbol"])
+
+
+_J1_ORACLE = (
+    fixtures.with_ctes(fixtures.ASSETS_REQUEST_SQL, fixtures.MARKET_DATA_SQL)
+    + """
+SELECT r.symbol, r.asset_type
+FROM assets_request r
+LEFT JOIN (SELECT DISTINCT symbol FROM market_data) e ON r.symbol = e.symbol
+WHERE e.symbol IS NULL
+"""
+)
+
+
+def _q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 semi-join (reference: etl/fetch_utils.py:118-150)."""
+    requests = fixtures.assets_request(load_table(spark, sf_dir, "part"))
+    state = fixtures.market_data(load_table(spark, sf_dir, "lineitem"))
+    return existing_symbols(state, requests, ["symbol"])
+
+
+_J2_ORACLE = (
+    fixtures.with_ctes(fixtures.ASSETS_REQUEST_SQL, fixtures.MARKET_DATA_SQL)
+    + """
+SELECT m.*
+FROM market_data m
+WHERE m.symbol IN (SELECT symbol FROM assets_request)
+"""
+)
+
+
+def _q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 coverage counts (reference:
+    etl/jobs/fetch_market_index_data/fetch_market_index_data.py:161-165).
+    Single-row summary: requested / covered / missing."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    requests = fixtures.index_symbols_request(supplier).distinct()
+    state = fixtures.market_index_data(supplier).select("symbol").distinct()
+    joined = requests.join(state.withColumn("_hit", F.lit(1)), "symbol", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("requested"),
+        F.count("_hit").alias("covered"),
+        (F.count(F.lit(1)) - F.count("_hit")).alias("missing"),
+    )
+
+
+_J4_ORACLE = (
+    fixtures.with_ctes(
+        fixtures.INDEX_SYMBOLS_REQUEST_SQL, fixtures.MARKET_INDEX_DATA_SQL
+    )
+    + """
+SELECT count(*) AS requested,
+       count(e.symbol) AS covered,
+       count(*) - count(e.symbol) AS missing
+FROM (SELECT DISTINCT symbol FROM index_symbols_request) r
+LEFT JOIN (SELECT DISTINCT symbol FROM market_index_data) e ON r.symbol = e.symbol
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# J5 — per-symbol coverage index (reference: etl/fetch_utils.py:152-180)
+# ---------------------------------------------------------------------------
+
+
+def _q_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
+    return monthly.groupBy("symbol").agg(
+        F.countDistinct("date").alias("n_months"),
+        F.min("date").alias("first_month"),
+        F.max("date").alias("last_month"),
+    )
+
+
+_J5_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
+    + """
+SELECT symbol,
+       count(DISTINCT date) AS n_months,
+       min(date) AS first_month,
+       max(date) AS last_month
+FROM market_data_monthly
+GROUP BY symbol
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# P1 / P4 — validation + casts over string-typed quote payloads
+# ---------------------------------------------------------------------------
+
+_REQUIRED_QUOTE_FIELDS = ["close", "percent_change", "change", "high", "low"]
+
+
+def _q_p1_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 validation: rows failing the required-field check, tagged with
+    the FIRST offending field (reference: etl/fetch_utils.py:30-43;
+    message pinned by tests/test_data_processing.py:123-157)."""
+    quotes = fixtures.quotes_raw(load_table(spark, sf_dir, "lineitem"))
+    _, invalid = split_valid(quotes, _REQUIRED_QUOTE_FIELDS)
+    return invalid.select("quote_id", "symbol", "error_field")
+
+
+_P1_ORACLE = (
+    fixtures.with_ctes(fixtures.QUOTES_RAW_SQL)
+    + """
+SELECT quote_id, symbol,
+       CASE WHEN close IS NULL THEN 'close'
+            WHEN percent_change IS NULL THEN 'percent_change'
+            WHEN change IS NULL THEN 'change'
+            WHEN high IS NULL THEN 'high'
+            WHEN low IS NULL THEN 'low' END AS error_field
+FROM quotes_raw
+WHERE close IS NULL OR percent_change IS NULL OR change IS NULL
+      OR high IS NULL OR low IS NULL
+"""
+)
+
+
+def _typed_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: valid rows with float() cast semantics + epoch->timestamp
+    (reference: etl/jobs/fetch_market_data/fetch_market_data.py:50-55,
+    F9/F10)."""
+    quotes = fixtures.quotes_raw(load_table(spark, sf_dir, "lineitem"))
+    valid, _ = split_valid(quotes, _REQUIRED_QUOTE_FIELDS)
+    typed = cast_measures(
+        valid,
+        {f: "double" for f in _REQUIRED_QUOTE_FIELDS},
+    )
+    return typed.select(
+        "quote_id",
+        "symbol",
+        "asset_type",
+        F.col("close").alias("price"),
+        "percent_change",
+        "change",
+        "high",
+        "low",
+        F.timestamp_seconds(F.col("timestamp")).cast("timestamp_ntz").alias(
+            "updated_at"
+        ),
+    )
+
+
+_TYPED_QUOTES_SQL_BODY = """
+  SELECT quote_id, symbol, asset_type,
+         CAST(close AS DOUBLE) AS price,
+         CAST(percent_change AS DOUBLE) AS percent_change,
+         CAST(change AS DOUBLE) AS change,
+         CAST(high AS DOUBLE) AS high,
+         CAST(low AS DOUBLE) AS low,
+         TIMESTAMP '1970-01-01 00:00:00' + "timestamp" * INTERVAL 1 SECOND AS updated_at
+  FROM quotes_raw
+  WHERE close IS NOT NULL AND percent_change IS NOT NULL AND change IS NOT NULL
+        AND high IS NOT NULL AND low IS NOT NULL
+"""
+
+_P4_ORACLE = (
+    fixtures.with_ctes(fixtures.QUOTES_RAW_SQL) + "\n" + _TYPED_QUOTES_SQL_BODY
+)
+
+
+# ---------------------------------------------------------------------------
+# P2 — projection/rename of batch index quotes
+# ---------------------------------------------------------------------------
+
+
+def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 rename (reference:
+    etl/jobs/fetch_market_index_data/fetch_market_index_data.py:49-69).
+    The raw side carries Yahoo-style regularMarket* names."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    raw = supplier.select(
+        fixtures.symbol_col("IDX", F.col("s_suppkey")).alias("symbol"),
+        F.col("s_acctbal").alias("regularMarketPrice"),
+        F.round(F.col("s_acctbal") / 100.0, 4).alias("regularMarketChange"),
+        F.round(F.col("s_acctbal") / 10000.0, 6).alias(
+            "regularMarketChangePercent"
+        ),
+        F.round(F.col("s_acctbal") * 1.01, 4).alias("regularMarketDayHigh"),
+        F.round(F.col("s_acctbal") * 0.99, 4).alias("regularMarketDayLow"),
+    )
+    return rename_project(
+        raw,
+        {
+            "symbol": "symbol",
+            "regularMarketPrice": "price",
+            "regularMarketChange": "price_change",
+            "regularMarketChangePercent": "percent_change",
+            "regularMarketDayHigh": "price_high",
+            "regularMarketDayLow": "price_low",
+        },
+    )
+
+
+_P2_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_INDEX_DATA_SQL)
+    + """
+SELECT symbol, price, price_change, percent_change, price_high, price_low
+FROM market_index_data
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# S9-S11 — keyed last-write-wins upsert
+# ---------------------------------------------------------------------------
+
+_MD_COLS = [
+    "symbol",
+    "asset_type",
+    "price",
+    "change",
+    "percent_change",
+    "high",
+    "low",
+    "updated_at",
+]
+
+
+def _q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 upsert: merge typed quote updates into market_data, newest
+    ``updated_at`` wins, updates win ties (reference ON CONFLICT DO
+    UPDATE: etl/jobs/fetch_market_data/fetch_market_data.py:31-61;
+    determinism per SURVEY.md §7 watch-out (a))."""
+    current = fixtures.market_data(load_table(spark, sf_dir, "lineitem"))
+    updates_all = _typed_quotes(spark, sf_dir)
+    # collapse duplicate update keys deterministically first
+    updates = last_per_group(
+        updates_all,
+        ["symbol", "asset_type"],
+        [F.col("updated_at").desc(), F.col("quote_id").desc()],
+    ).select(*_MD_COLS)
+    return upsert_last_write_wins(
+        current.select(*_MD_COLS),
+        updates,
+        keys=["symbol", "asset_type"],
+        order_by=[F.col("updated_at").desc()],
+    )
+
+
+_UPSERT_ORACLE = (
+    fixtures.with_ctes(
+        fixtures.MARKET_DATA_SQL,
+        fixtures.QUOTES_RAW_SQL,
+        "typed AS (" + _TYPED_QUOTES_SQL_BODY + ")",
+        """
+updates AS (
+  SELECT symbol, asset_type, price, change, percent_change, high, low, updated_at
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, asset_type
+                                 ORDER BY updated_at DESC, quote_id DESC) AS rn
+    FROM typed
+  ) WHERE rn = 1
+)
+""",
+        """
+unioned AS (
+  SELECT symbol, asset_type, price, change, percent_change, high, low, updated_at,
+         0 AS _src
+  FROM market_data
+  UNION ALL
+  SELECT symbol, asset_type, price, change, percent_change, high, low, updated_at,
+         1 AS _src
+  FROM updates
+)
+""",
+    )
+    + """
+SELECT symbol, asset_type, price, change, percent_change, high, low, updated_at
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY symbol, asset_type
+                               ORDER BY updated_at DESC, _src DESC) AS rn
+  FROM unioned
+) WHERE rn = 1
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# A4/O2 — latest row per symbol
+# ---------------------------------------------------------------------------
+
+
+def _q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 last-per-group (reference ``api_data[-1]``:
+    etl/jobs/fetch_historical_market_data/fetch_historical_market_data.py:50-61)."""
+    monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
+    return last_per_group(monthly, ["symbol"], [F.col("date").desc()])
+
+
+_A4_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
+    + """
+SELECT symbol, price, date, asset_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY date DESC) AS rn
+  FROM market_data_monthly
+) WHERE rn = 1
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# [DOC] indicators — lag / pct_change / SMA (reference README.md:339-346)
+# ---------------------------------------------------------------------------
+
+
+def _q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
+    out = with_price_analytics(monthly)
+    # rounding pins cross-engine float equality for the windowed means
+    return out.select(
+        "symbol",
+        "date",
+        "price",
+        "prev_price",
+        "price_change",
+        F.round("pct_change", 6).alias("pct_change"),
+        F.round("sma_20", 4).alias("sma_20"),
+        F.round("sma_50", 4).alias("sma_50"),
+        "running_max",
+        "running_min",
+    )
+
+
+_INDICATORS_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
+    + """
+SELECT symbol, date, price,
+       lag(price, 1) OVER w AS prev_price,
+       price - lag(price, 1) OVER w AS price_change,
+       round(CASE WHEN lag(price, 1) OVER w IS NOT NULL
+                   AND lag(price, 1) OVER w <> 0
+                  THEN (price - lag(price, 1) OVER w) / lag(price, 1) OVER w * 100.0
+             END, 6) AS pct_change,
+       round(avg(price) OVER (PARTITION BY symbol ORDER BY date
+                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS sma_20,
+       round(avg(price) OVER (PARTITION BY symbol ORDER BY date
+                              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS sma_50,
+       max(price) OVER (PARTITION BY symbol ORDER BY date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max,
+       min(price) OVER (PARTITION BY symbol ORDER BY date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_min
+FROM market_data_monthly
+WINDOW w AS (PARTITION BY symbol ORDER BY date)
+"""
+)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "flagship_historical_repair": QuerySpec(_q_flagship, _FLAGSHIP_ORACLE, bench=True),
+    "historical_missing_months": QuerySpec(_q_missing_months, _MISSING_ORACLE),
+    "historical_fetch_windows": QuerySpec(_q_fetch_windows, _WINDOWS_ORACLE),
+    "historical_repair_summary": QuerySpec(_q_repair_summary, _SUMMARY_ORACLE),
+    "j1_symbols_needing_update": QuerySpec(_q_j1, _J1_ORACLE, bench=True),
+    "j2_existing_state_semi_join": QuerySpec(_q_j2, _J2_ORACLE),
+    "j4_coverage_counts": QuerySpec(_q_j4, _J4_ORACLE),
+    "j5_coverage_index": QuerySpec(_q_j5, _J5_ORACLE),
+    "p1_invalid_quote_rows": QuerySpec(_q_p1_invalid, _P1_ORACLE),
+    "p4_typed_quotes": QuerySpec(
+        lambda spark, sf_dir: _typed_quotes(spark, sf_dir), _P4_ORACLE
+    ),
+    "p2_index_quote_projection": QuerySpec(_q_p2, _P2_ORACLE),
+    "upsert_market_data": QuerySpec(_q_upsert, _UPSERT_ORACLE, bench=True),
+    "a4_latest_monthly_price": QuerySpec(_q_a4, _A4_ORACLE),
+    "doc_price_indicators": QuerySpec(_q_indicators, _INDICATORS_ORACLE, bench=True),
+}

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests / bench / driver share
+one configuration. Tuned for local[N] testing but chosen so the same
+settings are sane on a 1000-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join strategy),
+- explicit shuffle partition count (small here; on a real cluster AQE
+  coalesces from a high initial number),
+- Arrow for any pandas-interop path (vectorized, not row-at-a-time),
+- UTC session timezone so timestamp semantics are deterministic and
+  match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,121 @@
+"""Local differential harness mirroring the driver's correctness gate.
+
+Runs each registry query on Spark and its oracle on DuckDB over the
+same parquet tables, then compares row count, column names, and
+order-insensitive values (floats rounded to 6 significant-ish digits,
+timestamps/dates canonicalized to ISO strings). Used by tests and by
+``python -m financial_tracker_etl_spark.verify [sf_dir] [names...]``.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .catalog import TABLES, table_path
+
+FLOAT_NDIGITS = 6
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _canon_value(v):
+    import datetime
+
+    import numpy as np
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        return float(f"{v:.{FLOAT_NDIGITS}g}")
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        # date and midnight-timestamp canonicalize identically
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_value(x) for x in v)
+    return str(v) if not isinstance(v, (int, bool)) else v
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_value(v) for v in row))
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return out
+
+
+def compare(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame
+) -> tuple[bool, str]:
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return False, (
+            f"column mismatch: spark={sorted(spark_df.columns)} "
+            f"oracle={sorted(oracle_df.columns)}"
+        )
+    if len(spark_df) != len(oracle_df):
+        return False, f"row count: spark={len(spark_df)} oracle={len(oracle_df)}"
+    a, b = _canon_frame(spark_df), _canon_frame(oracle_df)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"ok ({len(spark_df)} rows)"
+
+
+def run_one(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    sf_dir: str,
+    name: str,
+) -> tuple[bool, str]:
+    from .queries import registry
+
+    spec = registry()[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        ok = len(sdf) >= 0
+        return ok, f"rows-only ({len(sdf)} rows)"
+    odf = con.execute(spec.oracle).fetchdf()
+    return compare(sdf, odf)
+
+
+def main() -> int:
+    from .queries import registry
+    from .session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(registry())
+    spark = get_spark("verify")
+    con = duckdb_connection(sf_dir)
+    failures = 0
+    for name in names:
+        try:
+            ok, msg = run_one(spark, con, sf_dir, name)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}")
+        failures += 0 if ok else 1
+    print(f"{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,159 @@
+"""Pinned reference semantics (SURVEY.md §5) as unit tests over tiny
+synthetic rows — the reference's mock-based unit style, upgraded."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from financial_tracker_etl_spark.fixtures import KNOWN_ASSET_TYPES
+from financial_tracker_etl_spark.operators.gaps import (
+    fetch_windows,
+    missing_months,
+    month_spine,
+)
+from financial_tracker_etl_spark.operators.joins import (
+    coverage_complete,
+    symbols_needing_update,
+)
+from financial_tracker_etl_spark.operators.upsert import upsert_last_write_wins
+from financial_tracker_etl_spark.operators.validation import (
+    drop_unknown_asset_types,
+    require_valid,
+    split_valid,
+)
+
+
+def _assets(spark, rows):
+    return spark.createDataFrame(rows, "symbol string, asset_type string")
+
+
+def test_missing_required_field_raises_with_field_name(spark):
+    # reference: tests/test_data_processing.py:123-157 pins the message
+    df = spark.createDataFrame(
+        [Row(close="1.0", change=None)], "close string, change string"
+    )
+    with pytest.raises(ValueError, match="Missing or invalid field 'change'"):
+        require_valid(df, ["close", "change"])
+
+
+def test_first_violating_field_wins(spark):
+    # reference loop errors on the FIRST bad field (etl/fetch_utils.py:36-39)
+    df = spark.createDataFrame([Row(a=None, b=None)], "a string, b string")
+    _, invalid = split_valid(df, ["a", "b"])
+    assert invalid.first()["error_field"] == "a"
+
+
+def test_zero_negative_huge_values_are_valid(spark):
+    # reference: tests/test_data_processing.py:366-404
+    df = spark.createDataFrame(
+        [Row(close="0"), Row(close="-5.5"), Row(close="1e308")],
+        "close string",
+    )
+    valid, invalid = split_valid(df, ["close"])
+    assert valid.count() == 3 and invalid.count() == 0
+
+
+def test_unknown_asset_type_silently_dropped(spark):
+    # reference: tests/test_data_processing.py:87-96
+    df = _assets(
+        spark,
+        [("AAPL", "STOCK"), ("GOLD", "COMMODITY"), ("BTC", "CRYPTO")],
+    )
+    out = drop_unknown_asset_types(df, KNOWN_ASSET_TYPES)
+    assert sorted(r.symbol for r in out.collect()) == ["AAPL", "BTC"]
+
+
+def test_anti_join_symbols_needing_update(spark):
+    # reference: etl/jobs/fetch_market_data/fetch_market_data.py:16-29
+    requests = _assets(spark, [("A", "STOCK"), ("B", "STOCK"), ("C", "CRYPTO")])
+    existing = spark.createDataFrame([("B",)], "symbol string")
+    out = symbols_needing_update(requests, existing, ["symbol"])
+    assert sorted(r.symbol for r in out.collect()) == ["A", "C"]
+
+
+def test_coverage_short_circuit(spark):
+    # reference: etl/jobs/fetch_market_index_data/fetch_market_index_data.py:161-165
+    requests = spark.createDataFrame([("A",), ("B",)], "symbol string")
+    existing = spark.createDataFrame([("A",), ("B",), ("Z",)], "symbol string")
+    assert coverage_complete(requests, existing, ["symbol"])
+    assert not coverage_complete(
+        requests.union(spark.createDataFrame([("Q",)], "symbol string")),
+        existing,
+        ["symbol"],
+    )
+
+
+def test_month_spine_clamps_future_months(spark):
+    # reference: etl/fetch_utils.py:195-196 — never request future months
+    requests = _assets(spark, [("A", "STOCK")])
+    spine = month_spine(
+        requests, F.lit("2024-01-15"), F.lit("2024-12-31"), F.lit("2024-03-02")
+    )
+    months = sorted(r.month for r in spine.collect())
+    assert months == [
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 2, 1),
+        datetime.date(2024, 3, 1),
+    ]
+
+
+def test_gap_detection_patterns(spark):
+    # coverage patterns from FIXTURES.md §6: interior gap + absent symbol
+    requests = _assets(spark, [("A", "STOCK"), ("B", "STOCK")])
+    spine = month_spine(
+        requests, F.lit("2024-01-01"), F.lit("2024-03-01"), F.lit("2024-03-01")
+    )
+    existing = spark.createDataFrame(
+        [
+            ("A", datetime.date(2024, 1, 1)),
+            ("A", datetime.date(2024, 3, 1)),
+        ],
+        "symbol string, date date",
+    )
+    missing = missing_months(spine, existing)
+    got = sorted((r.symbol, str(r.month)) for r in missing.collect())
+    assert got == [
+        ("A", "2024-02-01"),
+        ("B", "2024-01-01"),
+        ("B", "2024-02-01"),
+        ("B", "2024-03-01"),
+    ]
+    win = {
+        r.symbol: (str(r.window_start), str(r.window_end), r.missing_months)
+        for r in fetch_windows(missing).collect()
+    }
+    assert win["A"] == ("2024-02-01", "2024-02-01", 1)
+    assert win["B"] == ("2024-01-01", "2024-03-01", 3)
+
+
+def test_upsert_updates_win_ties_deterministically(spark):
+    # SURVEY.md §7 watch-out (a): explicit tie-break, never partition order
+    ts = datetime.datetime(2024, 1, 1)
+    current = spark.createDataFrame(
+        [("A", 1.0, ts), ("B", 2.0, ts)], "symbol string, price double, updated_at timestamp"
+    )
+    updates = spark.createDataFrame(
+        [("A", 9.0, ts)], "symbol string, price double, updated_at timestamp"
+    )
+    out = upsert_last_write_wins(
+        current, updates, ["symbol"], [F.col("updated_at").desc()]
+    )
+    got = {r.symbol: r.price for r in out.collect()}
+    assert got == {"A": 9.0, "B": 2.0}
+
+
+def test_upsert_newer_timestamp_wins(spark):
+    t0, t1 = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)
+    current = spark.createDataFrame(
+        [("A", 1.0, t1)], "symbol string, price double, updated_at timestamp"
+    )
+    updates = spark.createDataFrame(
+        [("A", 9.0, t0)], "symbol string, price double, updated_at timestamp"
+    )
+    out = upsert_last_write_wins(
+        current, updates, ["symbol"], [F.col("updated_at").desc()]
+    )
+    assert out.first().price == 1.0  # current is newer; update does not clobber
