@@ -37,6 +37,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+        # rejects by default; read nanos as long and normalize to
+        # integer microseconds (ts_us). Integer time arithmetic is also
+        # the cross-engine-deterministic path (DuckDB epoch_us floors
+        # ns->us the same way for positive epochs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,13 +1,333 @@
 """Large-scale analytics queries over the raw testdata tables.
 
-These exercise the engine breadth beyond the reference's operator rows:
-multi-way joins, grouped aggregation, top-k — the shapes a 100 TB
-warehouse actually runs. Money sums go through DECIMAL so results are
-exact and cross-engine deterministic, then surface as DOUBLE.
+Engine breadth beyond the reference's operator rows: multi-way
+broadcast joins, grouped aggregation, top-k windows, sessionization —
+the shapes a 100 TB warehouse actually runs, and the bench anchors.
+
+Cross-engine determinism rules (see fixtures.py): money sums go
+through per-row DECIMAL(18,8) casts (2dp source data → products ≤6dp →
+the cast never rounds), so SUM is exact in both engines and surfaces
+as DOUBLE identically. Time arithmetic uses integer microseconds.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(18,8)")
+
+
+def _dsum(c: Column) -> Column:
+    return F.sum(_dec(c)).cast("double")
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,8))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): single wide scan + grouped agg.
+# Partial aggregation (map-side combine) + whole-stage codegen carry
+# this at scale; the shipdate filter pushes into the parquet scan.
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "1998-09-02"
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp_ntz")
+    )
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(price).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(price) / F.count(F.lit(1))).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_dsum_sql('l_quantity')} / count(*) AS avg_qty,
+       {_dsum_sql('l_extendedprice')} / count(*) AS avg_price,
+       {_dsum_sql('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top revenue customers (Q3/Q10 shape): 3-way join + agg + top-k.
+# nation is broadcast (tiny dim); customer⋈orders⋈lineitem shuffle on
+# the join keys; top-k is a single global window over the small
+# aggregate — at scale this is the canonical star-join plan.
+# ---------------------------------------------------------------------------
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        revenue.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = f"""
+WITH revenue AS (
+  SELECT c_custkey, c_name, n_name,
+         {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+         count(*) AS n_lineitems
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT * FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank
+  FROM revenue
+) WHERE rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Region/nation rollup: chained broadcast joins over the dim tables.
+# ---------------------------------------------------------------------------
+
+
+def _q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            _dsum(F.col("c_acctbal")).alias("total_balance"),
+        )
+    )
+
+
+_REGION_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name,
+       count(*) AS customers,
+       {_dsum_sql('c_acctbal')} AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Order-priority count via EXISTS-style semi join (Q4 shape).
+# ---------------------------------------------------------------------------
+
+
+def _q_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brand revenue share: agg + global-total window + division.
+# ---------------------------------------------------------------------------
+
+
+def _q_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "brand_revenue"
+            )
+        )
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "p_brand",
+        "brand_revenue",
+        F.round(
+            F.col("brand_revenue") / F.sum("brand_revenue").over(total) * 100.0, 6
+        ).alias("revenue_share_pct"),
+    )
+
+
+_BRAND_SHARE_ORACLE = f"""
+WITH rev AS (
+  SELECT p_brand,
+         {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS brand_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, brand_revenue,
+       round(brand_revenue / sum(brand_revenue) OVER () * 100.0, 6) AS revenue_share_pct
+FROM rev
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: hourly rollup (the streaming pipeline's batch twin) and
+# gap-based sessionization (lag + cumulative sum windows).
+# ---------------------------------------------------------------------------
+
+
+_HOUR_US = 3_600_000_000
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+_EVENTS_HOURLY_ORACLE = f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       count(*) AS n_events,
+       {_dsum_sql('value')} AS total_value,
+       count(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY 1, 2
+"""
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    user inactivity. Integer-microsecond arithmetic for exact parity."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "value")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us", 1).over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us", 1).over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            _dsum(F.col("value")).alias("session_value"),
+        )
+    )
+
+
+_SESSIONS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+gapped AS (
+  SELECT *,
+         CASE WHEN lag(ts_us, 1) OVER w IS NULL
+                   OR ts_us - lag(ts_us, 1) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sessions AS (
+  SELECT *,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       {_dsum_sql('value')} AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
+    "top_revenue_customers": QuerySpec(
+        _q_top_customers, _TOP_CUSTOMERS_ORACLE, bench=True
+    ),
+    "region_nation_rollup": QuerySpec(_q_region_rollup, _REGION_ROLLUP_ORACLE),
+    "order_priority_count": QuerySpec(_q_priority_count, _PRIORITY_ORACLE),
+    "brand_revenue_share": QuerySpec(_q_brand_share, _BRAND_SHARE_ORACLE),
+    "events_hourly_rollup": QuerySpec(
+        _q_events_hourly, _EVENTS_HOURLY_ORACLE, bench=True
+    ),
+    "events_sessionization": QuerySpec(_q_sessions, _SESSIONS_ORACLE, bench=True),
+}
