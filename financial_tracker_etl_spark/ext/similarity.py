@@ -1,0 +1,148 @@
+"""[EXT] Similarity search over the ``embeddings`` table
+(SURVEY.md §2.K X2/X4).
+
+Two paths:
+
+- :func:`topk_cosine_bruteforce` — exact top-k for a small query set
+  against the full corpus. The dot product is a sequential left fold
+  (``F.aggregate`` over ``F.zip_with``) in DOUBLE, matching DuckDB's
+  ``list_dot_product`` bit-for-bit. The query side is broadcast; the
+  corpus side streams — at 100 TB this is one scan, no shuffle of the
+  corpus.
+- :func:`topk_cosine_lsh` — sign-random-projection LSH: deterministic
+  pseudo-random hyperplanes (xxhash64-seeded), bucket on the sign
+  pattern, exact re-rank within matching buckets (multi-probe via
+  band splitting). The scale path: candidates per query drop from N
+  to N/2^planes on average.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _corpus(df: DataFrame) -> DataFrame:
+    v = as_double_vec(F.col("embedding"))
+    return df.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+
+
+def topk_cosine_bruteforce(
+    embeddings: DataFrame, query_mod: int = 97, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors
+    (vec_id % query_mod == 0) against the whole corpus, self excluded.
+    Deterministic rank tie-break on neighbor id."""
+    from pyspark.sql import Window
+
+    corpus = _corpus(embeddings)
+    queries = corpus.filter((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        corpus.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane_sign(v: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component i weight =
+    xxhash64(i, plane) mapped to ±[0,1). Sign of the projection."""
+    proj = F.aggregate(
+        F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: x
+            * ((F.xxhash64(i, F.lit(plane)) % 1000).cast("double") / 1000.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, 1).otherwise(0)
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 10,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join, exact cosine re-rank
+    within candidates. Multi-probe: two 4-plane half-buckets, a
+    candidate matches if either half matches (recall boost at the cost
+    of ~2× candidates)."""
+    from pyspark.sql import Window
+
+    corpus = _corpus(embeddings)
+    signs = [
+        _hyperplane_sign(F.col("v"), p, dim).cast("string") for p in range(planes)
+    ]
+    half = planes // 2
+    bucketed = corpus.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.concat(*signs[:half]).alias("b0"),
+        F.concat(*signs[half:]).alias("b1"),
+    )
+    queries = bucketed.filter((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    cand = bucketed.join(
+        broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & ((F.col("b0") == F.col("qb0")) | (F.col("b1") == F.col("qb1"))),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,111 @@
+"""[EXT] Text-analysis operators over the ``documents`` table
+(SURVEY.md §2.K X3; mandated by BASELINE.json north_star).
+
+All hot-path logic is built-in column expressions (JVM-side,
+whole-stage codegen) — token counting, quality scoring, language ID,
+and fingerprinting run at 100 TB without a single Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "les", "et", "des", "un"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(F.lower(F.trim(text)), " ")
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + basic shape stats (X3: token counting)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "n_unique_tokens": F.size(F.array_distinct(toks)),
+            "n_chars_norm": F.length(normalized_text(F.col(text_col))),
+            "avg_token_len": F.round(
+                (F.length(F.replace(F.trim(F.col(text_col)), F.lit(" "), F.lit("")))
+                 ).cast("double") / n, 6
+            ),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score: length band + stopword ratio + lexical
+    diversity. The exact formula is synthetic; what matters is that it
+    is deterministic, per-row, and expressed in built-ins."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks).cast("double")
+    stop_ratio = _hits(toks, LANG_STOPWORDS["en"]).cast("double") / n
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_band = F.when((n >= 20) & (n <= 200), F.lit(1.0)).otherwise(F.lit(0.5))
+    return df.withColumns(
+        {
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "lexical_diversity": F.round(diversity, 6),
+            "quality_score": F.round(
+                length_band * (1.0 - stop_ratio) * diversity, 6
+            ),
+        }
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic alphabetical
+    tie-break (X3: language identification)."""
+    toks = tokens_col(F.col(text_col))
+    de, en, es, fr = (
+        _hits(toks, LANG_STOPWORDS[lang]) for lang in ("de", "en", "es", "fr")
+    )
+    lang = (
+        F.when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return df.withColumn("lang_pred", lang)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (X3: fingerprinting). Stable content address for exact dedup."""
+    return df.withColumn("fingerprint", F.md5(normalized_text(F.col(text_col))))
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """X1 exact dedup: keep the lowest id per key — deterministic,
+    unlike ``dropDuplicates`` whose survivor depends on partition
+    order. One shuffle on the dedup key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dedup_key").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("dedup_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_duplicates", F.count(F.lit(1)).over(Window.partitionBy("dedup_key"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

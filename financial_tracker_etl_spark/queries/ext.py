@@ -1,7 +1,266 @@
-"""[EXT] LLM-data-pipeline queries (SURVEY.md §2.K X1-X4)."""
+"""[EXT] LLM-data-pipeline queries (SURVEY.md §2.K X1-X4) over the
+``documents`` and ``embeddings`` tables.
+
+Oracle notes: xxhash64 has no DuckDB twin, so the MinHash/SimHash/LSH
+variants are rows-only checks; their exact counterparts
+(shingle Jaccard, brute-force cosine) ARE oracle-checked and the
+approximate variants are additionally validated against the exact ones
+in tests/test_ext.py.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..ext.dedup import (
+    minhash_near_dups,
+    shingle_jaccard_pairs,
+    simhash_fingerprints,
+)
+from ..ext.multimodal import documents_as_media, extract_features
+from ..ext.similarity import topk_cosine_bruteforce, topk_cosine_lsh
+from ..ext.text import (
+    exact_dedup,
+    normalized_text,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_stats,
+)
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+_TOKS = "string_split(lower(trim(text)), ' ')"
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({_TOKS}, t -> t IN ({lst}))) AS INTEGER)"
+
+
+# ---------------------------------------------------------------------------
+# X3: token stats / quality / language-ID / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_unique_tokens", "n_chars_norm", "avg_token_len"
+    )
+
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_unique_tokens,
+       CAST(length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS INTEGER)
+         AS n_chars_norm,
+       round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+             / len({_TOKS}), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id", "stopword_ratio", "lexical_diversity", "quality_score"
+    )
+
+
+_EN = ("the", "a", "and", "of", "to")
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS DOUBLE) AS n,
+         CAST(len(list_filter({_TOKS}, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) AS stops,
+         CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS uniq,
+         CASE WHEN len({_TOKS}) >= 20 AND len({_TOKS}) <= 200
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS band
+  FROM documents
+)
+SELECT doc_id,
+       round(stops / n, 6) AS stopword_ratio,
+       round(uniq / n, 6) AS lexical_diversity,
+       round(band * (1.0 - stops / n) * (uniq / n), 6) AS quality_score
+FROM t
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+_LANG_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hits_sql(('der', 'die', 'das', 'und', 'ist'))} AS de,
+         {_hits_sql(('the', 'a', 'and', 'of', 'to'))} AS en,
+         {_hits_sql(('el', 'la', 'de', 'y', 'que'))} AS es,
+         {_hits_sql(('le', 'les', 'et', 'des', 'un'))} AS fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM h
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup on a normalized-prefix content key
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(normalized_text(F.col("text")), 1, 60)
+    return exact_dedup(docs, key).select("doc_id", "dedup_key", "n_duplicates")
+
+
+_DEDUP_ORACLE = """
+SELECT min(doc_id) AS doc_id,
+       substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 60) AS dedup_key,
+       count(*) AS n_duplicates
+FROM documents
+GROUP BY dedup_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1/X2: near-dup — exact shingle Jaccard (oracle) + MinHash/SimHash
+# ---------------------------------------------------------------------------
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                ELSE [] END)) AS shingle
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, common,
+       round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+FROM pairs
+JOIN counts ca ON doc1 = ca.doc_id
+JOIN counts cb ON doc2 = cb.doc_id
+WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.4
+"""
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# X2/X4: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine_bruteforce(emb)
+
+
+_TOPK_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM corpus WHERE vec_id % 97 = 0
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v) / (qn * c.nrm) AS cosine
+  FROM corpus c CROSS JOIN queries
+  WHERE c.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine_lsh(emb)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary column -> mapInPandas feature extraction
+# ---------------------------------------------------------------------------
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_width,
+       CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE, bench=True),
+    "text_quality_scores": QuerySpec(_q_quality, _QUALITY_ORACLE),
+    "text_language_id": QuerySpec(_q_lang_id, _LANG_ORACLE),
+    "doc_fingerprints": QuerySpec(_q_fingerprint, _FINGERPRINT_ORACLE),
+    "x1_exact_dedup": QuerySpec(_q_exact_dedup, _DEDUP_ORACLE, bench=True),
+    "ngram_jaccard_near_dups": QuerySpec(_q_jaccard, _JACCARD_ORACLE),
+    "minhash_lsh_near_dups": QuerySpec(_q_minhash, None, bench=True),
+    "simhash_fingerprints": QuerySpec(_q_simhash, None),
+    "embedding_topk_cosine": QuerySpec(_q_topk_cosine, _TOPK_ORACLE, bench=True),
+    "embedding_ann_lsh": QuerySpec(_q_ann_lsh, None),
+    "multimodal_decode_features": QuerySpec(_q_multimodal, _MULTIMODAL_ORACLE),
+}

@@ -1,0 +1,78 @@
+"""[EXT] operator validation beyond the DuckDB oracles: the
+approximate algorithms (MinHash-LSH, sign-LSH ANN, SimHash) are
+checked against their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from financial_tracker_etl_spark.catalog import load_table
+from financial_tracker_etl_spark.ext.dedup import (
+    minhash_near_dups,
+    shingle_jaccard_pairs,
+    simhash_fingerprints,
+)
+from financial_tracker_etl_spark.ext.similarity import (
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+)
+
+
+def test_minhash_recall_vs_exact(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc1, r.doc2)
+        for r in shingle_jaccard_pairs(docs)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    approx = {(r.doc1, r.doc2) for r in minhash_near_dups(docs).collect()}
+    assert exact, "fixture should contain high-jaccard near-dup pairs"
+    # high-similarity pairs are near-certain to share an LSH band
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} on {len(exact)} gold pairs"
+    # and every reported pair really is >= the 0.4 verification threshold
+    assert all(
+        r.jaccard >= 0.4 for r in minhash_near_dups(docs).collect()
+    )
+
+
+def test_ann_lsh_overlaps_bruteforce(spark):
+    # NOTE: the testdata embeddings are near-orthogonal random vectors
+    # (max pairwise cosine ~0.48, no planted near-dups), which is the
+    # worst case for sign-LSH — true neighbors sit at ~80° where a
+    # hyperplane agrees only ~55% of the time. The assertions therefore
+    # check (a) nonzero overlap with the exact top-k and (b) that every
+    # ANN score is a true cosine (subset correctness), not high recall;
+    # on clustered real embeddings the same operator's recall is high.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = topk_cosine_bruteforce(emb, k=5)
+    approx = topk_cosine_lsh(emb, k=5)
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    overlap = set(e) & set(a)
+    assert overlap, "ANN found none of the exact top-5 pairs"
+    for pair in overlap:
+        assert abs(e[pair] - a[pair]) < 1e-9  # scores are exact cosines
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    gold = (
+        shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.9).collect()
+    )
+    assert gold
+    for r in gold:
+        ham = bin((fp[r.doc1] ^ fp[r.doc2]) & (2**64 - 1)).count("1")
+        assert ham <= 16, f"near-dup pair {r.doc1},{r.doc2} hamming {ham}"
+
+
+def test_multimodal_real_decode_is_explicit_stub():
+    import pytest
+
+    from financial_tracker_etl_spark.ext.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG")
