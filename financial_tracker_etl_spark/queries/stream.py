@@ -1,7 +1,172 @@
-"""Streaming queries (SURVEY.md §2.H ST1-ST7)."""
+"""Streaming queries (SURVEY.md §2.H ST1-ST7, §3.1).
+
+The three ``stream_upsert_*`` queries and ``stream_pipeline_completions``
+all observe ONE shared run of the routed request pipeline
+(streaming.pipeline) — request JSON files → micro-batched file source →
+topic routing → validate/dead-letter → keyed merge → completion rows.
+Their oracles are plain batch SQL because the pipeline is
+batching-invariant by construction; for the market state the oracle is
+literally the same SQL as the batch ``upsert_market_data`` query, which
+is the strongest statement of ST2 (streaming fold ≡ batch merge).
+
+``stream_events_hourly_rollup`` / ``stream_session_windows`` run real
+watermarked append-mode aggregations; their oracles restrict the batch
+aggregate to windows/sessions the final watermark closed
+(calibrated: Spark emits when window_end <= max_event_time - delay).
+"""
 
 from __future__ import annotations
 
-from . import QuerySpec
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-QUERIES: dict[str, QuerySpec] = {}
+from .. import fixtures
+from ..streaming.jobs import TOPIC_HISTORICAL, TOPIC_INDEX, TOPIC_MARKET
+from ..streaming.pipeline import shared_pipeline
+from ..streaming.windows import (
+    SESSION_GAP_US,
+    WATERMARK_DELAY_US,
+    hourly_rollup_stream,
+    session_windows_stream,
+)
+from . import QuerySpec
+from .core import _UPSERT_ORACLE
+
+# ---------------------------------------------------------------------------
+# §3.1 routed pipeline: final states + completion events
+# ---------------------------------------------------------------------------
+
+
+def _q_stream_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_pipeline(spark, sf_dir).state_df(TOPIC_MARKET)
+
+
+def _q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_pipeline(spark, sf_dir).state_df(TOPIC_INDEX)
+
+
+_INDEX_STATE_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_INDEX_DATA_SQL)
+    + """
+SELECT symbol, price, price_change, percent_change, price_high, price_low,
+       updated_at
+FROM market_index_data
+"""
+)
+
+
+def _q_stream_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_pipeline(spark, sf_dir).state_df(TOPIC_HISTORICAL)
+
+
+_MONTHLY_STATE_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
+    + "\nSELECT symbol, price, date, asset_type FROM market_data_monthly"
+)
+
+
+def _q_stream_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 completion events, summed per topic (batch split is an
+    execution detail; totals are the invariant the reference also
+    reports per run)."""
+    comps = shared_pipeline(spark, sf_dir).completions
+    return comps.groupBy("topic").agg(
+        F.sum("records").alias("records"),
+        F.sum("invalid_records").alias("invalid_records"),
+        F.sum("dead_letter").alias("dead_letter"),
+        F.sum("skipped_empty").alias("skipped_empty"),
+    )
+
+
+_COMPLETIONS_ORACLE = (
+    fixtures.with_ctes(fixtures.QUOTES_RAW_SQL, fixtures.MARKET_DATA_MONTHLY_SQL)
+    + f"""
+SELECT '{TOPIC_MARKET}' AS topic,
+       count(*) FILTER (close IS NOT NULL AND percent_change IS NOT NULL
+                        AND change IS NOT NULL AND high IS NOT NULL
+                        AND low IS NOT NULL) AS records,
+       count(*) FILTER (close IS NULL OR percent_change IS NULL
+                        OR change IS NULL OR high IS NULL
+                        OR low IS NULL) AS invalid_records,
+       count(*) FILTER (quote_id % 97 = 0) AS dead_letter,
+       count(*) FILTER (quote_id % 89 = 0) AS skipped_empty
+FROM quotes_raw
+UNION ALL
+SELECT '{TOPIC_INDEX}', count(*), 0, 0, 0 FROM supplier
+UNION ALL
+SELECT '{TOPIC_HISTORICAL}', count(*), 0, 0, 0 FROM market_data_monthly
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# ST7: event-time watermarked windows / sessions over the events stream
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup_stream(spark, sf_dir)
+
+
+_STREAM_HOURLY_ORACLE = f"""
+WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value, user_id FROM events),
+mx AS (SELECT max(ts_us) AS max_us FROM ev)
+SELECT (ts_us - ts_us % {_HOUR_US}) AS hour_us,
+       event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       min(user_id) AS first_user
+FROM ev, mx
+GROUP BY 1, 2
+HAVING (ts_us - ts_us % {_HOUR_US}) + {_HOUR_US}
+       <= max(max_us) - {WATERMARK_DELAY_US}
+"""
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows_stream(spark, sf_dir)
+
+
+_STREAM_SESSIONS_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+mx AS (SELECT max(ts_us) AS max_us FROM ev),
+flags AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us, 1) OVER w IS NULL
+                   OR ts_us - lag(ts_us, 1) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flags
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events
+FROM sess, mx
+GROUP BY user_id, sid
+HAVING max(ts_us) + {SESSION_GAP_US} <= max(max_us) - {WATERMARK_DELAY_US}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_upsert_market_data": QuerySpec(
+        _q_stream_market, _UPSERT_ORACLE, bench=True
+    ),
+    "stream_upsert_index_data": QuerySpec(_q_stream_index, _INDEX_STATE_ORACLE),
+    "stream_upsert_monthly": QuerySpec(_q_stream_monthly, _MONTHLY_STATE_ORACLE),
+    "stream_pipeline_completions": QuerySpec(
+        _q_stream_completions, _COMPLETIONS_ORACLE
+    ),
+    "stream_events_hourly_rollup": QuerySpec(
+        _q_stream_hourly, _STREAM_HOURLY_ORACLE
+    ),
+    "stream_session_windows": QuerySpec(_q_stream_sessions, _STREAM_SESSIONS_ORACLE),
+}

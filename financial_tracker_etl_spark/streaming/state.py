@@ -1,0 +1,74 @@
+"""Keyed streaming state with deterministic last-write-wins merge (ST2).
+
+The reference gets effective exactly-once on keys by combining Kafka
+at-least-once delivery with idempotent ``INSERT … ON CONFLICT`` upserts
+(reference: etl/main.py:94-96 + etl/jobs/fetch_market_data/
+fetch_market_data.py:31-61). The Spark-native equivalent is a
+``foreachBatch`` merge that is (a) keyed, (b) ordered by an EXPLICIT
+total version order — never partition/arrival order — and therefore
+(c) idempotent and batching-invariant: folding updates in over any
+micro-batch split yields the same final state as one big batch, because
+"keep the max version per key" is associative and commutative.
+
+Locally the state lives as a parquet directory swapped atomically
+between batches (write-new → drop-old → rename). On a real cluster the
+identical ``merge`` body targets a Delta/Iceberg table via ``MERGE
+INTO`` — the table format supplies the atomic swap and the state can be
+bucketed/partitioned by the merge key so each micro-batch merge is a
+co-located shuffle-once join at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+class KeyedParquetState:
+    """Last-write-wins keyed state. ``version_cols`` (descending) must be
+    a total order within a key across the whole run — ties would make
+    the result depend on batch arrival order (SURVEY.md §7 watch-out a).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        version_cols: list[str],
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+        self.version_cols = version_cols
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _dedupe(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.keys).orderBy(
+            *[F.col(c).desc() for c in self.version_cols]
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def merge(self, updates: DataFrame) -> None:
+        """Fold a micro-batch into the state. Idempotent: re-merging the
+        same batch leaves the state unchanged (max is idempotent), which
+        is exactly what makes checkpoint-replay safe (ST2)."""
+        merged = self._dedupe(
+            self.read().unionByName(updates) if self.exists() else updates
+        )
+        tmp = self.path + "._next"
+        merged.write.mode("overwrite").parquet(tmp)
+        if self.exists():
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)

@@ -1,0 +1,139 @@
+"""Event-time streaming aggregation (ST7 extension surface).
+
+The reference is processing-time only (SURVEY.md §2.H); this module
+adds the event-time semantics a Spark-native engine gets from
+Structured Streaming: watermarked tumbling windows and session windows
+over the ``events`` table replayed as a file stream.
+
+Determinism for the oracle harness: in append mode a window is emitted
+only once the watermark (max observed event time − delay) passes its
+end, so with ``Trigger.AvailableNow`` the result is exactly the batch
+aggregation restricted to windows closed by the final watermark — an
+inequality DuckDB can state in SQL. At scale the same queries run
+unbounded: the watermark additionally bounds state size (old windows
+are evicted), which is the 100 TB story — state is O(open windows), not
+O(stream).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..catalog import table_path
+
+# raw parquet carries TIMESTAMP(NANOS); with nanosAsLong the stream
+# reads it as ns-since-epoch longs (see catalog.load_table)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+WATERMARK_DELAY = "47 minutes"
+WATERMARK_DELAY_US = 47 * 60 * 1_000_000
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """FileStreamSource consumes a directory; the testdata table is one
+    file. Stage it (symlink) into a scratch dir — the at-scale shape is
+    a drop-directory of many files anyway."""
+    key = os.path.abspath(sf_dir)
+    if key not in _STAGE_CACHE:
+        d = tempfile.mkdtemp(prefix="ftes_events_src_")
+        os.symlink(table_path(sf_dir, "events"), os.path.join(d, "part-0.parquet"))
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        _staged_events_dir(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+
+
+def _run_to_table(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Drive a streaming aggregation to completion (AvailableNow) into a
+    parquet sink and hand back the materialized result."""
+    out_dir = tempfile.mkdtemp(prefix="ftes_win_")
+    sink, ckpt = os.path.join(out_dir, "sink"), os.path.join(out_dir, "ckpt")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.read.parquet(sink)
+
+
+def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event_type, append mode:
+    only windows whose end the final watermark passed are emitted.
+    Counts + min/max only (float-sum would not be cross-engine stable).
+    """
+    ev = events_stream(spark, sf_dir).withWatermark(
+        "event_time", WATERMARK_DELAY
+    )
+    agg = ev.groupBy(
+        F.window("event_time", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("user_id").alias("first_user"),
+    )
+    out = agg.select(
+        F.unix_micros(F.col("w.start")).alias("hour_us"),
+        "event_type",
+        "n_events",
+        "min_value",
+        "max_value",
+        "first_user",
+    )
+    return _run_to_table(out, spark, "append")
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (gap = 30 min) per user, append mode.
+    ``session_window``'s close condition (watermark past last_event+gap)
+    mirrors the batch lag-based islands in analytics.events_sessionization,
+    restricted to sessions the final watermark closed."""
+    ev = events_stream(spark, sf_dir).withWatermark(
+        "event_time", WATERMARK_DELAY
+    )
+    agg = ev.groupBy(
+        F.session_window(F.col("event_time"), SESSION_GAP).alias("w"),
+        "user_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+    out = agg.select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+    return _run_to_table(out, spark, "append")

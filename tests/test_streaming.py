@@ -1,0 +1,120 @@
+"""Streaming-layer semantics the oracle harness can't see directly:
+micro-batch structure, merge idempotency/batching-invariance (ST2), and
+error containment (ST4/P6)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_tracker_etl_spark.streaming.jobs import (
+    MARKET_JOB,
+    TOPIC_MARKET,
+)
+from financial_tracker_etl_spark.streaming.pipeline import run_routed_pipeline
+from financial_tracker_etl_spark.streaming.state import KeyedParquetState
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark):
+    return run_routed_pipeline(spark, SF_DIR, files_per_trigger=2, n_files=6)
+
+
+def test_pipeline_ran_in_multiple_microbatches(pipeline):
+    # maxFilesPerTrigger=2 over 6 files => at least 3 micro-batches,
+    # proving the merges really folded incrementally (ST1)
+    assert pipeline.n_batches >= 3
+
+
+def test_dead_letter_and_empty_containment(pipeline):
+    """Corrupt payloads land in dead_letter, blank ones in
+    skipped_empty; neither kills the stream nor reaches the state
+    (reference behavior: etl/main.py:151-153, 178-197)."""
+    totals = (
+        pipeline.completions.groupBy("topic")
+        .agg(
+            F.sum("dead_letter").alias("dead"),
+            F.sum("skipped_empty").alias("empty"),
+            F.sum("invalid_records").alias("invalid"),
+        )
+        .collect()
+    )
+    by_topic = {r["topic"]: r for r in totals}
+    assert by_topic[TOPIC_MARKET]["dead"] > 0
+    assert by_topic[TOPIC_MARKET]["empty"] > 0
+    assert by_topic[TOPIC_MARKET]["invalid"] > 0
+    # no corrupt symbol ever reached the market state
+    state = pipeline.states[TOPIC_MARKET].read()
+    assert state.filter(F.col("symbol").startswith("{")).count() == 0
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    """Replaying the same batch (checkpoint recovery) must not change
+    state — the exactly-once-on-keys guarantee (ST2)."""
+    store = KeyedParquetState(
+        spark, os.path.join(str(tmp_path), "s"), ["k"], ["v"]
+    )
+    batch = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)], "k string, v int, x double"
+    )
+    store.merge(batch)
+    first = sorted(store.read().collect())
+    store.merge(batch)  # replay
+    assert sorted(store.read().collect()) == first
+    assert first == [("a", 2, 20.0), ("b", 1, 5.0)]
+
+
+def test_merge_is_batching_invariant(spark, tmp_path):
+    """Any micro-batch split of the same updates folds to the same
+    state (what makes the stream_* oracles valid at any trigger)."""
+    rows = [("a", i, float(i)) for i in range(1, 8)] + [
+        ("b", i, float(-i)) for i in range(1, 5)
+    ]
+    schema = "k string, v int, x double"
+
+    one = KeyedParquetState(spark, os.path.join(str(tmp_path), "one"), ["k"], ["v"])
+    one.merge(spark.createDataFrame(rows, schema))
+
+    many = KeyedParquetState(spark, os.path.join(str(tmp_path), "many"), ["k"], ["v"])
+    for i in range(0, len(rows), 3):
+        many.merge(spark.createDataFrame(rows[i : i + 3], schema))
+
+    assert sorted(one.read().collect()) == sorted(many.read().collect())
+
+
+def test_market_job_parse_routes_corrupt_to_dead_letter(spark):
+    batch = spark.createDataFrame(
+        [
+            (TOPIC_MARKET, '{"quote_id": 1, "symbol": "SYM1", "close": "1.00"}'),
+            (TOPIC_MARKET, "{corrupt::SYM2"),
+            ("other-topic", "{}"),
+        ],
+        "topic string, payload string",
+    )
+    parsed, dead = MARKET_JOB.parse(batch)
+    assert parsed.count() == 1 and dead.count() == 1
+
+
+def test_watermark_closes_only_final_windows(spark):
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.streaming.windows import (
+        WATERMARK_DELAY_US,
+        hourly_rollup_stream,
+    )
+
+    got = hourly_rollup_stream(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    open_cutoff = max_us - WATERMARK_DELAY_US
+    # emitted windows all closed before the final watermark
+    assert got.filter(F.col("hour_us") + 3_600_000_000 > open_cutoff).count() == 0
+    # and the still-open tail was genuinely withheld
+    batch_hours = ev.select(
+        (F.col("ts_us") - F.col("ts_us") % 3_600_000_000).alias("h")
+    ).distinct()
+    assert batch_hours.count() > got.select("hour_us").distinct().count()
