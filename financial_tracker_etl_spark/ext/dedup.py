@@ -41,9 +41,24 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    return df.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    """(doc_id, shingle) exploded inverted-index rows.
+
+    Tokenization is staged into its own projection so the split/lower
+    pass runs once per row — referencing ``shingles_col`` directly would
+    inline the tokenizer n times per gram (CollapseProject keeps the
+    stage split because the producer expression is non-cheap and
+    multiply-referenced)."""
+    toked = df.select("doc_id", tokens_col(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
+    sh = F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return toked.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def shingle_jaccard_pairs(
@@ -84,17 +99,30 @@ def shingle_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, k: int = 32, n: int = 3) -> Column:
-    """K-minima MinHash signature over n-gram shingles: seed-salted
-    ``xxhash64`` per hash function, array_min per seed."""
-    sh = shingles_col(text, n)
-    return F.array(
+def minhash_signatures(
+    df: DataFrame, k: int = 32, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig) MinHash signatures over n-gram shingles.
+
+    Staged so each expensive step runs ONCE per row: shingle
+    construction, then one string xxhash64 pass, then the k hash
+    functions as cheap long re-hashes ``xxhash64(base, seed)`` (an
+    independent family since xxhash64 mixes the seed). Inlining the
+    shingle expression k times instead blows the generated method past
+    JIT limits and drops whole rows to interpreted eval — measured
+    ~100× slower at sf0.1.
+    """
+    hashed = doc_shingles(df, n, text_col).select(
+        "doc_id", F.xxhash64("shingle").alias("_h")
+    )
+    mins = hashed.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
-            ).alias(f"h{seed}")
+            F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"_m{seed}")
             for seed in range(k)
         ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"_m{seed}" for seed in range(k)]).alias("sig")
     )
 
 
@@ -114,9 +142,7 @@ def minhash_near_dups(
     exact shingle Jaccard and filtered at ``threshold``.
     """
     rows_per_band = k // bands
-    sig = df.select(
-        "doc_id", minhash_signature(F.col(text_col), k, n).alias("sig")
-    ).filter(F.size("sig") > 0)  # docs with no shingles have no signature
+    sig = minhash_signatures(df, k, n, text_col)
 
     banded = sig.select(
         "doc_id",
