@@ -78,6 +78,32 @@ def topk_cosine_bruteforce(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """X2 embedding-cosine near-duplicate pairs (a < b, cosine >=
+    threshold). Exact all-pairs — the oracle-checkable baseline; the
+    scale path bolts the sign-LSH bucketing of :func:`topk_cosine_lsh`
+    in front as a prefilter so candidates drop from N²/2 to same-bucket
+    pairs. Shuffle-free here: the smaller side broadcasts."""
+    corpus = _corpus(embeddings)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec1", "vec2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def _hyperplane_sign(v: Column, plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane: component i weight =
     xxhash64(i, plane) mapped to ±[0,1). Sign of the projection."""

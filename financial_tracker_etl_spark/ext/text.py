@@ -85,6 +85,55 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang)
 
 
+# BPE-style pre-tokenizer classes: letter runs, digit runs, single
+# punctuation marks (the GPT-2/tiktoken pre-split shape, minus unicode
+# categories the synthetic corpus doesn't contain)
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X3 token counting under a BPE-ish regex pre-tokenizer — the
+    count an LLM-data pipeline budgets with, vs the whitespace count of
+    :func:`with_token_stats`. Pure JVM regex, no UDF."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    return df.withColumns(
+        {
+            "n_bpe_tokens": F.size(toks),
+            "n_unique_bpe_tokens": F.size(F.array_distinct(toks)),
+        }
+    )
+
+
+WINNOW_WINDOW = 16
+_WINNOW_MOD = 2_147_483_647
+
+
+def with_winnow_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X3 fingerprinting via rolling hash: minimum 31-polynomial hash
+    over all ``WINNOW_WINDOW``-char windows of the normalized text (the
+    selection step of winnowing, Schleimer et al. 2003, arity 1) —
+    robust to prefix/suffix edits where the md5 whole-doc fingerprint
+    is not. Integer math mod 2^31-1 throughout, so Spark and DuckDB
+    agree exactly. Docs shorter than the window get NULL."""
+    k = WINNOW_WINDOW
+    chars = F.transform(
+        F.split(normalized_text(F.col(text_col)), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    staged = df.withColumn("_chars", chars)
+    ref = F.col("_chars")
+    starts = F.sequence(F.lit(1), F.size(ref) - (k - 1))
+    window_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(i, i + (k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * 31 + F.element_at(ref, j.cast("int"))) % _WINNOW_MOD,
+    )
+    fp = F.when(
+        F.size(ref) >= k, F.array_min(F.transform(starts, window_hash))
+    ).otherwise(F.lit(None).cast("long"))
+    return staged.withColumn("winnow_fp", fp).drop("_chars")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text (X3: fingerprinting). Stable content address for exact dedup."""

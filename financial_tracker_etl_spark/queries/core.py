@@ -380,21 +380,23 @@ def _q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 upsert: merge typed quote updates into market_data, newest
     ``updated_at`` wins, updates win ties (reference ON CONFLICT DO
     UPDATE: etl/jobs/fetch_market_data/fetch_market_data.py:31-61;
-    determinism per SURVEY.md §7 watch-out (a))."""
+    determinism per SURVEY.md §7 watch-out (a)).
+
+    Single window pass: (updated_at DESC, _ver DESC) with _ver =
+    quote_id for updates / -1 for current is a total order whose
+    per-key max equals the two-stage dedupe-then-merge semantics —
+    one shuffle + one WindowGroupLimit instead of two of each
+    (.explain verified; the two-stage plan shuffled the same key
+    twice)."""
     current = fixtures.market_data(load_table(spark, sf_dir, "lineitem"))
-    updates_all = _typed_quotes(spark, sf_dir)
-    # collapse duplicate update keys deterministically first
-    updates = last_per_group(
-        updates_all,
-        ["symbol", "asset_type"],
-        [F.col("updated_at").desc(), F.col("quote_id").desc()],
-    ).select(*_MD_COLS)
-    return upsert_last_write_wins(
-        current.select(*_MD_COLS),
-        updates,
+    updates = _typed_quotes(spark, sf_dir).withColumnRenamed("quote_id", "_ver")
+    merged = upsert_last_write_wins(
+        current.select(*_MD_COLS).withColumn("_ver", F.lit(-1).cast("long")),
+        updates.select(*_MD_COLS, "_ver"),
         keys=["symbol", "asset_type"],
-        order_by=[F.col("updated_at").desc()],
+        order_by=[F.col("updated_at").desc(), F.col("_ver").desc()],
     )
+    return merged.drop("_ver")
 
 
 _UPSERT_ORACLE = (
@@ -506,6 +508,154 @@ WINDOW w AS (PARTITION BY symbol ORDER BY date)
 )
 
 
+# ---------------------------------------------------------------------------
+# S6 — asset-type fetch dispatcher (reference: etl/fetch_utils.py:6-27)
+# ---------------------------------------------------------------------------
+
+
+def _q_s6_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: route each requested asset to its fetch strategy; unknown
+    asset types are silently dropped (reference: etl/fetch_utils.py:24-27,
+    pinned by tests/test_data_processing.py:87-96). Exercises F1
+    (split "/") and F2 (concat "/") in the crypto/forex renderings
+    (reference: etl/utils.py:190, etl/fetch_utils.py:20)."""
+    requests = fixtures.assets_request(load_table(spark, sf_dir, "part"))
+    pair = F.concat_ws("/", F.col("symbol"), F.lit("USD"))
+    routed = requests.select(
+        "symbol",
+        "asset_type",
+        F.when(F.col("asset_type") == "STOCK", "get_realtime_stock_data")
+        .when(F.col("asset_type") == "CRYPTO", "get_realtime_crypto_data")
+        .when(F.col("asset_type") == "FOREX", "get_realtime_forex_data")
+        .alias("strategy"),
+        F.when(F.col("asset_type") == "STOCK", F.col("symbol"))
+        .otherwise(pair)
+        .alias("fetch_symbol"),
+        F.when(
+            F.col("asset_type") == "FOREX", F.split(pair, "/").getItem(0)
+        ).alias("from_symbol"),
+        F.when(
+            F.col("asset_type") == "FOREX", F.split(pair, "/").getItem(1)
+        ).alias("to_symbol"),
+    )
+    return routed.filter(F.col("strategy").isNotNull())
+
+
+_S6_ORACLE = (
+    fixtures.with_ctes(fixtures.ASSETS_REQUEST_SQL)
+    + """
+SELECT symbol, asset_type,
+       CASE asset_type WHEN 'STOCK' THEN 'get_realtime_stock_data'
+                       WHEN 'CRYPTO' THEN 'get_realtime_crypto_data'
+                       WHEN 'FOREX' THEN 'get_realtime_forex_data' END AS strategy,
+       CASE WHEN asset_type = 'STOCK' THEN symbol
+            ELSE concat(symbol, '/USD') END AS fetch_symbol,
+       CASE WHEN asset_type = 'FOREX' THEN symbol END AS from_symbol,
+       CASE WHEN asset_type = 'FOREX' THEN 'USD' END AS to_symbol
+FROM assets_request
+WHERE asset_type IN ('STOCK', 'CRYPTO', 'FOREX')
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# A1/A3/B1 — per-type batching with completion metadata
+# ---------------------------------------------------------------------------
+
+
+def _q_a1_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-by-type + B1 fixed-size batching (50/batch, the
+    historical job's rate-limit bound) + A3 batch metadata (reference:
+    fetch_historical_market_data.py:177-215; BATCHING_IMPLEMENTATION.md:30).
+    Batch assignment is made deterministic by ordering on symbol —
+    the reference's list order is its Python dict/list order."""
+    from pyspark.sql import Window
+
+    requests = fixtures.assets_request(load_table(spark, sf_dir, "part")).filter(
+        F.col("asset_type").isin(*fixtures.KNOWN_ASSET_TYPES)
+    )
+    w = Window.partitionBy("asset_type").orderBy("symbol")
+    batched = requests.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / 50).cast("int")
+    )
+    return batched.groupBy("asset_type", "batch_id").agg(
+        F.count(F.lit(1)).alias("batch_size"),
+        F.min("symbol").alias("first_symbol"),
+        F.max("symbol").alias("last_symbol"),
+    )
+
+
+_A1_ORACLE = (
+    fixtures.with_ctes(fixtures.ASSETS_REQUEST_SQL)
+    + """
+SELECT asset_type, batch_id,
+       count(*) AS batch_size,
+       min(symbol) AS first_symbol,
+       max(symbol) AS last_symbol
+FROM (
+  SELECT symbol, asset_type,
+         CAST((row_number() OVER (PARTITION BY asset_type ORDER BY symbol) - 1)
+              // 50 AS INTEGER) AS batch_id
+  FROM assets_request
+  WHERE asset_type IN ('STOCK', 'CRYPTO', 'FOREX')
+)
+GROUP BY asset_type, batch_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# P3/P5 — payload envelope validation
+# ---------------------------------------------------------------------------
+
+
+def _q_p5_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 payload-envelope validation: reject corrupt JSON and missing
+    required keys with a reason, first error wins (reference:
+    fetch_market_data.py:70-81, fetch_historical_market_data.py:163-185;
+    ValueError text pinned by tests). Envelopes are built, JSON-encoded,
+    then re-parsed — the full F4 round-trip the Kafka path performs."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    envelope = F.when(
+        key % 13 == 0, F.concat(F.lit("{corrupt::"), key.cast("string"))
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.array(fixtures.symbol_col("SYM", key)).alias("assets"),
+                F.when(key % 7 != 0, F.lit("2024-01-01")).alias("start_date"),
+                F.when(key % 11 != 0, F.lit("2024-06-01")).alias("end_date"),
+            )
+        )
+    )
+    raw = customer.select(key.alias("request_id"), envelope.alias("payload"))
+    parsed = raw.select(
+        "request_id",
+        F.from_json(
+            "payload",
+            "assets array<string>, start_date string, end_date string",
+        ).alias("r"),
+    )
+    return parsed.select(
+        "request_id",
+        F.when(F.col("r").isNull() | F.col("r.assets").isNull(), "corrupt_payload")
+        .when(F.col("r.start_date").isNull(), "missing_start_date")
+        .when(F.col("r.end_date").isNull(), "missing_end_date")
+        .otherwise("ok")
+        .alias("status"),
+    )
+
+
+_P5_ORACLE = """
+SELECT c_custkey AS request_id,
+       CASE WHEN c_custkey % 13 = 0 THEN 'corrupt_payload'
+            WHEN c_custkey % 7 = 0 THEN 'missing_start_date'
+            WHEN c_custkey % 11 = 0 THEN 'missing_end_date'
+            ELSE 'ok' END AS status
+FROM customer
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_historical_repair": QuerySpec(_q_flagship, _FLAGSHIP_ORACLE, bench=True),
     "historical_missing_months": QuerySpec(_q_missing_months, _MISSING_ORACLE),
@@ -523,4 +673,7 @@ QUERIES: dict[str, QuerySpec] = {
     "upsert_market_data": QuerySpec(_q_upsert, _UPSERT_ORACLE, bench=True),
     "a4_latest_monthly_price": QuerySpec(_q_a4, _A4_ORACLE),
     "doc_price_indicators": QuerySpec(_q_indicators, _INDICATORS_ORACLE, bench=True),
+    "s6_asset_dispatch": QuerySpec(_q_s6_dispatch, _S6_ORACLE),
+    "a1_historical_batches": QuerySpec(_q_a1_batches, _A1_ORACLE),
+    "p5_payload_envelopes": QuerySpec(_q_p5_envelopes, _P5_ORACLE),
 }

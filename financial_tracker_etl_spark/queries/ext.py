@@ -19,14 +19,20 @@ from ..ext.dedup import (
     simhash_fingerprints,
 )
 from ..ext.multimodal import documents_as_media, extract_features
-from ..ext.similarity import topk_cosine_bruteforce, topk_cosine_lsh
+from ..ext.similarity import (
+    cosine_near_dup_pairs,
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+)
 from ..ext.text import (
     exact_dedup,
     normalized_text,
     with_fingerprint,
     with_language_id,
     with_quality_score,
+    with_regex_token_stats,
     with_token_stats,
+    with_winnow_fingerprint,
 )
 from . import QuerySpec
 
@@ -191,9 +197,69 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs)
 
 
+def _q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_regex_token_stats(docs).select(
+        "doc_id", "n_bpe_tokens", "n_unique_bpe_tokens"
+    )
+
+
+_REGEX_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_distinct(
+            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+            AS INTEGER) AS n_unique_bpe_tokens
+FROM documents
+"""
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
+
+
+_WINNOW_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ''),
+           c -> CAST(ascii(c) AS BIGINT)) AS chars
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(chars) >= 16 THEN
+         list_min(list_transform(range(1, len(chars) - 14), i ->
+           list_reduce(list_transform(range(i, i + 16), j -> chars[j]),
+                       (a, b) -> (a * 31 + b) % 2147483647)))
+       END AS winnow_fp
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # X2/X4: similarity search over embeddings
 # ---------------------------------------------------------------------------
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35)
+
+
+_COSINE_PAIRS_ORACLE = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+"""
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +326,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_jaccard_near_dups": QuerySpec(_q_jaccard, _JACCARD_ORACLE),
     "minhash_lsh_near_dups": QuerySpec(_q_minhash, None, bench=True),
     "simhash_fingerprints": QuerySpec(_q_simhash, None),
+    "text_regex_token_stats": QuerySpec(_q_regex_tokens, _REGEX_TOKENS_ORACLE),
+    "text_winnow_fingerprints": QuerySpec(_q_winnow, _WINNOW_ORACLE),
     "embedding_topk_cosine": QuerySpec(_q_topk_cosine, _TOPK_ORACLE, bench=True),
+    "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _COSINE_PAIRS_ORACLE),
     "embedding_ann_lsh": QuerySpec(_q_ann_lsh, None),
     "multimodal_decode_features": QuerySpec(_q_multimodal, _MULTIMODAL_ORACLE),
 }
