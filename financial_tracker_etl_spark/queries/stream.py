@@ -156,6 +156,28 @@ HAVING max(ts_us) + {SESSION_GAP_US} <= max(max_us) - {WATERMARK_DELAY_US}
 """
 
 
+def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import ewma_stream
+
+    return ewma_stream(spark, sf_dir)
+
+
+# sequential double fold in (ts_us, event_id) order on both engines —
+# bit-identical IEEE op sequence, rounded as a final guard
+_EWMA_ORACLE = """
+WITH ordered AS (
+  SELECT user_id,
+         list(value ORDER BY epoch_us(ts), event_id) AS vals
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       round(list_reduce(vals, (a, b) -> 0.9 * a + 0.1 * b), 6) AS ewma_value
+FROM ordered
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_upsert_market_data": QuerySpec(
         _q_stream_market, _UPSERT_ORACLE, bench=True
@@ -169,4 +191,5 @@ QUERIES: dict[str, QuerySpec] = {
         _q_stream_hourly, _STREAM_HOURLY_ORACLE
     ),
     "stream_session_windows": QuerySpec(_q_stream_sessions, _STREAM_SESSIONS_ORACLE),
+    "stream_stateful_ewma": QuerySpec(_q_stream_ewma, _EWMA_ORACLE),
 }

@@ -1,0 +1,110 @@
+"""Connector-layer semantics (S1-S5, B2, F3/F12) with a deterministic
+fake transport — mirrors the reference's mock-based unit style
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from financial_tracker_etl_spark.sources.http_quotes import (
+    RetryPolicy,
+    TransportError,
+    fetch_assets,
+    get_historical_data,
+    get_realtime_crypto_data,
+    get_realtime_stock_data,
+    quote_market_index_data,
+)
+
+
+def make_transport(responses, failures=None, calls=None):
+    """failures: {symbol: [status, status, ...]} consumed per call."""
+    failures = failures or {}
+    calls = calls if calls is not None else []
+
+    def transport(url, params):
+        sym = params.get("symbol") or params.get("symbols")
+        calls.append((url, dict(params)))
+        if failures.get(sym):
+            status = failures[sym].pop(0)
+            raise TransportError(status, "simulated")
+        return responses[sym]
+
+    return transport
+
+
+def test_stock_quote_validates_close():
+    t = make_transport({"AAPL": {"close": "204.60001", "symbol": "AAPL"}})
+    assert get_realtime_stock_data(t, "AAPL")["close"] == "204.60001"
+    t_bad = make_transport({"AAPL": {"symbol": "AAPL"}})
+    with pytest.raises(ValueError, match="missing 'close'"):
+        get_realtime_stock_data(t_bad, "AAPL")
+
+
+def test_crypto_renders_pair_symbol():
+    calls = []
+    t = make_transport({"BTC/USD": {"close": "1.00"}}, calls=calls)
+    get_realtime_crypto_data(t, "BTC")
+    assert calls[0][1]["symbol"] == "BTC/USD"
+
+
+def test_batch_quotes_urlencode_and_unwrap():
+    calls = []
+    t = make_transport(
+        {"%5EGSPC,MSFT": {"quoteResponse": {"result": [{"symbol": "^GSPC"}]}}},
+        calls=calls,
+    )
+    out = quote_market_index_data(t, ["^GSPC", "MSFT"])
+    assert out == [{"symbol": "^GSPC"}]
+    assert calls[0][1]["symbols"] == "%5EGSPC,MSFT"
+
+
+def test_historical_unwraps_values_and_validates():
+    t = make_transport({"SYM1": {"values": [{"datetime": "2024-01-01"}]}})
+    assert get_historical_data(t, "SYM1", "2024-01-01", "2024-06-01")
+    t_bad = make_transport({"SYM1": {}})
+    with pytest.raises(ValueError, match="missing 'values'"):
+        get_historical_data(t_bad, "SYM1", "2024-01-01", "2024-06-01")
+
+
+def test_retry_on_429_then_success_with_delay():
+    sleeps = []
+    policy = RetryPolicy(max_retries=3, retry_delay=60.0, sleep=sleeps.append)
+    t = make_transport(
+        {"AAPL": {"close": "1.00"}}, failures={"AAPL": [429, 429]}
+    )
+    out = policy.run(lambda: get_realtime_stock_data(t, "AAPL"))
+    assert out["close"] == "1.00"
+    assert sleeps == [60.0, 60.0]  # reference: 60 s fixed delay, B2
+    assert policy.attempts == [3]
+
+
+def test_429_exhaustion_and_404_skip():
+    policy = RetryPolicy(max_retries=3, sleep=lambda _: None)
+    t = make_transport({}, failures={"GONE": [404], "BUSY": [429, 429, 429]})
+    assert policy.run(lambda: get_realtime_stock_data(t, "GONE")) is None
+    assert policy.run(lambda: get_realtime_stock_data(t, "BUSY")) is None
+
+
+def test_fetch_assets_dispatch_and_drop(spark):
+    t = make_transport(
+        {
+            "SYM1": {"close": "1.00"},
+            "SYM2/USD": {"close": "2.00"},
+            "EUR/USD": {"close": "3.00"},
+        }
+    )
+    rows = fetch_assets(
+        t,
+        [
+            {"symbol": "SYM1", "asset_type": "STOCK"},
+            {"symbol": "SYM2", "asset_type": "CRYPTO"},
+            {"symbol": "EUR/USD", "asset_type": "FOREX"},
+            {"symbol": "SYM4", "asset_type": "COMMODITY"},  # dropped
+        ],
+        RetryPolicy(sleep=lambda _: None),
+    )
+    assert [r["symbol"] for r in rows] == ["SYM1", "SYM2", "EUR/USD"]
+    # rows are createDataFrame-ready for the relational core
+    df = spark.createDataFrame(rows)
+    assert df.count() == 3 and "close" in df.columns
