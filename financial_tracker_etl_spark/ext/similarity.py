@@ -78,6 +78,101 @@ def topk_cosine_bruteforce(
     )
 
 
+def ivf_assignments(
+    corpus: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (the IVF
+    inverted-file build). One broadcast nested-loop over the tiny
+    centroid table + a max_by aggregation — the corpus never shuffles;
+    at 100 TB the output would be written bucketed by ``cluster_id`` so
+    probes read only matching buckets."""
+    scored = corpus.join(broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.col("centroid_id"),
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias(
+            "ccos"
+        ),
+    )
+    # max_by over a (score, -id) struct = deterministic nearest centroid
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("ccos"), -F.col("centroid_id"))
+        ).alias("cluster_id"),
+        F.first("v").alias("v"),
+        F.first("nrm").alias("nrm"),
+    )
+
+
+def topk_cosine_ivf(
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 10,
+    centroid_mod: int = 23,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: deterministic centroid
+    sample (vec_id % centroid_mod == 1 — a k-means fit would slot in
+    here unchanged), corpus bucketed by nearest centroid, queries probe
+    their ``nprobe`` nearest clusters only. Candidate count drops to
+    ~nprobe/C of the corpus; recall is tested against the exact
+    brute-force in tests/test_ext.py."""
+    from pyspark.sql import Window
+
+    corpus = _corpus(embeddings)
+    centroids = corpus.filter((F.col("vec_id") % centroid_mod) == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = ivf_assignments(corpus, centroids)
+
+    queries = corpus.filter((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qscore = queries.join(broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "centroid_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "ccos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscore.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("cluster_id"))
+    )
+
+    cand = assigned.alias("c").join(
+        broadcast(probes).alias("p"),
+        (F.col("c.cluster_id") == F.col("p.cluster_id"))
+        & (F.col("c.vec_id") != F.col("p.query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("c.vec_id").alias("neighbor_id"),
+        (dot(F.col("p.qv"), F.col("c.v")) / (F.col("p.qn") * F.col("c.nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.9
 ) -> DataFrame:

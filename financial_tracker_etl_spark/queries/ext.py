@@ -22,6 +22,7 @@ from ..ext.multimodal import documents_as_media, extract_features
 from ..ext.similarity import (
     cosine_near_dup_pairs,
     topk_cosine_bruteforce,
+    topk_cosine_ivf,
     topk_cosine_lsh,
 )
 from ..ext.text import (
@@ -297,6 +298,11 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(emb)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine_ivf(emb)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary column -> mapInPandas feature extraction
 # ---------------------------------------------------------------------------
@@ -331,5 +337,6 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_topk_cosine": QuerySpec(_q_topk_cosine, _TOPK_ORACLE, bench=True),
     "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _COSINE_PAIRS_ORACLE),
     "embedding_ann_lsh": QuerySpec(_q_ann_lsh, None),
+    "embedding_ann_ivf": QuerySpec(_q_ann_ivf, None),
     "multimodal_decode_features": QuerySpec(_q_multimodal, _MULTIMODAL_ORACLE),
 }

@@ -186,14 +186,14 @@ def run_routed_pipeline(
             for job in JOBS:
                 parsed, dead = job.parse(nonempty)
                 valid, invalid = job.split(parsed)
-                update = job.transform(valid)
-                if not update.isEmpty():
-                    states[job.topic].merge(update)
+                n_valid = valid.count()
+                if n_valid:
+                    states[job.topic].merge(job.transform(valid))
                 completion_rows.append(
                     (
                         job.topic,
                         int(batch_id),
-                        valid.count(),
+                        n_valid,
                         invalid.count(),
                         dead.count(),
                         int(empty_by_topic.get(job.topic, 0)),

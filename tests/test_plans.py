@@ -1,0 +1,84 @@
+"""Physical-plan regression guards.
+
+Correctness is the oracle harness's job; these tests pin the *plan
+shapes* that make the engine scale — broadcast joins for small
+request/dimension sides, parquet filter pushdown, and single-shuffle
+merges. A change that silently turns a broadcast anti-join into a
+sort-merge join or un-pushes a scan filter passes the oracle but dies
+at 100 TB; it should fail here instead."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def n_ops(plan: str, name: str) -> int:
+    return len(re.findall(rf"^\s*\(\d+\) {re.escape(name)}(?!\w)", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from financial_tracker_etl_spark.queries import registry
+
+    return registry()
+
+
+def test_j1_anti_join_broadcasts_requests(spark, reg):
+    plan = plan_of(reg["j1_symbols_needing_update"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_spine_join_broadcasts(spark, reg):
+    plan = plan_of(reg["flagship_historical_repair"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # gap detection must not degrade to a shuffle join of the spine
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_filters_are_pushed(spark, reg):
+    plan = plan_of(reg["upsert_market_data"].fn(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_linenumber), EqualTo(l_linenumber,1)" in plan
+
+
+def test_upsert_is_single_shuffle_merge(spark, reg):
+    """The keyed merge needs exactly one exchange on the upsert key for
+    the window dedupe (plus the two scan-side agg exchanges); the
+    two-stage formulation had four. WindowGroupLimit must kick in so
+    per-key top-1 is computed partially before the shuffle."""
+    plan = plan_of(reg["upsert_market_data"].fn(spark, SF_DIR))
+    assert n_ops(plan, "Window") == 1
+    assert "WindowGroupLimit" in plan
+    assert n_ops(plan, "Exchange") <= 3
+
+
+def test_topk_window_uses_group_limit(spark, reg):
+    plan = plan_of(reg["embedding_topk_cosine"].fn(spark, SF_DIR))
+    # rank<=k must push into WindowGroupLimit, not rank all pairs
+    assert "WindowGroupLimit" in plan
+    # corpus side never shuffles for the scoring join: query side is
+    # broadcast (nested-loop on the != predicate is expected and fine)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_scans_prune_columns(spark, reg):
+    plan = plan_of(reg["j5_coverage_index"].fn(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    # only the 3 columns the query touches, out of 16 lineitem columns
+    assert "l_partkey" in cols and "l_shipdate" in cols
+    assert "l_comment" not in cols and "l_quantity" not in cols
