@@ -164,43 +164,64 @@ def run_routed_pipeline(
     completion_rows: list[tuple] = []
     batch_ids: set[int] = set()
 
-    def handle_batch(batch: DataFrame, batch_id: int) -> None:
-        # ST4: one bad message must never kill the stream — every step
-        # below either filters or routes to a dead-letter count.
-        batch_ids.add(batch_id)
-        nonempty = batch.filter(
-            F.col("payload").isNotNull()
-            & (F.length(F.trim(F.col("payload"))) > 0)
+    def classify(job, batch: DataFrame) -> DataFrame:
+        """One pass per topic: every message gets a status — empty (P6),
+        dead (unparseable JSON, ST4), invalid (failed required-field
+        check, P1) or valid — so the batch's completion metrics are a
+        single aggregation instead of one count-job per metric."""
+        mine = batch.filter(F.col("topic") == job.topic)
+        parsed = mine.select(
+            "payload",
+            F.from_json(F.col("payload"), job.payload_schema).alias("r"),
         )
-        nonempty.cache()
-        empty_by_topic = dict(
-            batch.filter(
+        violation = F.lit(None).cast("string")
+        for fname in reversed(job.required_fields):
+            violation = F.when(
+                F.col(f"r.{fname}").isNull(), F.lit(fname)
+            ).otherwise(violation)
+        status = (
+            F.when(
                 F.col("payload").isNull()
-                | (F.length(F.trim(F.col("payload"))) == 0)
+                | (F.length(F.trim(F.col("payload"))) == 0),
+                "empty",
             )
-            .groupBy("topic")
-            .count()
-            .collect()
+            .when(F.col(f"r.{job.parse_probe}").isNull(), "dead")
+            .when(violation.isNotNull(), "invalid")
+            .otherwise("valid")
         )
-        try:
-            for job in JOBS:
-                parsed, dead = job.parse(nonempty)
-                valid, invalid = job.split(parsed)
-                n_valid = valid.count()
-                if n_valid:
-                    states[job.topic].merge(job.transform(valid))
+        return parsed.select("r.*", status.alias("_status"))
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        # ST4: one bad message must never kill the stream — every
+        # message lands in a status bucket, nothing raises.
+        batch_ids.add(batch_id)
+        for job in JOBS:
+            classified = classify(job, batch).cache()
+            try:
+                counts = {
+                    r["_status"]: r["count"]
+                    for r in classified.groupBy("_status").count().collect()
+                }
+                if counts.get("valid"):
+                    states[job.topic].merge(
+                        job.transform(
+                            classified.filter(
+                                F.col("_status") == "valid"
+                            ).drop("_status")
+                        )
+                    )
                 completion_rows.append(
                     (
                         job.topic,
                         int(batch_id),
-                        n_valid,
-                        invalid.count(),
-                        dead.count(),
-                        int(empty_by_topic.get(job.topic, 0)),
+                        int(counts.get("valid", 0)),
+                        int(counts.get("invalid", 0)),
+                        int(counts.get("dead", 0)),
+                        int(counts.get("empty", 0)),
                     )
                 )
-        finally:
-            nonempty.unpersist()
+            finally:
+                classified.unpersist()
 
     query = (
         spark.readStream.schema(REQUEST_SCHEMA)

@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the
+engine's distributed determinism rests on. The reference's test suite
+is example-based (SURVEY.md §5); these generalize the load-bearing
+properties:
+
+- the keyed merge is a fold of "max version per key": associative,
+  idempotent, batching-invariant — the ST2 exactly-once argument;
+- validation splits partition the input and report the FIRST violating
+  field, matching the reference's loop semantics;
+- gap detection is exactly set difference against the month spine;
+- the winnowing fingerprint equals a pure-Python model.
+
+Example counts are small (each example is a Spark round-trip), but the
+inputs are adversarial: duplicate keys, equal versions, empty sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),  # few keys -> collisions likely
+        st.integers(min_value=0, max_value=5),  # few versions -> ties
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _merge_model(rows):
+    """Driver-side model: per key keep max (version, payload) — the
+    payload participates in the order so ties are total."""
+    best = {}
+    for k, v, x in rows:
+        if k not in best or (v, x) > best[k]:
+            best[k] = (v, x)
+    return {(k, v, x) for k, (v, x) in best.items()}
+
+
+@given(rows=rows_strategy, cut=st.integers(min_value=1, max_value=11))
+@settings(**SETTINGS)
+def test_state_merge_matches_model_under_any_split(spark, tmp_path_factory, rows, cut):
+    from financial_tracker_etl_spark.streaming.state import KeyedParquetState
+
+    path = str(tmp_path_factory.mktemp("st") / "s")
+    store = KeyedParquetState(spark, path, ["k"], ["v", "x"])
+    schema = "k string, v int, x int"
+    for chunk in (rows[:cut], rows[cut:]):
+        if chunk:
+            store.merge(spark.createDataFrame(chunk, schema))
+    got = {tuple(r) for r in store.read().collect()}
+    assert got == _merge_model(rows)
+    # idempotence: replaying everything changes nothing
+    store.merge(spark.createDataFrame(rows, schema))
+    assert {tuple(r) for r in store.read().collect()} == _merge_model(rows)
+
+
+quote_rows = st.lists(
+    st.tuples(
+        *[
+            st.one_of(st.none(), st.text(alphabet="ab1.", max_size=4))
+            for _ in range(3)
+        ]
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(rows=quote_rows)
+@settings(**SETTINGS)
+def test_split_valid_partitions_and_names_first_violation(spark, rows):
+    from financial_tracker_etl_spark.operators.validation import split_valid
+
+    fields = ["f1", "f2", "f3"]
+    df = spark.createDataFrame(rows, "f1 string, f2 string, f3 string")
+    valid, invalid = split_valid(df, fields)
+    assert valid.count() + invalid.count() == len(rows)
+    expected_first = sorted(
+        next((f for f, v in zip(fields, r) if v is None), None)
+        for r in rows
+        if any(v is None for v in r)
+    )
+    got_first = sorted(r["error_field"] for r in invalid.collect())
+    assert got_first == expected_first
+
+
+months = st.sets(st.integers(min_value=0, max_value=11), max_size=12)
+
+
+@given(existing=months)
+@settings(**SETTINGS)
+def test_gap_detection_is_set_difference(spark, existing):
+    from financial_tracker_etl_spark.operators.gaps import (
+        missing_months,
+        month_spine,
+    )
+
+    requests = spark.createDataFrame(
+        [("S1", "STOCK")], "symbol string, asset_type string"
+    )
+    spine = month_spine(
+        requests,
+        F.lit("2024-01-01").cast("date"),
+        F.lit("2024-12-01").cast("date"),
+        clamp_today=F.lit("2025-06-15"),
+    )
+    existing_rows = [
+        ("S1", f"2024-{m + 1:02d}-01", "STOCK") for m in sorted(existing)
+    ]
+    existing_df = spark.createDataFrame(
+        existing_rows or [("ZZ", "2024-01-01", "STOCK")],
+        "symbol string, date string, asset_type string",
+    ).select(
+        "symbol", F.col("date").cast("date").alias("date"), "asset_type"
+    )
+    if not existing_rows:
+        existing_df = existing_df.filter(F.lit(False))
+    got = {
+        r["month"].month - 1
+        for r in missing_months(spine, existing_df).collect()
+    }
+    assert got == set(range(12)) - existing
+
+
+texts = st.text(
+    alphabet="abc xyz.,!", min_size=0, max_size=64
+)
+
+
+def _winnow_model(text: str, k: int = 16, mod: int = 2_147_483_647):
+    norm = " ".join(text.strip().split()).lower()
+    if len(norm) < k:
+        return None
+    hashes = []
+    for i in range(len(norm) - k + 1):
+        h = 0
+        for ch in norm[i : i + k]:
+            h = (h * 31 + ord(ch)) % mod
+        hashes.append(h)
+    return min(hashes)
+
+
+@given(text=texts)
+@settings(**SETTINGS)
+def test_winnow_fingerprint_matches_python_model(spark, text):
+    from financial_tracker_etl_spark.ext.text import with_winnow_fingerprint
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = with_winnow_fingerprint(df).select("winnow_fp").first()[0]
+    assert got == _winnow_model(text)
