@@ -1,0 +1,67 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join handling (on in session.py) splits oversized partitions
+at runtime, but only for sort-merge joins; aggregations and
+deliberately-planned joins over a hot key (one symbol dominating the
+quote stream, one template dominating documents) still need salting.
+This is the standard two-phase recipe, kept generic:
+
+    phase 1: shuffle on (key, salt) — spreads the hot key over
+             ``buckets`` reducers, partial-aggregate there
+    phase 2: shuffle the (much smaller) partials on key alone, finish
+
+The salt must be deterministic (content-derived, never rand()) so
+retried tasks and replayed batches produce identical rows — the same
+determinism rule the upsert tie-breaks follow (SURVEY.md §7(a)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, from_cols: list[str], buckets: int = 16) -> DataFrame:
+    """Deterministic salt in [0, buckets): xxhash64 of row-identifying
+    columns — never ``rand()``, which breaks replay/retry determinism."""
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in from_cols]), F.lit(buckets))
+    )
+
+
+def salted_count(
+    df: DataFrame,
+    keys: list[str],
+    salt_from: list[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase count per key: (key, salt) partials, then key totals.
+    Equivalent to ``groupBy(keys).count()`` for any input; worth it only
+    when a key is hot enough to overwhelm one reducer."""
+    partial = (
+        with_salt(df, salt_from, buckets)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("count"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt_from: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for decomposable aggregates. ``aggs`` maps
+    output name -> (partial_expr, final_expr_over_partial); e.g.
+    ``{"n": (F.count(F.lit(1)), F.sum("n")), "mx": (F.max("x"), F.max("mx"))}``.
+    Only sum/count/min/max-style (commutative-monoid) aggregates
+    decompose this way — avg must be expressed as sum/count."""
+    partial_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
+    final_exprs = [expr.alias(name) for name, (_, expr) in aggs.items()]
+    partial = (
+        with_salt(df, salt_from, buckets)
+        .groupBy(*keys, "_salt")
+        .agg(*partial_exprs)
+    )
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -318,6 +318,42 @@ GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# F4 over a persisted semi-structured column: events.props JSON
+# ---------------------------------------------------------------------------
+
+
+def _q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the events.props payload (F4; the reference
+    decodes JSON payloads at every Kafka boundary, etl/main.py:170,236)
+    with schema-on-read, then integer aggregation per event_type —
+    exact arithmetic, so cross-engine deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_total"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_total,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
     "top_revenue_customers": QuerySpec(
@@ -330,4 +366,5 @@ QUERIES: dict[str, QuerySpec] = {
         _q_events_hourly, _EVENTS_HOURLY_ORACLE, bench=True
     ),
     "events_sessionization": QuerySpec(_q_sessions, _SESSIONS_ORACLE, bench=True),
+    "events_props_rollup": QuerySpec(_q_props_rollup, _PROPS_ORACLE),
 }

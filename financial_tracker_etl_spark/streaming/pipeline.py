@@ -81,18 +81,35 @@ def request_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
 
+    def msg(topic: str, payload) -> F.Column:
+        return F.struct(F.lit(topic).alias("topic"), payload.alias("payload"))
+
+    empty_msgs = F.array().cast("array<struct<topic:string,payload:string>>")
+
+    # one pass over the quote derivation: each quote row explodes into
+    # its real message plus (deterministically) a corrupt and/or an
+    # empty extra copy
     quotes = fixtures.quotes_raw(lineitem)
     market = quotes.select(
-        F.lit(TOPIC_MARKET).alias("topic"),
-        F.to_json(F.struct(*quotes.columns)).alias("payload"),
-    )
-    corrupt = quotes.filter(F.col("quote_id") % 97 == 0).select(
-        F.lit(TOPIC_MARKET).alias("topic"),
-        F.concat(F.lit("{corrupt::"), F.col("symbol")).alias("payload"),
-    )
-    empties = quotes.filter(F.col("quote_id") % 89 == 0).select(
-        F.lit(TOPIC_MARKET).alias("topic"), F.lit("  ").alias("payload")
-    )
+        F.explode(
+            F.concat(
+                F.array(msg(TOPIC_MARKET, F.to_json(F.struct(*quotes.columns)))),
+                F.when(
+                    F.col("quote_id") % 97 == 0,
+                    F.array(
+                        msg(
+                            TOPIC_MARKET,
+                            F.concat(F.lit("{corrupt::"), F.col("symbol")),
+                        )
+                    ),
+                ).otherwise(empty_msgs),
+                F.when(
+                    F.col("quote_id") % 89 == 0,
+                    F.array(msg(TOPIC_MARKET, F.lit("  "))),
+                ).otherwise(empty_msgs),
+            )
+        ).alias("m")
+    ).select("m.topic", "m.payload")
 
     idx = index_quotes_raw(supplier)
     index = idx.select(
@@ -106,9 +123,7 @@ def request_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(*monthly_rows.columns)).alias("payload"),
     )
 
-    return market.unionByName(corrupt).unionByName(empties).unionByName(
-        index
-    ).unionByName(monthly)
+    return market.unionByName(index).unionByName(monthly)
 
 
 @dataclass

@@ -157,3 +157,47 @@ def test_upsert_newer_timestamp_wins(spark):
         current, updates, ["symbol"], [F.col("updated_at").desc()]
     )
     assert out.first().price == 1.0  # current is newer; update does not clobber
+
+
+def test_salted_aggregation_equals_plain(spark):
+    """Two-phase salted aggregation must be a semantic no-op vs the
+    plain groupBy — only the shuffle layout differs."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.operators.skew import (
+        salted_agg,
+        salted_count,
+    )
+
+    # one hot key ('hot' = 80% of rows) + a long tail
+    rows = [("hot", i, float(i % 7)) for i in range(400)] + [
+        (f"k{i % 20}", i, float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, x double")
+
+    plain = {(r["k"], r["count"]) for r in df.groupBy("k").count().collect()}
+    salted = {
+        (r["k"], r["count"])
+        for r in salted_count(df, ["k"], salt_from=["seq"]).collect()
+    }
+    assert salted == plain
+
+    plain2 = {
+        (r["k"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("x").alias("mx"))
+        .collect()
+    }
+    salted2 = {
+        (r["k"], r["n"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            salt_from=["seq"],
+            aggs={
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "mx": (F.max("x"), F.max("mx")),
+            },
+        ).collect()
+    }
+    assert salted2 == plain2
