@@ -88,3 +88,86 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+    ]
+)
+
+
+def resize_plan(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Fit-within-``max_dim`` resize (aspect preserved, integer math —
+    the PIL.thumbnail contract). The codec is the fake decoder; the
+    geometry is the real resize arithmetic a production pipeline runs,
+    kept in exact integers so it is oracle-checkable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = fake_decode(p)
+                w, h = d["fake_width"], d["fake_height"]
+                m = max(w, h)
+                if m <= max_dim:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, w * max_dim // m)
+                    oh = max(1, h * max_dim // m)
+                rows.append((doc_id, w, h, ow, oh))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("n_frame_bytes", IntegerType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+FRAME_BYTES = 256
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video-style frame sampling: the payload is treated as a
+    concatenation of ``FRAME_BYTES`` frames; every ``every_n``-th frame
+    is emitted as its own row — the 1→N fan-out shape real frame
+    extraction has (one input row, many output rows per batch), which
+    is exactly what ``mapInPandas`` exists for. Checksum is a stand-in
+    for the per-frame tensor a real decoder would emit (pytest-checked;
+    the geometric columns are oracle-checked)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    frame = p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            i * FRAME_BYTES,
+                            len(frame),
+                            sum(frame),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -18,7 +18,12 @@ from ..ext.dedup import (
     shingle_jaccard_pairs,
     simhash_fingerprints,
 )
-from ..ext.multimodal import documents_as_media, extract_features
+from ..ext.multimodal import (
+    documents_as_media,
+    extract_features,
+    resize_plan,
+    sample_frames,
+)
 from ..ext.similarity import (
     cosine_near_dup_pairs,
     topk_cosine_bruteforce,
@@ -323,6 +328,50 @@ FROM documents
 """
 
 
+def _q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(documents_as_media(docs))
+
+
+_RESIZE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_width,
+         CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS fake_height
+  FROM documents
+)
+SELECT doc_id, fake_width, fake_height,
+       CAST(CASE WHEN greatest(fake_width, fake_height) <= 32 THEN fake_width
+            ELSE greatest(1, fake_width * 32 // greatest(fake_width, fake_height))
+            END AS INTEGER) AS out_width,
+       CAST(CASE WHEN greatest(fake_width, fake_height) <= 32 THEN fake_height
+            ELSE greatest(1, fake_height * 32 // greatest(fake_width, fake_height))
+            END AS INTEGER) AS out_height
+FROM d
+"""
+
+
+def _q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs)).select(
+        "doc_id", "frame_idx", "frame_offset", "n_frame_bytes"
+    )
+
+
+_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+idx AS (
+  SELECT doc_id, n, unnest(range(0, CAST((n + 255) // 256 AS INTEGER), 4)) AS i
+  FROM d
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 256 AS BIGINT) AS frame_offset,
+       CAST(least(256, n - i * 256) AS INTEGER) AS n_frame_bytes
+FROM idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE, bench=True),
     "text_quality_scores": QuerySpec(_q_quality, _QUALITY_ORACLE),
@@ -339,4 +388,6 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_ann_lsh": QuerySpec(_q_ann_lsh, None),
     "embedding_ann_ivf": QuerySpec(_q_ann_ivf, None),
     "multimodal_decode_features": QuerySpec(_q_multimodal, _MULTIMODAL_ORACLE),
+    "multimodal_resize_plan": QuerySpec(_q_resize, _RESIZE_ORACLE),
+    "multimodal_frame_samples": QuerySpec(_q_frames, _FRAMES_ORACLE),
 }

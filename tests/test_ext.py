@@ -118,3 +118,41 @@ def test_fetch_with_fallback_degrades(spark):
     assert degraded and df.count() == 3
     df2, degraded2 = fetch_with_fallback(lambda: spark.range(5), lambda: cached)
     assert not degraded2 and df2.count() == 5
+
+
+def test_frame_sampling_fanout_and_checksum(spark):
+    """mapInPandas 1→N fan-out: every doc yields ceil(nbytes/256)/4
+    sampled frames; checksums match a driver-side model."""
+    from financial_tracker_etl_spark.ext.multimodal import (
+        FRAME_BYTES,
+        documents_as_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    media = documents_as_media(docs)
+    got = sample_frames(media).collect()
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert got
+    for r in got:
+        frame = payloads[r["doc_id"]][
+            r["frame_offset"] : r["frame_offset"] + FRAME_BYTES
+        ]
+        assert r["n_frame_bytes"] == len(frame)
+        assert r["frame_checksum"] == sum(frame)
+
+
+def test_resize_preserves_aspect_and_bounds(spark):
+    from financial_tracker_etl_spark.ext.multimodal import (
+        documents_as_media,
+        resize_plan,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    for r in resize_plan(documents_as_media(docs), max_dim=32).collect():
+        assert 1 <= r["out_width"] <= 32 and 1 <= r["out_height"] <= 32
+        if max(r["fake_width"], r["fake_height"]) <= 32:
+            assert (r["out_width"], r["out_height"]) == (
+                r["fake_width"],
+                r["fake_height"],
+            )
