@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import broadcast
 
+from .. import fixtures
 from ..catalog import load_table
 from . import QuerySpec
 
@@ -354,6 +355,122 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join: prevailing quote at trade time (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trades (lineitem line 2) matched to the latest preceding quote
+    (lineitem line 1 → typed quotes) per symbol — the point-in-time
+    lookup a quote store exists to answer. Single shuffle on symbol;
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+    from ..operators.windows import last_per_group
+    from .core import _typed_quotes
+
+    quotes = last_per_group(
+        _typed_quotes(spark, sf_dir),
+        ["symbol", "updated_at"],
+        [F.col("quote_id").desc()],
+    ).select("symbol", "updated_at", F.col("price"))
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.filter(F.col("l_linenumber") == 2).select(
+        (F.col("l_orderkey") * 10 + 2).alias("trade_id"),
+        F.concat(F.lit("SYM"), F.col("l_partkey").cast("string")).alias(
+            "symbol"
+        ),
+        F.col("l_shipdate").cast("timestamp_ntz").alias("trade_ts"),
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on=["symbol"],
+        left_ts="trade_ts",
+        right_ts="updated_at",
+        value_cols=["price"],
+    )
+    return out.select(
+        "trade_id", "symbol", "trade_ts", F.col("price").alias("prevailing_price")
+    )
+
+
+_ASOF_ORACLE = (
+    fixtures.with_ctes(
+        fixtures.QUOTES_RAW_SQL,
+        """
+typed AS (
+  SELECT quote_id, symbol,
+         CAST(close AS DOUBLE) AS price,
+         TIMESTAMP '1970-01-01 00:00:00' + "timestamp" * INTERVAL 1 SECOND AS updated_at
+  FROM quotes_raw
+  WHERE close IS NOT NULL AND percent_change IS NOT NULL AND change IS NOT NULL
+        AND high IS NOT NULL AND low IS NOT NULL
+)
+""",
+        """
+q AS (
+  SELECT symbol, updated_at, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, updated_at
+                                 ORDER BY quote_id DESC) AS rn
+    FROM typed
+  ) WHERE rn = 1
+)
+""",
+        """
+trades AS (
+  SELECT l_orderkey * 10 + 2 AS trade_id,
+         concat('SYM', l_partkey) AS symbol,
+         CAST(l_shipdate AS TIMESTAMP) AS trade_ts
+  FROM lineitem WHERE l_linenumber = 2
+)
+""",
+    )
+    + """
+SELECT t.trade_id, t.symbol, t.trade_ts, q.price AS prevailing_price
+FROM trades t ASOF LEFT JOIN q
+  ON t.symbol = q.symbol AND t.trade_ts >= q.updated_at
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# OLAP cube over the monthly series (grouping sets beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(asset_type, year): all 4 grouping combinations in one pass
+    (partial-aggregatable; count/min/max only for cross-engine float
+    safety). grouping_id disambiguates real NULLs from subtotal rows."""
+    monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
+    base = monthly.select(
+        "asset_type", F.year("date").alias("yr"), "price", "symbol"
+    )
+    return base.cube("asset_type", "yr").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("symbol").alias("n_symbols"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+
+
+_CUBE_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
+    + """
+SELECT asset_type, yr,
+       CAST(grouping(asset_type) * 2 + grouping(yr) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       count(DISTINCT symbol) AS n_symbols,
+       min(price) AS min_price,
+       max(price) AS max_price
+FROM (SELECT asset_type, year(date) AS yr, price, symbol FROM market_data_monthly)
+GROUP BY CUBE (asset_type, yr)
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
     "top_revenue_customers": QuerySpec(
@@ -367,4 +484,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_sessionization": QuerySpec(_q_sessions, _SESSIONS_ORACLE, bench=True),
     "events_props_rollup": QuerySpec(_q_props_rollup, _PROPS_ORACLE),
+    "asof_quote_join": QuerySpec(_q_asof, _ASOF_ORACLE, bench=True),
+    "cube_monthly_summary": QuerySpec(_q_cube, _CUBE_ORACLE),
 }

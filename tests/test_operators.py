@@ -201,3 +201,45 @@ def test_salted_aggregation_equals_plain(spark):
         ).collect()
     }
     assert salted2 == plain2
+
+
+def test_asof_join_inclusive_and_null_before_first_quote(spark):
+    import datetime as dt
+
+    from financial_tracker_etl_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [("A", t(2), 10.0), ("A", t(5), 20.0), ("B", t(9), 5.0)],
+        "symbol string, ts timestamp, price double",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", t(1)), (2, "A", t(2)), (3, "A", t(7)), (4, "B", t(8))],
+        "trade_id int, symbol string, trade_ts timestamp",
+    )
+    out = asof_join(
+        trades, quotes, ["symbol"], "trade_ts", "ts", ["price"]
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    # before first quote -> NULL; equal ts -> inclusive; latest carried
+    assert got == {1: None, 2: 10.0, 3: 20.0, 4: None}
+
+
+def test_asof_join_duplicate_ts_uses_seq_tiebreak(spark):
+    import datetime as dt
+
+    from financial_tracker_etl_spark.operators.asof import asof_join
+
+    ts = dt.datetime(2024, 1, 2)
+    quotes = spark.createDataFrame(
+        [("A", ts, 10.0, 1), ("A", ts, 99.0, 2)],
+        "symbol string, ts timestamp, price double, qid long",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", dt.datetime(2024, 1, 3))],
+        "trade_id int, symbol string, trade_ts timestamp",
+    )
+    out = asof_join(
+        trades, quotes, ["symbol"], "trade_ts", "ts", ["price"], right_seq="qid"
+    )
+    assert out.first()["price"] == 99.0  # max qid wins deterministically
