@@ -36,5 +36,10 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed state) live in scratch space, never the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ftes_warehouse"),
+        )
         .getOrCreate()
     )

@@ -82,3 +82,35 @@ def test_scans_prune_columns(spark, reg):
     # only the 3 columns the query touches, out of 16 lineitem columns
     assert "l_partkey" in cols and "l_shipdate" in cols
     assert "l_comment" not in cols and "l_quantity" not in cols
+
+
+def test_bucketed_join_has_no_shuffle(spark, reg):
+    """Bucketed-by-key state tables join/merge with ZERO exchanges —
+    the co-located path a 100 TB continuously-merged table runs on."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark import fixtures
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.operators.bucketing import write_bucketed
+
+    md = fixtures.market_data(load_table(spark, SF_DIR, "lineitem"))
+    write_bucketed(md, "md_state_a", ["symbol"], buckets=8)
+    write_bucketed(
+        md.select("symbol", F.col("price").alias("price2")),
+        "md_state_b",
+        ["symbol"],
+        buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast plan so the bucket layout is what
+        # eliminates the shuffle, not a broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("md_state_a").join(
+            spark.table("md_state_b"), "symbol"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert n_ops(plan, "Exchange") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
