@@ -471,6 +471,43 @@ GROUP BY CUBE (asset_type, yr)
 )
 
 
+# ---------------------------------------------------------------------------
+# Pivot: months × asset_type matrix (conditional-aggregation shape)
+# ---------------------------------------------------------------------------
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(month).pivot(asset_type) — compiles to one pass of
+    conditional aggregates (no extra shuffle vs the plain groupBy);
+    values are pinned so the pivot schema is static, which is the
+    at-scale requirement (dynamic pivot = an extra distinct pass)."""
+    monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
+    return (
+        monthly.groupBy(F.col("date").alias("month"))
+        .pivot("asset_type", ["STOCK", "CRYPTO", "FOREX"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "month",
+            F.coalesce("STOCK", F.lit(0)).alias("stock_rows"),
+            F.coalesce("CRYPTO", F.lit(0)).alias("crypto_rows"),
+            F.coalesce("FOREX", F.lit(0)).alias("forex_rows"),
+        )
+    )
+
+
+_PIVOT_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
+    + """
+SELECT date AS month,
+       count(*) FILTER (asset_type = 'STOCK') AS stock_rows,
+       count(*) FILTER (asset_type = 'CRYPTO') AS crypto_rows,
+       count(*) FILTER (asset_type = 'FOREX') AS forex_rows
+FROM market_data_monthly
+GROUP BY date
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
     "top_revenue_customers": QuerySpec(
@@ -486,4 +523,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_props_rollup": QuerySpec(_q_props_rollup, _PROPS_ORACLE),
     "asof_quote_join": QuerySpec(_q_asof, _ASOF_ORACLE, bench=True),
     "cube_monthly_summary": QuerySpec(_q_cube, _CUBE_ORACLE),
+    "pivot_monthly_by_type": QuerySpec(_q_pivot, _PIVOT_ORACLE),
 }
