@@ -34,9 +34,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """Queries must not depend on who built the SparkSession (the
+    driver harness calls them with its own): pin the runtime-settable
+    confs correctness relies on — UTC so timestamp_ntz casts are
+    stable against the DuckDB oracle, Arrow for the pandas-interop
+    operators."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    _ensure_session_defaults(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
         # rejects by default; read nanos as long and normalize to
