@@ -244,6 +244,57 @@ FROM t
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup graph:
+    (doc_id, cluster_id = component min). Oracle is a DuckDB recursive
+    CTE computing the same transitive closure."""
+    from ..ext.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                ELSE [] END)) AS shingle
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc1, doc2 FROM pairs
+  JOIN counts ca ON doc1 = ca.doc_id
+  JOIN counts cb ON doc2 = cb.doc_id
+  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.4
+),
+sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM edges
+  UNION SELECT doc2, doc1 FROM edges
+),
+reach(node, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.m FROM sym s JOIN reach r ON s.b = r.node
+)
+SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # X2/X4: similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -379,6 +430,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprints": QuerySpec(_q_fingerprint, _FINGERPRINT_ORACLE),
     "x1_exact_dedup": QuerySpec(_q_exact_dedup, _DEDUP_ORACLE, bench=True),
     "ngram_jaccard_near_dups": QuerySpec(_q_jaccard, _JACCARD_ORACLE),
+    "dedup_clusters": QuerySpec(_q_dedup_clusters, _CLUSTERS_ORACLE),
     "minhash_lsh_near_dups": QuerySpec(_q_minhash, None, bench=True),
     "simhash_fingerprints": QuerySpec(_q_simhash, None),
     "text_regex_token_stats": QuerySpec(_q_regex_tokens, _REGEX_TOKENS_ORACLE),

@@ -156,3 +156,28 @@ def test_resize_preserves_aspect_and_bounds(spark):
                 r["fake_width"],
                 r["fake_height"],
             )
+
+
+def test_connected_components_chain_and_survivors(spark):
+    """A chain (1-2, 2-3) and a separate pair (10-11) must form two
+    components labeled by their min id; survivors = min per cluster +
+    untouched docs."""
+    from financial_tracker_etl_spark.ext.cluster import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc1 long, doc2 long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 7, 10, 11)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(docs, connected_components(edges)).collect()
+    )
+    assert kept == [1, 7, 10]

@@ -108,3 +108,65 @@ def test_fetch_assets_dispatch_and_drop(spark):
     # rows are createDataFrame-ready for the relational core
     df = spark.createDataFrame(rows)
     assert df.count() == 3 and "close" in df.columns
+
+
+class FakeConn:
+    def __init__(self, log):
+        self.log = log
+
+    def cursor(self):
+        return self
+
+    def executemany(self, sql, params):
+        self.log.append(("exec", sql, list(params)))
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def rollback(self):
+        self.log.append(("rollback",))
+
+    def close(self):
+        self.log.append(("close",))
+
+
+def test_upsert_sql_matches_reference_shape():
+    from financial_tracker_etl_spark.sources.jdbc_sink import upsert_sql
+
+    sql = upsert_sql(
+        "market_data",
+        ["symbol", "asset_type", "price", "updated_at"],
+        ["symbol", "asset_type"],
+    )
+    assert sql == (
+        "INSERT INTO market_data (symbol, asset_type, price, updated_at) "
+        "VALUES (%s, %s, %s, %s) "
+        "ON CONFLICT (symbol, asset_type) DO UPDATE SET "
+        "price = EXCLUDED.price, updated_at = EXCLUDED.updated_at"
+    )
+
+
+def test_partition_upserter_batches_commits_and_rolls_back():
+    from financial_tracker_etl_spark.sources.jdbc_sink import PartitionUpserter
+
+    log = []
+    up = PartitionUpserter(
+        "t", ["k", "v"], ["k"], lambda: FakeConn(log), batch_size=2
+    )
+    up([{"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "c", "v": 3}])
+    kinds = [e[0] for e in log]
+    assert kinds == ["exec", "exec", "commit", "close"]  # 2+1 rows, batched
+    assert log[0][2] == [("a", 1), ("b", 2)] and log[1][2] == [("c", 3)]
+
+    log2 = []
+
+    class BoomConn(FakeConn):
+        def executemany(self, sql, params):
+            raise RuntimeError("db down")
+
+    up2 = PartitionUpserter("t", ["k"], ["k"], lambda: BoomConn(log2))
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        up2([{"k": "a"}])
+    assert [e[0] for e in log2] == ["rollback", "close"]
