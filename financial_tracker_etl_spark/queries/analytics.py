@@ -508,6 +508,37 @@ GROUP BY date
 )
 
 
+# ---------------------------------------------------------------------------
+# Exact quantiles per group (sort-based, not approx — both engines use
+# linear interpolation over the sorted values, so results hash-match)
+# ---------------------------------------------------------------------------
+
+
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile(F.col("l_quantity"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            q.getItem(0).alias("q25"),
+            q.getItem(1).alias("median"),
+            q.getItem(2).alias("q75"),
+        )
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS median,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
     "top_revenue_customers": QuerySpec(
@@ -524,4 +555,5 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_quote_join": QuerySpec(_q_asof, _ASOF_ORACLE, bench=True),
     "cube_monthly_summary": QuerySpec(_q_cube, _CUBE_ORACLE),
     "pivot_monthly_by_type": QuerySpec(_q_pivot, _PIVOT_ORACLE),
+    "quantiles_by_returnflag": QuerySpec(_q_quantiles, _QUANTILES_ORACLE),
 }
