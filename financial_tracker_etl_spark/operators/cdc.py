@@ -1,0 +1,59 @@
+"""Snapshot diff / change-data-capture between two keyed table states.
+
+The reference's jobs are all built around "diff the incoming request
+against what the store already has" (SURVEY.md §2.C J1-J3, §2.I B3).
+This operator closes the loop on the write side: given two snapshots of
+a keyed table, classify every key as inserted / deleted / updated /
+unchanged — the change feed a downstream consumer (cache invalidation,
+completion events, audit) reads. One full-outer join on the key, which
+is the minimum; at scale both snapshots share the state table's
+bucketing so the join co-locates (operators/bucketing.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Rows keyed like ``new`` (or ``old`` for deletes) with a
+    ``change_type`` column: inserted | deleted | updated | unchanged.
+    Value comparison is null-safe (``eqNullSafe``) across all non-key
+    columns present in both snapshots."""
+    value_cols = [
+        c for c in new.columns if c not in keys and c in set(old.columns)
+    ]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    )
+    joined = o.join(n, cond, "full_outer")
+    same_vals = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            for c in value_cols
+        ],
+        F.lit(True),
+    )
+    new_key_null = F.col(f"n.{keys[0]}").isNull()
+    old_key_null = F.col(f"o.{keys[0]}").isNull()
+    change = (
+        F.when(old_key_null, "inserted")
+        .when(new_key_null, "deleted")
+        .when(same_vals, "unchanged")
+        .otherwise("updated")
+    )
+    out_keys = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        for c in value_cols
+    ]
+    return joined.select(*out_keys, *out_vals, change.alias("change_type"))

@@ -656,6 +656,144 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC: change feed between pre- and post-upsert market_data snapshots
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff(old_state, upserted_state): per (symbol,
+    asset_type) change classification — the completion-event detail the
+    reference's jobs report in aggregate (record counts) made
+    row-level. price participates in the value comparison; updated_at
+    is excluded so the class reflects data change, not write-stamps."""
+    from ..operators.cdc import snapshot_diff
+
+    old = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
+        "symbol", "asset_type", "price", "high", "low"
+    )
+    new = _q_upsert(spark, sf_dir).select(
+        "symbol", "asset_type", "price", "high", "low"
+    )
+    diff = snapshot_diff(old, new, ["symbol", "asset_type"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.countDistinct("symbol").alias("n_symbols"),
+    )
+
+
+_CDC_ORACLE = (
+    fixtures.with_ctes(
+        fixtures.MARKET_DATA_SQL,
+        fixtures.QUOTES_RAW_SQL,
+        "typed AS (" + _TYPED_QUOTES_SQL_BODY + ")",
+        """
+updates AS (
+  SELECT symbol, asset_type, price, change, percent_change, high, low, updated_at
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, asset_type
+                                 ORDER BY updated_at DESC, quote_id DESC) AS rn
+    FROM typed
+  ) WHERE rn = 1
+)
+""",
+        """
+unioned AS (
+  SELECT symbol, asset_type, price, high, low, updated_at, 0 AS _src
+  FROM market_data
+  UNION ALL
+  SELECT symbol, asset_type, price, high, low, updated_at, 1 AS _src
+  FROM updates
+)
+""",
+        """
+merged AS (
+  SELECT symbol, asset_type, price, high, low
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, asset_type
+                                 ORDER BY updated_at DESC, _src DESC) AS rn
+    FROM unioned
+  ) WHERE rn = 1
+)
+""",
+        """
+diff AS (
+  SELECT CASE WHEN o.symbol IS NULL THEN 'inserted'
+              WHEN n.symbol IS NULL THEN 'deleted'
+              WHEN o.price IS NOT DISTINCT FROM n.price
+                   AND o.high IS NOT DISTINCT FROM n.high
+                   AND o.low IS NOT DISTINCT FROM n.low THEN 'unchanged'
+              ELSE 'updated' END AS change_type,
+         coalesce(n.symbol, o.symbol) AS symbol
+  FROM market_data o
+  FULL OUTER JOIN merged n
+    ON o.symbol = n.symbol AND o.asset_type = n.asset_type
+)
+""",
+    )
+    + """
+SELECT change_type, count(*) AS n_keys, count(DISTINCT symbol) AS n_symbols
+FROM diff
+GROUP BY change_type
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Grouped applyInPandas: longest missing-month streak per symbol
+# ---------------------------------------------------------------------------
+
+
+def _q_longest_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol longest consecutive-missing-month run — the grouped
+    ``applyInPandas`` surface (Arrow-batched, one group per pandas
+    frame) on integer-exact arithmetic so it oracle-checks. The
+    relational twin is a lag-window; the pandas form is the shape
+    custom per-group science code takes at scale."""
+    import pandas as pd
+
+    monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
+    base = monthly.select(
+        "symbol",
+        (F.year("date") * 12 + F.month("date")).alias("mnum"),
+    )
+
+    def gap_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = sorted(pdf["mnum"].unique())
+        longest = 0
+        for prev, cur in zip(m, m[1:]):
+            longest = max(longest, cur - prev - 1)
+        return pd.DataFrame(
+            {
+                "symbol": [pdf["symbol"].iloc[0]],
+                "n_months": [len(m)],
+                "longest_gap_months": [longest],
+            }
+        )
+
+    return base.groupBy("symbol").applyInPandas(
+        gap_fn, schema="symbol string, n_months long, longest_gap_months long"
+    )
+
+
+_LONGEST_GAP_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
+    + """
+SELECT symbol,
+       count(DISTINCT date) AS n_months,
+       coalesce(max(gap), 0) AS longest_gap_months
+FROM (
+  SELECT symbol, date,
+         (year(date) * 12 + month(date))
+           - lag(year(date) * 12 + month(date))
+             OVER (PARTITION BY symbol ORDER BY date) - 1 AS gap
+  FROM (SELECT DISTINCT symbol, date FROM market_data_monthly)
+)
+GROUP BY symbol
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_historical_repair": QuerySpec(_q_flagship, _FLAGSHIP_ORACLE, bench=True),
     "historical_missing_months": QuerySpec(_q_missing_months, _MISSING_ORACLE),
@@ -676,4 +814,6 @@ QUERIES: dict[str, QuerySpec] = {
     "s6_asset_dispatch": QuerySpec(_q_s6_dispatch, _S6_ORACLE),
     "a1_historical_batches": QuerySpec(_q_a1_batches, _A1_ORACLE),
     "p5_payload_envelopes": QuerySpec(_q_p5_envelopes, _P5_ORACLE),
+    "cdc_market_changes": QuerySpec(_q_cdc, _CDC_ORACLE),
+    "longest_month_gap": QuerySpec(_q_longest_gap, _LONGEST_GAP_ORACLE),
 }

@@ -243,3 +243,26 @@ def test_asof_join_duplicate_ts_uses_seq_tiebreak(spark):
         trades, quotes, ["symbol"], "trade_ts", "ts", ["price"], right_seq="qid"
     )
     assert out.first()["price"] == 99.0  # max qid wins deterministically
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from financial_tracker_etl_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("C", 3.0)], "k string, v double"
+    )
+    new = spark.createDataFrame(
+        [("A", 1.0), ("B", 9.0), ("D", 4.0)], "k string, v double"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        "A": "unchanged",
+        "B": "updated",
+        "C": "deleted",
+        "D": "inserted",
+    }
+    # null-safe value compare: NULL == NULL is unchanged, NULL vs value is updated
+    old2 = spark.createDataFrame([("A", None), ("B", None)], "k string, v double")
+    new2 = spark.createDataFrame([("A", None), ("B", 1.0)], "k string, v double")
+    got2 = {r["k"]: r["change_type"] for r in snapshot_diff(old2, new2, ["k"]).collect()}
+    assert got2 == {"A": "unchanged", "B": "updated"}
