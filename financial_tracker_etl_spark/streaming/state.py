@@ -38,11 +38,17 @@ class KeyedParquetState:
         path: str,
         keys: list[str],
         version_cols: list[str],
+        write_partitions: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = keys
         self.version_cols = version_cols
+        # small-files control: every merge rewrites the state, so cap
+        # the file count (continuous merges on shuffle-partition counts
+        # would leave 32+ tiny files per batch; at 100 TB this knob is
+        # the table format's compaction/target-file-size instead)
+        self.write_partitions = write_partitions
 
     def exists(self) -> bool:
         return os.path.isdir(self.path)
@@ -68,7 +74,7 @@ class KeyedParquetState:
             self.read().unionByName(updates) if self.exists() else updates
         )
         tmp = self.path + "._next"
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.coalesce(self.write_partitions).write.mode("overwrite").parquet(tmp)
         if self.exists():
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
