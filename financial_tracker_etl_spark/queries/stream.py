@@ -27,6 +27,7 @@ from ..streaming.windows import (
     WATERMARK_DELAY_US,
     hourly_rollup_stream,
     session_windows_stream,
+    stream_static_enrich,
 )
 from . import QuerySpec
 from .core import _UPSERT_ORACLE
@@ -192,4 +193,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_session_windows": QuerySpec(_q_stream_sessions, _STREAM_SESSIONS_ORACLE),
     "stream_stateful_ewma": QuerySpec(_q_stream_ewma, _EWMA_ORACLE),
+    "stream_static_enrichment": QuerySpec(
+        lambda spark, sf_dir: stream_static_enrich(spark, sf_dir),
+        """
+SELECT n_name,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       max(epoch_us(ts)) AS last_ts_us
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+GROUP BY n_name
+""",
+    ),
 }

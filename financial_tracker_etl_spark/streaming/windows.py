@@ -75,14 +75,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_table(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Drive a streaming aggregation to completion (AvailableNow) into a
-    parquet sink and hand back the materialized result."""
+    parquet sink and hand back the materialized result. Append mode
+    writes directly; complete mode goes through foreachBatch overwrite
+    (the file sink is append-only by design — each complete-mode batch
+    is a full snapshot, so overwrite-latest is the correct
+    materialization)."""
     out_dir = tempfile.mkdtemp(prefix="ftes_win_")
     sink, ckpt = os.path.join(out_dir, "sink"), os.path.join(out_dir, "ckpt")
+    writer = df.writeStream.outputMode(mode)
+    if mode == "complete":
+
+        def overwrite(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("overwrite").parquet(sink)
+
+        writer = writer.foreachBatch(overwrite)
+    else:
+        writer = writer.format("parquet").option("path", sink)
     q = (
-        df.writeStream.outputMode(mode)
-        .format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
+        writer.option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -115,6 +125,31 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_user",
     )
     return _run_to_table(out, spark, "append")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    (tiny, broadcast) nation dimension, then aggregated per nation.
+    The static side is re-read per micro-batch by Structured Streaming,
+    so dimension updates are picked up — the standard enrichment shape;
+    no stream state is needed for the join itself."""
+    from ..catalog import load_table
+    from pyspark.sql.functions import broadcast
+
+    ev = events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = ev.join(
+        broadcast(nation), (F.col("user_id") % 25) == F.col("n_nationkey")
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.max("ts_us").alias("last_ts_us"),
+    )
+    return _run_to_table(agg, spark, "complete")
 
 
 def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

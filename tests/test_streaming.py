@@ -118,3 +118,16 @@ def test_watermark_closes_only_final_windows(spark):
         (F.col("ts_us") - F.col("ts_us") % 3_600_000_000).alias("h")
     ).distinct()
     assert batch_hours.count() > got.select("hour_us").distinct().count()
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """approx_count_distinct (HLL) — the at-scale cardinality path —
+    must land within its documented rsd of the exact count."""
+    from financial_tracker_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
