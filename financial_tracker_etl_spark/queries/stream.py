@@ -28,6 +28,7 @@ from ..streaming.windows import (
     hourly_rollup_stream,
     session_windows_stream,
     stream_static_enrich,
+    stream_stream_interval_join,
 )
 from . import QuerySpec
 from .core import _UPSERT_ORACLE
@@ -193,6 +194,20 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_session_windows": QuerySpec(_q_stream_sessions, _STREAM_SESSIONS_ORACLE),
     "stream_stateful_ewma": QuerySpec(_q_stream_ewma, _EWMA_ORACLE),
+    "stream_interval_join": QuerySpec(
+        lambda spark, sf_dir: stream_stream_interval_join(spark, sf_dir),
+        """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT a.user_id,
+       a.event_id AS a_event_id,
+       b.event_id AS b_event_id,
+       b.ts_us - a.ts_us AS delta_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts_us BETWEEN a.ts_us - 300000000 AND a.ts_us + 300000000
+""",
+    ),
     "stream_static_enrichment": QuerySpec(
         lambda spark, sf_dir: stream_static_enrich(spark, sf_dir),
         """

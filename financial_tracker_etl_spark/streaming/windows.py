@@ -152,6 +152,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(agg, spark, "complete")
 
 
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str, minutes: int = 5
+) -> DataFrame:
+    """Stream-stream inner interval join: even-id events matched to
+    odd-id events of the same user within ±``minutes``. Both sides
+    carry watermarks — that is what lets Spark BOUND the join state
+    (each side buffers only rows within watermark+interval, the 100 TB
+    requirement for unbounded streams); an inner join's emitted matches
+    are unaffected by the eviction, so the batch oracle is exact."""
+    base = events_stream(spark, sf_dir)
+    a = (
+        base.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_event_id"),
+            F.col("ts_us").alias("a_ts_us"),
+            F.col("event_time").alias("a_time"),
+        )
+        .withWatermark("a_time", "1 hour")
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_event_id"),
+            F.col("ts_us").alias("b_ts_us"),
+            F.col("event_time").alias("b_time"),
+        )
+        .withWatermark("b_time", "1 hour")
+    )
+    bound = F.expr(f"INTERVAL {minutes} MINUTES")
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_time") >= F.col("a_time") - bound)
+        & (F.col("b_time") <= F.col("a_time") + bound),
+        "inner",
+    )
+    out = joined.select(
+        F.col("a_user").alias("user_id"),
+        "a_event_id",
+        "b_event_id",
+        (F.col("b_ts_us") - F.col("a_ts_us")).alias("delta_us"),
+    )
+    return _run_to_table(out, spark, "append")
+
+
 def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (gap = 30 min) per user, append mode.
     ``session_window``'s close condition (watermark past last_event+gap)
