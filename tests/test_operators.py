@@ -266,3 +266,27 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     new2 = spark.createDataFrame([("A", None), ("B", 1.0)], "k string, v double")
     got2 = {r["k"]: r["change_type"] for r in snapshot_diff(old2, new2, ["k"]).collect()}
     assert got2 == {"A": "unchanged", "B": "updated"}
+
+
+def test_catalog_loads_every_table_with_key_columns(spark):
+    from financial_tracker_etl_spark.catalog import TABLES, load_table
+
+    key_cols = {
+        "region": "r_regionkey",
+        "nation": "n_nationkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    from conftest import SF_DIR
+
+    for name in TABLES:
+        df = load_table(spark, SF_DIR, name)
+        assert key_cols[name] in df.columns, name
+        if name == "events":
+            assert "ts_us" in df.columns  # nanos normalization applied
