@@ -37,7 +37,7 @@ from .jobs import (
     TOPIC_INDEX,
     TOPIC_MARKET,
 )
-from .state import KeyedParquetState
+from .state import KeyedParquetState, LogStructuredState
 
 MD_COLS = [
     "symbol",
@@ -133,7 +133,7 @@ class PipelineResult:
     n_batches: int
 
     def state_df(self, topic: str) -> DataFrame:
-        return self.states[topic].read().drop("_ver_seq")
+        return self.states[topic].read_merged().drop("_ver_seq")
 
 
 def run_routed_pipeline(
@@ -156,8 +156,11 @@ def run_routed_pipeline(
         n_files, F.col("payload")
     ).write.mode("overwrite").json(input_dir)
 
+    # log-structured: each batch appends O(batch) deltas instead of
+    # rewriting O(state); the final read merges-on-read (Delta/Iceberg
+    # economics — see streaming.state.LogStructuredState)
     states = {
-        job.topic: KeyedParquetState(
+        job.topic: LogStructuredState(
             spark,
             os.path.join(work_dir, f"state_{job.topic}"),
             job.keys,

@@ -56,6 +56,11 @@ class KeyedParquetState:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def read_merged(self) -> DataFrame:
+        """The logical (fully merged) state. For the rewrite store the
+        physical files already are the logical state."""
+        return self.read()
+
     def _dedupe(self, df: DataFrame) -> DataFrame:
         w = Window.partitionBy(*self.keys).orderBy(
             *[F.col(c).desc() for c in self.version_cols]
@@ -78,3 +83,40 @@ class KeyedParquetState:
         if self.exists():
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
+
+
+class LogStructuredState(KeyedParquetState):
+    """Same contract, log-structured writes: each merge APPENDS the
+    (locally deduped) batch as a delta; reads merge-on-read by deduping
+    across all deltas. Because "max version per key" is a semilattice
+    fold, dedupe-at-read over raw deltas equals dedupe-after-every-batch
+    — so this trades read-side work for O(batch) instead of O(state)
+    writes, exactly the Delta/Iceberg MERGE + compaction economics. A
+    write-amplification compaction kicks in after ``compact_every``
+    deltas to bound the read-side union."""
+
+    def __init__(self, *args, compact_every: int = 8, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.compact_every = compact_every
+        self._n_deltas = 0
+
+    def merge(self, updates: DataFrame) -> None:
+        batch = self._dedupe(updates)
+        batch.coalesce(max(1, self.write_partitions // 2)).write.mode(
+            "append"
+        ).parquet(self.path)
+        self._n_deltas += 1
+        if self._n_deltas >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> None:
+        merged = self._dedupe(self.read())
+        tmp = self.path + "._next"
+        merged.coalesce(self.write_partitions).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        self._n_deltas = 0
+
+    def read_merged(self) -> DataFrame:
+        """The logical state (merge-on-read over the delta log)."""
+        return self._dedupe(self.read())

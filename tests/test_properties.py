@@ -160,3 +160,32 @@ def test_winnow_fingerprint_matches_python_model(spark, text):
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     got = with_winnow_fingerprint(df).select("winnow_fp").first()[0]
     assert got == _winnow_model(text)
+
+
+@given(rows=rows_strategy, cut=st.integers(min_value=1, max_value=11))
+@settings(**SETTINGS)
+def test_log_structured_state_equals_rewrite_state(
+    spark, tmp_path_factory, rows, cut
+):
+    """Merge-on-read over appended deltas (with compaction forced mid-
+    stream) must equal the rewrite store for any batch split — the
+    semilattice-fold argument that justifies the log-structured store."""
+    from financial_tracker_etl_spark.streaming.state import (
+        KeyedParquetState,
+        LogStructuredState,
+    )
+
+    base = tmp_path_factory.mktemp("ls")
+    schema = "k string, v int, x int"
+    rewrite = KeyedParquetState(spark, str(base / "rw"), ["k"], ["v", "x"])
+    log = LogStructuredState(
+        spark, str(base / "log"), ["k"], ["v", "x"], compact_every=2
+    )
+    for chunk in (rows[:cut], rows[cut:]):
+        if chunk:
+            df = spark.createDataFrame(chunk, schema)
+            rewrite.merge(df)
+            log.merge(df)
+    assert sorted(map(tuple, log.read_merged().collect())) == sorted(
+        map(tuple, rewrite.read().collect())
+    )
