@@ -27,6 +27,7 @@ from ..streaming.windows import (
     WATERMARK_DELAY_US,
     hourly_rollup_stream,
     session_windows_stream,
+    stream_dedup_within_watermark,
     stream_static_enrich,
     stream_stream_interval_join,
 )
@@ -194,6 +195,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_session_windows": QuerySpec(_q_stream_sessions, _STREAM_SESSIONS_ORACLE),
     "stream_stateful_ewma": QuerySpec(_q_stream_ewma, _EWMA_ORACLE),
+    "stream_dedup_exact": QuerySpec(
+        lambda spark, sf_dir: stream_dedup_within_watermark(spark, sf_dir),
+        """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+""",
+    ),
     "stream_interval_join": QuerySpec(
         lambda spark, sf_dir: stream_stream_interval_join(spark, sf_dir),
         """

@@ -127,6 +127,26 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "append")
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (X1's unbounded form): the event stream
+    doubled (at-least-once delivery simulation), then
+    ``dropDuplicatesWithinWatermark`` on event_id. State holds only
+    keys younger than the watermark — bounded, unlike a plain
+    ``dropDuplicates`` whose state grows forever; the dedup guarantee
+    degrades gracefully to "within the lateness bound", which is the
+    honest contract at 100 TB."""
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us", "event_time"
+    )
+    doubled = ev.unionByName(events_stream(spark, sf_dir).select(*ev.columns))
+    out = (
+        doubled.withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+    return _run_to_table(out, spark, "append")
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the
     (tiny, broadcast) nation dimension, then aggregated per nation.
