@@ -539,6 +539,70 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Hourly-count anomalies: z-score per event_type, integer-exact moments
+# ---------------------------------------------------------------------------
+
+
+def _q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count exceeds mean + 2σ for that event_type.
+    The moments are integer sums (Σx, Σx² over BIGINT counts), so mean
+    and population variance are exact rationals computed identically in
+    both engines — no float-accumulation-order dependence. Two grouped
+    passes + a broadcast of the per-type stats."""
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    joined = hourly.join(broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        joined.filter(F.col("n") > mean + 2 * F.sqrt(var))
+        .select(
+            "event_type",
+            "hour_us",
+            "n",
+            F.round(mean, 6).alias("type_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+_ANOMALIES_ORACLE = f"""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n_hours,
+         sum(n) AS s1, sum(n * n) AS s2
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, hour_us, n,
+       round(CAST(s1 AS DOUBLE) / n_hours, 6) AS type_mean,
+       round((n - CAST(s1 AS DOUBLE) / n_hours)
+             / sqrt(CAST(s2 AS DOUBLE) / n_hours
+                    - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours)),
+             6) AS zscore
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+WHERE n > CAST(s1 AS DOUBLE) / n_hours
+          + 2 * sqrt(CAST(s2 AS DOUBLE) / n_hours
+                     - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
     "top_revenue_customers": QuerySpec(
@@ -556,4 +620,5 @@ QUERIES: dict[str, QuerySpec] = {
     "cube_monthly_summary": QuerySpec(_q_cube, _CUBE_ORACLE),
     "pivot_monthly_by_type": QuerySpec(_q_pivot, _PIVOT_ORACLE),
     "quantiles_by_returnflag": QuerySpec(_q_quantiles, _QUANTILES_ORACLE),
+    "events_hourly_anomalies": QuerySpec(_q_anomalies, _ANOMALIES_ORACLE),
 }

@@ -193,6 +193,74 @@ WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.4
 """
 
 
+def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification layered on the shingle-Jaccard
+    candidates: levenshtein over normalized 80-char prefixes — the
+    character-level near-dup modality. Never run over all pairs: the
+    O(len²) DP only touches LSH/Jaccard candidates (the 100 TB
+    contract shared by every near-dup verifier here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
+    pref = docs.select(
+        "doc_id",
+        F.substring(normalized_text(F.col("text")), 1, 80).alias("pref"),
+    )
+    a = pref.alias("pa")
+    b = pref.alias("pb")
+    return (
+        pairs.join(a, F.col("doc1") == F.col("pa.doc_id"))
+        .join(b, F.col("doc2") == F.col("pb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.levenshtein(F.col("pa.pref"), F.col("pb.pref")).alias(
+                "prefix_edit_distance"
+            ),
+        )
+    )
+
+
+_EDIT_DISTANCE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                ELSE [] END)) AS shingle
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT doc1, doc2,
+         round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+  FROM pairs
+  JOIN counts ca ON doc1 = ca.doc_id
+  JOIN counts cb ON doc2 = cb.doc_id
+  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.4
+),
+pref AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 80) AS p
+  FROM documents
+)
+SELECT doc1, doc2, jaccard,
+       CAST(levenshtein(pa.p, pb.p) AS INTEGER) AS prefix_edit_distance
+FROM cand
+JOIN pref pa ON doc1 = pa.doc_id
+JOIN pref pb ON doc2 = pb.doc_id
+"""
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(docs)
@@ -431,6 +499,7 @@ QUERIES: dict[str, QuerySpec] = {
     "x1_exact_dedup": QuerySpec(_q_exact_dedup, _DEDUP_ORACLE, bench=True),
     "ngram_jaccard_near_dups": QuerySpec(_q_jaccard, _JACCARD_ORACLE),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _CLUSTERS_ORACLE),
+    "near_dup_edit_distance": QuerySpec(_q_edit_distance, _EDIT_DISTANCE_ORACLE),
     "minhash_lsh_near_dups": QuerySpec(_q_minhash, None, bench=True),
     "simhash_fingerprints": QuerySpec(_q_simhash, None),
     "text_regex_token_stats": QuerySpec(_q_regex_tokens, _REGEX_TOKENS_ORACLE),
