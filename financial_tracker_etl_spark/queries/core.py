@@ -740,6 +740,43 @@ GROUP BY change_type
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF: lateral month-spine expansion (§2.J surface)
+# ---------------------------------------------------------------------------
+
+
+def _q_udtf_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fetch windows expanded to months via a LATERAL Python UDTF —
+    proving the UDTF fan-out agrees exactly with the JVM
+    sequence()+explode spine the hot path uses."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    hr.fetch_windows_df(spark, sf_dir).createOrReplaceTempView("_fw")
+    return spark.sql(
+        """
+        SELECT f.symbol, f.asset_type, m.month
+        FROM _fw f, LATERAL month_spine_udtf(f.window_start, f.window_end) m
+        """
+    )
+
+
+_UDTF_SPINE_ORACLE = (
+    fixtures.with_ctes(*_FLAGSHIP_CTES)
+    + """
+, fw AS (
+  SELECT symbol, asset_type,
+         min(month) AS window_start, max(month) AS window_end
+  FROM missing
+  GROUP BY symbol, asset_type
+)
+SELECT symbol, asset_type, CAST(gs.m AS DATE) AS month
+FROM fw, LATERAL unnest(generate_series(window_start, window_end,
+                                        INTERVAL 1 MONTH)) gs(m)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Grouped applyInPandas: longest missing-month streak per symbol
 # ---------------------------------------------------------------------------
 
@@ -816,4 +853,5 @@ QUERIES: dict[str, QuerySpec] = {
     "p5_payload_envelopes": QuerySpec(_q_p5_envelopes, _P5_ORACLE),
     "cdc_market_changes": QuerySpec(_q_cdc, _CDC_ORACLE),
     "longest_month_gap": QuerySpec(_q_longest_gap, _LONGEST_GAP_ORACLE),
+    "udtf_month_spine": QuerySpec(_q_udtf_spine, _UDTF_SPINE_ORACLE),
 }

@@ -131,3 +131,24 @@ def test_approx_distinct_within_error_bound(spark):
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
+
+
+def test_pipeline_rerun_is_idempotent_end_to_end(spark, tmp_path):
+    """Re-running the WHOLE pipeline over the same work dir (checkpoint
+    + state intact) must leave every state identical — whether the
+    checkpointed file index skips the files or the merges replay, the
+    fold is idempotent. This is the ST2 exactly-once-on-keys claim made
+    end-to-end, not per-operator."""
+    import os
+
+    from financial_tracker_etl_spark.streaming.pipeline import (
+        TOPIC_MARKET,
+        run_routed_pipeline,
+    )
+
+    wd = os.path.join(str(tmp_path), "wd")
+    first = run_routed_pipeline(spark, SF_DIR, work_dir=wd)
+    state1 = sorted(map(tuple, first.state_df(TOPIC_MARKET).collect()))
+    second = run_routed_pipeline(spark, SF_DIR, work_dir=wd)
+    state2 = sorted(map(tuple, second.state_df(TOPIC_MARKET).collect()))
+    assert state1 == state2
