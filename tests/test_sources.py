@@ -170,3 +170,13 @@ def test_partition_upserter_batches_commits_and_rolls_back():
     with pytest.raises(RuntimeError):
         up2([{"k": "a"}])
     assert [e[0] for e in log2] == ["rollback", "close"]
+
+
+def test_cli_list_and_parser():
+    from financial_tracker_etl_spark.__main__ import build_parser, main
+
+    assert main(["list"]) == 0
+    args = build_parser().parse_args(
+        ["run", "pricing_summary", "--sf-dir", "/x", "--limit", "5"]
+    )
+    assert args.query == "pricing_summary" and args.limit == 5
