@@ -38,10 +38,21 @@ def with_price_analytics(
 ) -> DataFrame:
     """[DOC] indicators (reference README.md:339-346): previous price
     (lag), month-over-month change/pct_change, SMA-20/SMA-50 rolling
-    means, and cumulative min/max. Pure window frames — no UDFs."""
+    means, and cumulative min/max. Pure window frames — no UDFs.
+
+    The rolling means are computed as an exact DECIMAL(18,8) window SUM
+    divided by the window COUNT (both engine-exact), then cast to
+    double — `avg` over raw doubles accumulates in frame order, which
+    differs between engines (fixtures.py determinism rules)."""
     w = Window.partitionBy(key).orderBy(order_col)
     price = F.col(price_col)
     prev = F.lag(price, 1).over(w)
+
+    def _sma(n: int) -> Column:
+        frame = w.rowsBetween(-(n - 1), 0)
+        exact = F.sum(price.cast("decimal(18,8)")).over(frame).cast("double")
+        return exact / F.count(price).over(frame)
+
     return (
         df.withColumn("prev_price", prev)
         .withColumn("price_change", price - prev)
@@ -49,8 +60,8 @@ def with_price_analytics(
             "pct_change",
             F.when(prev.isNotNull() & (prev != 0), (price - prev) / prev * 100.0),
         )
-        .withColumn("sma_20", F.avg(price).over(w.rowsBetween(-19, 0)))
-        .withColumn("sma_50", F.avg(price).over(w.rowsBetween(-49, 0)))
+        .withColumn("sma_20", _sma(20))
+        .withColumn("sma_50", _sma(50))
         .withColumn("running_max", F.max(price).over(w))
         .withColumn("running_min", F.min(price).over(w))
     )

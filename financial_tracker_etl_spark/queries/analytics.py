@@ -328,11 +328,16 @@ def _q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json over the events.props payload (F4; the reference
     decodes JSON payloads at every Kafka boundary, etl/main.py:170,236)
     with schema-on-read, then integer aggregation per event_type —
-    exact arithmetic, so cross-engine deterministic."""
+    exact arithmetic, so cross-engine deterministic.
+
+    ``k`` is parsed as BIGINT on both engines and the SUM is pinned to
+    BIGINT in the oracle: DuckDB's sum(INTEGER) surfaces as HUGEINT →
+    pandas float64, which value-hashes differently from Spark's int64
+    even when numerically equal (round-1 hash mismatch)."""
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",
-        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+        F.from_json(F.col("props"), "k bigint").getField("k").alias("k"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -346,10 +351,10 @@ def _q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_total,
-       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events
 GROUP BY event_type
 """

@@ -477,8 +477,11 @@ def _q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_price",
         "price_change",
         F.round("pct_change", 6).alias("pct_change"),
-        F.round("sma_20", 4).alias("sma_20"),
-        F.round("sma_50", 4).alias("sma_50"),
+        # no rounding: the SMA is exact-decimal-sum / count, so the double
+        # quotient is bit-identical cross-engine; round(…,4) at a .5 tie
+        # is NOT (Spark HALF_UP vs DuckDB binary-value rounding)
+        "sma_20",
+        "sma_50",
         "running_max",
         "running_min",
     )
@@ -494,10 +497,16 @@ SELECT symbol, date, price,
                    AND lag(price, 1) OVER w <> 0
                   THEN (price - lag(price, 1) OVER w) / lag(price, 1) OVER w * 100.0
              END, 6) AS pct_change,
-       round(avg(price) OVER (PARTITION BY symbol ORDER BY date
-                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS sma_20,
-       round(avg(price) OVER (PARTITION BY symbol ORDER BY date
-                              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS sma_50,
+       CAST(sum(CAST(price AS DECIMAL(18,8)))
+            OVER (PARTITION BY symbol ORDER BY date
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / count(price) OVER (PARTITION BY symbol ORDER BY date
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_20,
+       CAST(sum(CAST(price AS DECIMAL(18,8)))
+            OVER (PARTITION BY symbol ORDER BY date
+                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / count(price) OVER (PARTITION BY symbol ORDER BY date
+                            ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_50,
        max(price) OVER (PARTITION BY symbol ORDER BY date
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max,
        min(price) OVER (PARTITION BY symbol ORDER BY date

@@ -114,6 +114,17 @@ def _market_transform(valid: DataFrame) -> DataFrame:
     )
 
 
+def _content_ver(cols: list[str]) -> F.Column:
+    """Deterministic per-row version for payloads that carry no natural
+    sequence/timestamp: a 64-bit content hash. If the same key arrives
+    twice with different payloads, max(hash) picks the survivor
+    independent of partition/arrival order (the total-order-within-key
+    contract state.py requires); identical payloads hash equal, so the
+    tie-break then picks between identical rows and the outcome is
+    order-free either way. Never surfaced — dropped on state read."""
+    return F.xxhash64(*[F.col(c) for c in cols]).alias("_ver_seq")
+
+
 def _index_transform(valid: DataFrame) -> DataFrame:
     """P2 Yahoo-style rename (reference:
     etl/jobs/fetch_market_index_data/fetch_market_index_data.py:49-69)
@@ -132,7 +143,9 @@ def _index_transform(valid: DataFrame) -> DataFrame:
     return renamed.select(
         "*",
         F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("updated_at"),
-        F.lit(0).cast("long").alias("_ver_seq"),
+        _content_ver(
+            ["price", "price_change", "percent_change", "price_high", "price_low"]
+        ),
     )
 
 
@@ -140,7 +153,7 @@ def _monthly_transform(valid: DataFrame) -> DataFrame:
     """Monthly rows are already typed/unique per key (reference upsert:
     etl/jobs/fetch_historical_market_data/fetch_historical_market_data.py:88-109)."""
     return valid.select(
-        "symbol", "price", "date", "asset_type", F.lit(0).cast("long").alias("_ver_seq")
+        "symbol", "price", "date", "asset_type", _content_ver(["price"])
     )
 
 

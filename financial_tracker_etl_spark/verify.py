@@ -2,9 +2,14 @@
 
 Runs each registry query on Spark and its oracle on DuckDB over the
 same parquet tables, then compares row count, column names, and
-order-insensitive values (floats rounded to 6 significant-ish digits,
-timestamps/dates canonicalized to ISO strings). Used by tests and by
+order-insensitive values (floats at 17 significant digits — i.e.
+repr-exact, matching the driver gate's exact value hash — timestamps/
+dates canonicalized to ISO strings). Used by tests and by
 ``python -m financial_tracker_etl_spark.verify [sf_dir] [names...]``.
+
+Round 1 ran this at 6 significant digits, which passed two queries the
+driver's exact hash failed (doc_price_indicators, events_props_rollup);
+the gate is only useful at full strictness.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ from pyspark.sql import SparkSession
 
 from .catalog import TABLES, table_path
 
-FLOAT_NDIGITS = 6
+FLOAT_NDIGITS = 17
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -38,12 +43,15 @@ def _canon_value(v):
     if v is None or v is pd.NaT:
         return None
     if isinstance(v, (float, np.floating)):
+        # tagged string so an int64 on one engine vs float64 on the other
+        # FAILS here like it fails the driver's value hash (12345 ==
+        # 12345.0 in Python would otherwise hide the dtype mismatch)
         v = float(v)
         if math.isnan(v):
             return "NaN"
         if v == 0:
-            return 0.0
-        return float(f"{v:.{FLOAT_NDIGITS}g}")
+            v = 0.0
+        return f"f:{v:.{FLOAT_NDIGITS}g}"
     if isinstance(v, np.integer):
         return int(v)
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
