@@ -104,11 +104,14 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        revenue.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-    )
+    # top-k via orderBy+limit, which Spark plans as a distributed
+    # TakeOrderedAndProject (per-partition heaps + driver merge of 20
+    # rows) — NOT a global row_number window, which would sort every
+    # per-customer aggregate on ONE partition (round-1 scale-killer).
+    # The rank window afterwards runs over exactly 20 rows.
+    order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
+    top = revenue.orderBy(*order).limit(20)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 _TOP_CUSTOMERS_ORACLE = f"""
@@ -187,7 +190,14 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
-# Brand revenue share: agg + global-total window + division.
+# Brand revenue share: agg + broadcast-total crossJoin + division. The
+# grand total comes from a separate 1-row aggregate crossJoin-broadcast
+# onto the ~25 brand rows instead of an empty-partition window (which
+# plans as a single-partition WindowExec — bounded here, but the
+# agg+broadcast shape keeps every bench plan free of unpartitioned
+# windows so the plan guard can assert a clean invariant). The total is
+# an exact DECIMAL(18,8) sum: summing the ~25 brand doubles in
+# arbitrary order would be accumulation-order-dependent cross-engine.
 # ---------------------------------------------------------------------------
 
 
@@ -203,12 +213,12 @@ def _q_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = Window.partitionBy()
-    return rev.select(
+    total = rev.agg(_dsum(F.col("brand_revenue")).alias("_total"))
+    return rev.crossJoin(broadcast(total)).select(
         "p_brand",
         "brand_revenue",
         F.round(
-            F.col("brand_revenue") / F.sum("brand_revenue").over(total) * 100.0, 6
+            F.col("brand_revenue") / F.col("_total") * 100.0, 6
         ).alias("revenue_share_pct"),
     )
 
@@ -221,7 +231,9 @@ WITH rev AS (
   GROUP BY p_brand
 )
 SELECT p_brand, brand_revenue,
-       round(brand_revenue / sum(brand_revenue) OVER () * 100.0, 6) AS revenue_share_pct
+       round(brand_revenue /
+             CAST(sum(CAST(brand_revenue AS DECIMAL(18,8))) OVER () AS DOUBLE)
+             * 100.0, 6) AS revenue_share_pct
 FROM rev
 """
 

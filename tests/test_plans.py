@@ -114,3 +114,46 @@ def test_bucketed_join_has_no_shuffle(spark, reg):
         assert n_ops(plan, "Exchange") == 0, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_no_unbounded_global_window_in_any_query(spark, reg):
+    """No query may plan an UNPARTITIONED WindowExec over unbounded
+    input: `Window.orderBy(...)` without partitioning moves every row
+    to ONE partition — the 100 TB scale-killer the round-1 bench tail
+    warned about on top_revenue_customers. A global window is tolerated
+    only directly above a TakeOrderedAndProject/Limit (bounded rows,
+    e.g. ranking an already-taken top-k).
+
+    In the physical-plan string a partitioned+ordered window prints
+    `Window [exprs], [partcols], [order]` (two `], [` separators); an
+    unpartitioned ordered one prints `Window [exprs], [order]` — one
+    separator and ASC/DESC in the final group. Partition-only windows
+    (`Window [exprs], [partcols]`) also have one separator but no
+    ASC/DESC, and are fine.
+    """
+    skip = {n for n in reg if n.startswith("stream_")}  # eager pipeline
+    offenders = []
+    for name, spec in reg.items():
+        if name in skip:
+            continue
+        plan = (
+            spec.fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            m = re.search(r"\bWindow \[", line)
+            if not m or line.count("], [") >= 2:
+                continue
+            last_group = line.rsplit("], [", 1)[-1]
+            if not re.search(r"\b(ASC|DESC)\b", last_group):
+                continue  # partition-only window, no global sort
+            # bounded input is fine: the window's subtree must contain a
+            # limit-class node before the next same-or-shallower node
+            subtree = "\n".join(lines[i + 1 : i + 6])
+            if "TakeOrderedAndProject" in subtree or "GlobalLimit" in subtree:
+                continue
+            offenders.append((name, line.strip()[:100]))
+    assert not offenders, offenders
