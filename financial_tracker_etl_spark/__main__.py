@@ -33,6 +33,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     pl = sub.add_parser("pipeline", help="run the streaming request pipeline")
     pl.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    sch = sub.add_parser(
+        "schedule",
+        help="ST6 daily index-job trigger (reference: etl/scheduler.py)",
+    )
+    sch.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sch.add_argument("--at", default="16:00", help="daily firing time HH:MM")
+    sch.add_argument(
+        "--once", action="store_true", help="fire one tick immediately and exit"
+    )
     return p
 
 
@@ -69,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
 
         sys.argv = ["verify", args.sf_dir, *args.names]
         return verify.main()
+
+    if args.cmd == "schedule":
+        from .streaming.scheduler import schedule_index_job
+
+        spark = get_spark("cli-schedule")
+        return schedule_index_job(
+            spark, args.sf_dir, at=args.at, once=args.once
+        )
 
     if args.cmd == "pipeline":
         from .streaming.jobs import JOBS

@@ -39,9 +39,14 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
     driver harness calls them with its own): pin the runtime-settable
     confs correctness relies on — UTC so timestamp_ntz casts are
     stable against the DuckDB oracle, Arrow for the pandas-interop
-    operators."""
+    operators, and nanosAsLong so TIMESTAMP(NANOS) parquet (events) is
+    readable engine-wide. The pin lives HERE (first catalog touch) and
+    in session.get_spark — never inside an individual table branch,
+    where flipping a session-global conf would be an invisible side
+    effect of whichever query ran first (round-1 advisor)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,12 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     _ensure_session_defaults(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default; read nanos as long and normalize to
-        # integer microseconds (ts_us). Integer time arithmetic is also
-        # the cross-engine-deterministic path (DuckDB epoch_us floors
-        # ns->us the same way for positive epochs).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet carries TIMESTAMP(NANOS) (nanosAsLong pinned in
+        # _ensure_session_defaults): normalize to integer microseconds
+        # (ts_us). Integer time arithmetic is also the cross-engine-
+        # deterministic path (DuckDB epoch_us floors ns->us the same
+        # way for positive epochs).
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -6,15 +6,19 @@ Three tiers, trading exactness for scale:
   shingle-inverted-index self-join. Exact but O(pairs sharing a
   shingle); the oracle-checkable baseline.
 - :func:`minhash_near_dups` — MinHash + LSH banding: per-doc signature
-  of K minima under independent hash functions (``xxhash64`` with seed
-  salts), banded into B buckets; only same-bucket candidates get an
-  exact Jaccard verification. This is the 100 TB path: cost is
-  O(docs × K) + O(candidate pairs), never O(n²).
-- :func:`simhash_fingerprints` — 64-bit SimHash via per-token hash bit
-  votes; Hamming-ball lookup via 16-bit chunk banding.
+  of K minima under independent hash functions, banded into B buckets;
+  only same-bucket candidates get an exact Jaccard verification. This
+  is the 100 TB path: cost is O(docs × K) + O(candidate pairs), never
+  O(n²).
+- :func:`simhash_fingerprints` — 60-bit SimHash via per-token hash bit
+  votes; Hamming-ball lookup via 15-bit chunk banding.
 
-All built-in expressions (higher-order array functions + xxhash64) —
-no Python in the hot path.
+All built-in expressions — no Python in the hot path. The hash family
+is md5 (two 64-bit lanes per digest for MinHash, the top 60 bits for
+SimHash): unlike round 1's xxhash64, md5 exists verbatim in DuckDB, so
+every query here is driver-oracle-checkable end to end; md5 throughput
+(~0.5 GB/s/core on short strings) is not the bottleneck next to the
+shingle shuffle.
 """
 
 from __future__ import annotations
@@ -104,25 +108,40 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig) MinHash signatures over n-gram shingles.
 
+    The k hash functions are the two 64-bit lanes (16 hex chars each)
+    of md5(g || ':' || shingle) for g in 0..k/2-1 — an independent
+    family usable verbatim in the DuckDB oracle. Lane values stay
+    fixed-width lowercase hex STRINGS: for equal width, lexicographic
+    min == unsigned numeric min, identically in both engines.
+
     Staged so each expensive step runs ONCE per row: shingle
-    construction, then one string xxhash64 pass, then the k hash
-    functions as cheap long re-hashes ``xxhash64(base, seed)`` (an
-    independent family since xxhash64 mixes the seed). Inlining the
-    shingle expression k times instead blows the generated method past
-    JIT limits and drops whole rows to interpreted eval — measured
-    ~100× slower at sf0.1.
+    construction, then the k/2 md5 digests in one projection, then the
+    min-aggregation over cheap substrings. Inlining the shingle
+    expression k times instead blows the generated method past JIT
+    limits and drops whole rows to interpreted eval — measured ~100×
+    slower at sf0.1 (round 1).
     """
-    hashed = doc_shingles(df, n, text_col).select(
-        "doc_id", F.xxhash64("shingle").alias("_h")
-    )
-    mins = hashed.groupBy("doc_id").agg(
+    assert k % 2 == 0, "k must be even (two 64-bit lanes per md5 digest)"
+    sh = doc_shingles(df, n, text_col)
+    digests = sh.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"_m{seed}")
-            for seed in range(k)
+            F.md5(F.concat_ws(":", F.lit(str(g)), F.col("shingle"))).alias(
+                f"_g{g}"
+            )
+            for g in range(k // 2)
+        ],
+    )
+    mins = digests.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.col(f"_g{j // 2}"), 1 + (j % 2) * 16, 16)
+            ).alias(f"_m{j}")
+            for j in range(k)
         ]
     )
     return mins.select(
-        "doc_id", F.array(*[f"_m{seed}" for seed in range(k)]).alias("sig")
+        "doc_id", F.array(*[f"_m{j}" for j in range(k)]).alias("sig")
     )
 
 
@@ -218,37 +237,55 @@ def minhash_near_dups(
     )
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, per-bit majority vote.
+SIMHASH_BITS = 60  # 15 hex chars of md5: fits a signed 64-bit on both engines
+SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks; Hamming<=3 pairs share >=1 chunk
 
-    fingerprint bit i = 1 iff sum over tokens of sign(bit i of
-    hash(token)) > 0. Banded into 4×16-bit chunks for Hamming-distance
-    blocking (two docs within Hamming distance 3 of each other must
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash: per-token md5 (top 15 hex chars as a BIGINT),
+    per-bit majority vote.
+
+    fingerprint bit i = 1 iff more than half the distinct tokens have
+    bit i set (2·set_count > n). Banded into 4×15-bit chunks for
+    Hamming-distance blocking (docs within Hamming distance 3 must
     agree on at least one chunk).
+
+    Relational formulation — explode distinct tokens, ONE grouped
+    aggregation computing all 60 bit-counts — rather than 60 separate
+    higher-order array folds per row (round 1): one codegen'd pass over
+    the token rows, map-side partial aggregation, and the md5→BIGINT
+    step (``conv(hex,16,10)``) has an exact DuckDB twin
+    (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``).
     """
     toks = F.array_distinct(tokens_col(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
-            ).otherwise(-1),
-        )
-        for i in range(64)
-    ]
+    exploded = df.select("doc_id", F.explode_outer(toks).alias("_t"))
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+    hashed = exploded.select("doc_id", h.alias("_h"))
+    g = hashed.groupBy("doc_id").agg(
+        F.count("_h").alias("_n"),
+        *[
+            F.coalesce(
+                F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))),
+                F.lit(0),
+            ).alias(f"_s{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
     fp = None
-    for i, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    out = df.select("doc_id", fp.alias("simhash"))
-    for c in range(4):
+    for i in range(SIMHASH_BITS):
+        # disjoint bit positions: arithmetic + is bitwise OR here
+        bit = F.when(
+            F.col(f"_s{i}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    out = g.select("doc_id", fp.alias("simhash"))
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    for c in range(SIMHASH_CHUNKS):
         out = out.withColumn(
             f"chunk{c}",
-            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long"),
         )
     return out

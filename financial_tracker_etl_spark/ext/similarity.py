@@ -10,13 +10,20 @@ Two paths:
   corpus side streams — at 100 TB this is one scan, no shuffle of the
   corpus.
 - :func:`topk_cosine_lsh` — sign-random-projection LSH: deterministic
-  pseudo-random hyperplanes (xxhash64-seeded), bucket on the sign
-  pattern, exact re-rank within matching buckets (multi-probe via
-  band splitting). The scale path: candidates per query drop from N
-  to N/2^planes on average.
+  pseudo-random hyperplanes, bucket on the sign pattern, exact re-rank
+  within matching buckets (multi-probe via band splitting). The scale
+  path: candidates per query drop from N to N/2^planes on average.
+
+The hyperplane weights are pseudo-random CONSTANTS derived from
+hashlib.md5 at plan-build time (:func:`plane_weights`) and inlined as
+literals — no per-row hashing at all, and the DuckDB oracle embeds the
+same literals, so the bucket assignment is engine-independent by
+construction (round 1 used per-row xxhash64, which DuckDB lacks).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
@@ -173,14 +180,12 @@ def topk_cosine_ivf(
     )
 
 
-def cosine_near_dup_pairs(
+def cosine_near_dup_pairs_exact(
     embeddings: DataFrame, threshold: float = 0.9
 ) -> DataFrame:
-    """X2 embedding-cosine near-duplicate pairs (a < b, cosine >=
-    threshold). Exact all-pairs — the oracle-checkable baseline; the
-    scale path bolts the sign-LSH bucketing of :func:`topk_cosine_lsh`
-    in front as a prefilter so candidates drop from N²/2 to same-bucket
-    pairs. Shuffle-free here: the smaller side broadcasts."""
+    """All-pairs exact cosine near-dup pairs — O(N²/2). The small-scale
+    baseline the LSH path's recall is tested against; never the plan to
+    run at 100 TB."""
     corpus = _corpus(embeddings)
     a = corpus.alias("a")
     b = corpus.alias("b")
@@ -199,20 +204,99 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """X2 embedding-cosine near-duplicate pairs (vec1 < vec2, cosine >=
+    threshold), sign-LSH prefiltered: candidates are pairs agreeing on
+    either half-bucket, then exact cosine verifies each candidate.
+
+    Scale shape: two equi-joins on the half-bucket keys (shuffle
+    partitioned by bucket — never the O(N²/2) cross product round 1
+    shipped), distinct on the pair, then exact scoring of candidates
+    only. Recall on true near-dups (θ small) is high — P[half-bucket
+    agrees] = (1-θ/π)^(planes/2), two probes; the all-pairs exact twin
+    stays available as :func:`cosine_near_dup_pairs_exact` and the
+    recall floor is pinned in tests/test_ext.py.
+    """
+    bucketed = sign_buckets(_corpus(embeddings), planes, dim)
+    keyed = bucketed.select("vec_id", "v", "nrm", "b0", "b1")
+
+    def half_join(key: str) -> DataFrame:
+        a = keyed.alias("a")
+        b = keyed.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2")
+        )
+
+    candidates = half_join("b0").unionByName(half_join("b1")).distinct()
+    a = keyed.alias("ca")
+    b = keyed.alias("cb")
+    return (
+        candidates.join(a, F.col("vec1") == F.col("ca.vec_id"))
+        .join(b, F.col("vec2") == F.col("cb.vec_id"))
+        .select(
+            "vec1",
+            "vec2",
+            (
+                dot(F.col("ca.v"), F.col("cb.v"))
+                / (F.col("ca.nrm") * F.col("cb.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec1", "vec2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def plane_weights(plane: int, dim: int) -> list[float]:
+    """Component weights of pseudo-random hyperplane ``plane``:
+    md5(plane:i) top 60 bits → ±[-1, 1). Computed once at plan-build
+    time (driver-side, standard hashlib) and inlined as literals into
+    BOTH the Spark plan and the DuckDB oracle SQL — the weights are
+    configuration, not data, so hashing per row would be waste."""
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 1000) - 500) / 500.0)
+    return out
+
+
 def _hyperplane_sign(v: Column, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component i weight =
-    xxhash64(i, plane) mapped to ±[0,1). Sign of the projection."""
+    """Sign of the projection onto :func:`plane_weights` — sequential
+    left fold, matching DuckDB's ``list_dot_product`` bit-for-bit."""
+    w = F.array(*[F.lit(x) for x in plane_weights(plane, dim)])
     proj = F.aggregate(
-        F.zip_with(
-            v,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, i: x
-            * ((F.xxhash64(i, F.lit(plane)) % 1000).cast("double") / 1000.0),
-        ),
+        F.zip_with(v, w, lambda x, wi: x * wi),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return F.when(proj >= 0, 1).otherwise(0)
+
+
+def sign_buckets(
+    corpus: DataFrame, planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """corpus + two half-bucket keys (``b0``/``b1``): the sign pattern
+    of the first and last planes/2 hyperplanes. Multi-probe banding —
+    candidates match on either half, doubling recall for ~2× the
+    candidate volume."""
+    signs = [
+        _hyperplane_sign(F.col("v"), p, dim).cast("string")
+        for p in range(planes)
+    ]
+    half = planes // 2
+    return corpus.select(
+        "*",
+        F.concat(*signs[:half]).alias("b0"),
+        F.concat(*signs[half:]).alias("b1"),
+    )
 
 
 def topk_cosine_lsh(
@@ -228,18 +312,7 @@ def topk_cosine_lsh(
     of ~2× candidates)."""
     from pyspark.sql import Window
 
-    corpus = _corpus(embeddings)
-    signs = [
-        _hyperplane_sign(F.col("v"), p, dim).cast("string") for p in range(planes)
-    ]
-    half = planes // 2
-    bucketed = corpus.select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.concat(*signs[:half]).alias("b0"),
-        F.concat(*signs[half:]).alias("b1"),
-    )
+    bucketed = sign_buckets(_corpus(embeddings), planes, dim)
     queries = bucketed.filter((F.col("vec_id") % query_mod) == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

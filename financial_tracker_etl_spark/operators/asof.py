@@ -33,6 +33,13 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join. ``value_cols`` are carried from the right side.
 
+    All value columns are carried as ONE struct through the window, so
+    every output value comes from the SAME matched right row, and a
+    right row whose value column is legitimately NULL is still the
+    match (it does not fall through to an older row) — carrying each
+    column independently with ``last(ignorenulls)`` would do both
+    (round-1 latent bug, flagged by the round-1 advisor).
+
     Determinism: if the right side can hold duplicate (key, ts) rows,
     pass ``right_seq`` (a total per-key order, e.g. a quote id) so the
     carried row is well-defined; otherwise dedupe upstream.
@@ -41,6 +48,9 @@ def asof_join(
     ltypes = dict(left.dtypes)
     left_only = [c for c in left.columns if c not in on]
     seq = right_seq or "_noseq"
+    vstruct_type = (
+        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in value_cols) + ">"
+    )
 
     l2 = left.select(
         *on,
@@ -48,7 +58,7 @@ def asof_join(
         F.lit(1).alias("_src"),
         F.lit(0).cast("long").alias("_seq"),
         *[F.col(c) for c in left_only],
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(vstruct_type).alias("_vs"),
     )
     r2 = right.select(
         *on,
@@ -56,7 +66,7 @@ def asof_join(
         F.lit(0).alias("_src"),
         (F.col(seq) if right_seq else F.lit(0)).cast("long").alias("_seq"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
-        *[F.col(c) for c in value_cols],
+        F.struct(*value_cols).alias("_vs"),
     )
     # right rows sort before left rows at equal ts => inclusive (>=)
     w = (
@@ -70,6 +80,13 @@ def asof_join(
         "_src",
         F.col("_t"),
         *[F.col(c) for c in left_only],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_vs", ignorenulls=True).over(w).alias("_vs"),
     )
-    return carried.filter(F.col("_src") == 1).drop("_src", "_t")
+    return (
+        carried.filter(F.col("_src") == 1)
+        .select(
+            *on,
+            *left_only,
+            *[F.col(f"_vs.{c}").alias(c) for c in value_cols],
+        )
+    )

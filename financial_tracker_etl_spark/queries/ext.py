@@ -1,11 +1,13 @@
 """[EXT] LLM-data-pipeline queries (SURVEY.md §2.K X1-X4) over the
 ``documents`` and ``embeddings`` tables.
 
-Oracle notes: xxhash64 has no DuckDB twin, so the MinHash/SimHash/LSH
-variants are rows-only checks; their exact counterparts
-(shingle Jaccard, brute-force cosine) ARE oracle-checked and the
-approximate variants are additionally validated against the exact ones
-in tests/test_ext.py.
+Oracle notes: every query here is oracle-checked. The hash-based
+variants (MinHash/SimHash) use md5 — present verbatim in DuckDB — and
+the LSH/IVF variants use literal hyperplane weights / modular centroid
+selection, so their oracles replicate the exact candidate generation.
+The round-1 xxhash64 family had no DuckDB twin and left 4 queries
+rows-only. Approximate variants are additionally recall-tested against
+their exact counterparts in tests/test_ext.py.
 """
 
 from __future__ import annotations
@@ -266,9 +268,124 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(docs)
 
 
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                ELSE [] END)) AS shingle
+  FROM toks
+)"""
+
+
+def _minhash_oracle(k: int = 32, bands: int = 8, threshold: float = 0.4) -> str:
+    """DuckDB twin of ext.dedup.minhash_near_dups: same md5 lane family
+    (two 16-hex-char lanes per digest), same banding, same exact-Jaccard
+    verification — generated, not hand-kept, so k/bands stay in sync."""
+    r = k // bands
+    digests = ",\n         ".join(
+        f"md5(concat('{g}:', shingle)) AS g{g}" for g in range(k // 2)
+    )
+    lanes = ",\n         ".join(
+        f"min(substr(g{j // 2}, {1 + (j % 2) * 16}, 16)) AS m{j}"
+        for j in range(k)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat_ws(',', {', '.join(f'm{b * r + i}' for i in range(r))}) AS bucket "
+        f"FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+dg AS (
+  SELECT doc_id,
+         {digests}
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {lanes}
+  FROM dg GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT doc1, doc2, count(*) AS common
+  FROM cand
+  JOIN sh a ON doc1 = a.doc_id
+  JOIN sh b ON doc2 = b.doc_id AND a.shingle = b.shingle
+  GROUP BY doc1, doc2
+)
+SELECT doc1, doc2, common,
+       round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+FROM common
+JOIN counts ca ON doc1 = ca.doc_id
+JOIN counts cb ON doc2 = cb.doc_id
+WHERE round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) >= {threshold}
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of ext.dedup.simhash_fingerprints: same md5-top-60-
+    bits token hash (CAST('0x'||hex AS BIGINT) == Spark conv(hex,16,10)),
+    same one-pass bit-count aggregation and majority vote."""
+    from ..ext.dedup import SIMHASH_BITS, SIMHASH_CHUNKS
+
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    sums = ",\n         ".join(
+        f"coalesce(sum((h >> {i}) & 1), 0) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    fp = "\n         + ".join(
+        f"(CASE WHEN 2 * s{i} > n THEN (CAST(1 AS BIGINT) << {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    chunks = ",\n       ".join(
+        f"CAST((simhash >> {c * width}) & {(1 << width) - 1} AS BIGINT) AS chunk{c}"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM t
+),
+a AS (
+  SELECT doc_id, count(h) AS n,
+         {sums}
+  FROM h GROUP BY doc_id
+),
+f AS (
+  SELECT doc_id,
+         {fp} AS simhash
+  FROM a
+)
+SELECT doc_id, simhash,
+       {chunks}
+FROM f
+"""
 
 
 def _q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,22 +485,61 @@ SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
 # ---------------------------------------------------------------------------
 
 
+_CORPUS_CTE = """
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)"""
+
+
+def _weights_sql(plane: int, dim: int) -> str:
+    from ..ext.similarity import plane_weights
+
+    return "[" + ", ".join(repr(w) for w in plane_weights(plane, dim)) + "]"
+
+
+def _bucket_sql(planes: int = 8, dim: int = 64) -> tuple[str, str]:
+    """The two half-bucket sign patterns as SQL expressions over ``v``,
+    embedding the SAME literal hyperplane weights the Spark plan inlines
+    (ext.similarity.plane_weights) — bucket assignment is therefore
+    engine-independent by construction."""
+
+    def sign(p: int) -> str:
+        return (
+            f"(CASE WHEN list_dot_product(v, {_weights_sql(p, dim)}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+
+    half = planes // 2
+    b0 = "concat(" + ", ".join(sign(p) for p in range(half)) + ")"
+    b1 = "concat(" + ", ".join(sign(p) for p in range(half, planes)) + ")"
+    return b0, b1
+
+
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.35)
 
 
-_COSINE_PAIRS_ORACLE = """
-WITH c AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
+def _cosine_pairs_oracle(threshold: float = 0.35) -> str:
+    b0, b1 = _bucket_sql()
+    return f"""
+WITH {_CORPUS_CTE.strip()},
+b AS (SELECT vec_id, v, nrm, {b0} AS b0, {b1} AS b1 FROM corpus),
+cand AS (
+  SELECT x.vec_id AS vec1, y.vec_id AS vec2
+  FROM b x JOIN b y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+  UNION
+  SELECT x.vec_id, y.vec_id
+  FROM b x JOIN b y ON x.b1 = y.b1 AND x.vec_id < y.vec_id
 )
-SELECT a.vec_id AS vec1, b.vec_id AS vec2,
-       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-FROM c a JOIN c b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+SELECT vec1, vec2, round(cosine, 6) AS cosine FROM (
+  SELECT vec1, vec2,
+         list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cosine
+  FROM cand JOIN b a ON vec1 = a.vec_id JOIN b c ON vec2 = c.vec_id
+) WHERE cosine >= {threshold}
 """
 
 
@@ -422,9 +578,82 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(emb)
 
 
+def _ann_lsh_oracle(query_mod: int = 97, k: int = 10) -> str:
+    b0, b1 = _bucket_sql()
+    return f"""
+WITH {_CORPUS_CTE.strip()},
+b AS (SELECT vec_id, v, nrm, {b0} AS b0, {b1} AS b1 FROM corpus),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, b0 AS qb0, b1 AS qb1
+  FROM b WHERE vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         list_dot_product(qv, b.v) / (qn * b.nrm) AS cosine
+  FROM b JOIN q ON b.vec_id <> q.query_id
+                AND (b.b0 = q.qb0 OR b.b1 = q.qb1)
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_cosine_ivf(emb)
+
+
+def _ann_ivf_oracle(
+    query_mod: int = 97, k: int = 10, centroid_mod: int = 23, nprobe: int = 4
+) -> str:
+    """DuckDB twin of ext.similarity.topk_cosine_ivf: same modular
+    centroid selection, same (cosine DESC, centroid_id ASC) assignment
+    and probe ordering — no hashing involved, pure SQL."""
+    return f"""
+WITH {_CORPUS_CTE.strip()},
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+  FROM corpus WHERE vec_id % {centroid_mod} = 1
+),
+asg AS (
+  SELECT vec_id, v, nrm, centroid_id FROM (
+    SELECT c.vec_id, c.v, c.nrm, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cent.cv) / (c.nrm * cent.cn) DESC,
+                      cent.centroid_id ASC) AS rn
+    FROM corpus c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn
+  FROM corpus WHERE vec_id % {query_mod} = 0
+),
+probes AS (
+  SELECT query_id, qv, qn, centroid_id AS cluster_id FROM (
+    SELECT q.query_id, q.qv, q.qn, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cent.cv) / (q.qn * cent.cn) DESC,
+                      cent.centroid_id ASC) AS pr
+    FROM q CROSS JOIN cent
+  ) WHERE pr <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cosine
+  FROM asg a JOIN probes p
+    ON a.centroid_id = p.cluster_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -500,14 +729,14 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_jaccard_near_dups": QuerySpec(_q_jaccard, _JACCARD_ORACLE),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _CLUSTERS_ORACLE),
     "near_dup_edit_distance": QuerySpec(_q_edit_distance, _EDIT_DISTANCE_ORACLE),
-    "minhash_lsh_near_dups": QuerySpec(_q_minhash, None, bench=True),
-    "simhash_fingerprints": QuerySpec(_q_simhash, None),
+    "minhash_lsh_near_dups": QuerySpec(_q_minhash, _minhash_oracle(), bench=True),
+    "simhash_fingerprints": QuerySpec(_q_simhash, _simhash_oracle()),
     "text_regex_token_stats": QuerySpec(_q_regex_tokens, _REGEX_TOKENS_ORACLE),
     "text_winnow_fingerprints": QuerySpec(_q_winnow, _WINNOW_ORACLE),
     "embedding_topk_cosine": QuerySpec(_q_topk_cosine, _TOPK_ORACLE, bench=True),
-    "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _COSINE_PAIRS_ORACLE),
-    "embedding_ann_lsh": QuerySpec(_q_ann_lsh, None),
-    "embedding_ann_ivf": QuerySpec(_q_ann_ivf, None),
+    "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _cosine_pairs_oracle()),
+    "embedding_ann_lsh": QuerySpec(_q_ann_lsh, _ann_lsh_oracle()),
+    "embedding_ann_ivf": QuerySpec(_q_ann_ivf, _ann_ivf_oracle()),
     "multimodal_decode_features": QuerySpec(_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_resize_plan": QuerySpec(_q_resize, _RESIZE_ORACLE),
     "multimodal_frame_samples": QuerySpec(_q_frames, _FRAMES_ORACLE),

@@ -144,18 +144,25 @@ def run_routed_pipeline(
     n_files: int = 6,
     files_per_trigger: int = 2,
     seed_market_state: bool = True,
+    topics: tuple[str, ...] | None = None,
 ) -> PipelineResult:
     """Execute the full §3.1 loop over the testdata-derived request
-    traffic and return the final merged states + completion events."""
+    traffic and return the final merged states + completion events.
+    ``topics`` restricts the run to a subset of jobs (e.g. the ST6
+    scheduled index tick); None = all jobs."""
+    jobs = tuple(j for j in JOBS if topics is None or j.topic in topics)
     work_dir = work_dir or tempfile.mkdtemp(prefix="ftes_stream_")
     input_dir = os.path.join(work_dir, "requests")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
 
     # --- produce the request files (hash-partitioned => deterministic
     # file contents; file->batch grouping may vary, results don't)
-    request_messages(spark, sf_dir).repartition(
-        n_files, F.col("payload")
-    ).write.mode("overwrite").json(input_dir)
+    msgs = request_messages(spark, sf_dir)
+    if topics is not None:
+        msgs = msgs.filter(F.col("topic").isin(list(topics)))
+    msgs.repartition(n_files, F.col("payload")).write.mode("overwrite").json(
+        input_dir
+    )
 
     # log-structured: each batch appends O(batch) deltas instead of
     # rewriting O(state); the final read merges-on-read (Delta/Iceberg
@@ -167,9 +174,9 @@ def run_routed_pipeline(
             job.keys,
             job.version_cols,
         )
-        for job in JOBS
+        for job in jobs
     }
-    if seed_market_state:
+    if seed_market_state and TOPIC_MARKET in states:
         # prior DB contents (reference reads existing rows before
         # upserting); seed version _ver_seq=-1 so same-timestamp updates
         # win ties, matching ON CONFLICT DO UPDATE semantics
@@ -200,11 +207,11 @@ def run_routed_pipeline(
             | (F.length(F.trim(F.col("payload"))) == 0),
             "empty",
         )
-        for i, job in enumerate(JOBS):
+        for i, job in enumerate(jobs):
             parsed = F.from_json(F.col("payload"), job.payload_schema)
             cols.append(parsed.alias(f"r_{i}"))
         withp = batch.select(*cols)
-        for i, job in enumerate(JOBS):
+        for i, job in enumerate(jobs):
             violation = F.lit(False)
             for fname in job.required_fields:
                 violation = violation | F.col(f"r_{i}.{fname}").isNull()
@@ -225,7 +232,7 @@ def run_routed_pipeline(
                 (r["topic"], r["_status"]): r["count"]
                 for r in classified.groupBy("topic", "_status").count().collect()
             }
-            for i, job in enumerate(JOBS):
+            for i, job in enumerate(jobs):
                 if counts.get((job.topic, "valid")):
                     states[job.topic].merge(
                         job.transform(

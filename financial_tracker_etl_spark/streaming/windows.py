@@ -59,7 +59,9 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..catalog import _ensure_session_defaults
+
+    _ensure_session_defaults(spark)  # nanosAsLong et al., pinned once
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
         _staged_events_dir(sf_dir)
     )

@@ -99,7 +99,10 @@ def run_one(
     spec = registry()[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
-        ok = len(sdf) >= 0
+        # oracle-free queries must still PRODUCE something — an empty
+        # result from an approximate/stateful op is a failure, not a
+        # pass (round-1 advisor: `len >= 0` was a no-op check)
+        ok = len(sdf) > 0
         return ok, f"rows-only ({len(sdf)} rows)"
     odf = con.execute(spec.oracle).fetchdf()
     return compare(sdf, odf)

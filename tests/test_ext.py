@@ -181,3 +181,30 @@ def test_connected_components_chain_and_survivors(spark):
         for r in dedup_survivors(docs, connected_components(edges)).collect()
     )
     assert kept == [1, 7, 10]
+
+
+def test_cosine_near_dup_lsh_prefilter_is_subset_of_exact(spark):
+    """The LSH-prefiltered near-dup pairs must be a strict SUBSET of
+    the all-pairs exact result (precision 1.0 — every emitted pair is a
+    true pair with its true cosine) with nonzero recall. On the
+    near-orthogonal random test vectors recall is structurally low
+    (see the ANN note above); on true near-dups (θ→0) the half-bucket
+    agreement probability → 1."""
+    from financial_tracker_etl_spark.ext.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_exact,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.vec1, r.vec2): r.cosine
+        for r in cosine_near_dup_pairs_exact(emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r.vec1, r.vec2): r.cosine
+        for r in cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    assert exact and approx
+    assert set(approx) <= set(exact)
+    for pair, cos in approx.items():
+        assert abs(exact[pair] - cos) < 1e-12

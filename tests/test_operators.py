@@ -290,3 +290,30 @@ def test_catalog_loads_every_table_with_key_columns(spark):
         assert key_cols[name] in df.columns, name
         if name == "events":
             assert "ts_us" in df.columns  # nanos normalization applied
+
+
+def test_asof_join_null_values_and_multi_col_same_row(spark):
+    """A right row with a legitimately-NULL value column IS the match
+    (no fall-through to an older row), and with several value_cols all
+    outputs come from the same matched right row — the struct-carry
+    contract."""
+    import datetime as dt
+
+    from financial_tracker_etl_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [("A", t(2), 10.0, 100.0), ("A", t(5), None, 500.0)],
+        "symbol string, ts timestamp, bid double, ask double",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", t(3)), (2, "A", t(6))],
+        "trade_id int, symbol string, trade_ts timestamp",
+    )
+    out = asof_join(
+        trades, quotes, ["symbol"], "trade_ts", "ts", ["bid", "ask"]
+    )
+    got = {r["trade_id"]: (r["bid"], r["ask"]) for r in out.collect()}
+    # trade 2 matches the t(5) quote: bid stays NULL (no mixing with
+    # the older row), ask comes from the SAME row
+    assert got == {1: (10.0, 100.0), 2: (None, 500.0)}

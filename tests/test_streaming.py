@@ -152,3 +152,31 @@ def test_pipeline_rerun_is_idempotent_end_to_end(spark, tmp_path):
     second = run_routed_pipeline(spark, SF_DIR, work_dir=wd)
     state2 = sorted(map(tuple, second.state_df(TOPIC_MARKET).collect()))
     assert state1 == state2
+
+
+def test_st6_scheduled_index_tick(spark):
+    """ST6 (reference etl/scheduler.py): one scheduled firing runs the
+    index job through the shared AvailableNow pipeline; firing twice is
+    idempotent (keyed merge). seconds_until is the pure next-fire
+    arithmetic the daily loop sleeps on."""
+    import datetime as dt
+
+    from financial_tracker_etl_spark.streaming.jobs import TOPIC_INDEX
+    from financial_tracker_etl_spark.streaming.scheduler import (
+        run_index_tick,
+        seconds_until,
+    )
+
+    first = run_index_tick(spark, SF_DIR)
+    n_suppliers = first.state_df(TOPIC_INDEX).count()
+    assert n_suppliers > 0
+    assert first.completions.filter(
+        F.col("topic") != TOPIC_INDEX
+    ).count() == 0  # index tick touches ONLY the index topic
+
+    again = run_index_tick(spark, SF_DIR)
+    assert again.state_df(TOPIC_INDEX).count() == n_suppliers
+
+    now = dt.datetime(2024, 1, 2, 15, 0, 0)
+    assert seconds_until("16:00", now) == 3600.0
+    assert seconds_until("14:00", now) == 23 * 3600.0  # tomorrow
