@@ -37,8 +37,18 @@ def main() -> None:
     reg = registry()
     bench_queries = {n: s for n, s in reg.items() if s.bench}
 
-    # warmup: JVM + codegen + parquet footer reads
-    force(next(iter(bench_queries.values())).fn(spark, sf_dir))
+    # warmup: JVM + codegen + parquet footer reads. Pinned to the
+    # flagship — NOT registry order, which round 2 put the stream
+    # pipeline first: warming up with the pipeline would populate its
+    # shared-run cache and credit the measured stream query with ~0 s.
+    force(reg["flagship_historical_repair"].fn(spark, sf_dir))
+    # streaming-machinery warmup (JSON file source, from_json codegen,
+    # checkpoint plumbing): one tiny index tick at the SMALLEST sf —
+    # different shared-pipeline cache key and topic subset, so the
+    # measured stream query still executes its full consume loop.
+    from financial_tracker_etl_spark.streaming.scheduler import run_index_tick
+
+    run_index_tick(spark, "/root/testdata/sf0.001")
 
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():

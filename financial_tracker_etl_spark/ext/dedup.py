@@ -103,39 +103,47 @@ def shingle_jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, the MLlib MinHashLSH modulus
+
+
 def minhash_signatures(
     df: DataFrame, k: int = 32, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, sig) MinHash signatures over n-gram shingles.
 
-    The k hash functions are the two 64-bit lanes (16 hex chars each)
-    of md5(g || ':' || shingle) for g in 0..k/2-1 — an independent
-    family usable verbatim in the DuckDB oracle. Lane values stay
-    fixed-width lowercase hex STRINGS: for equal width, lexicographic
-    min == unsigned numeric min, identically in both engines.
+    The k hash functions are the affine family ``h_j = (a + j*b) mod
+    p`` (p = 2^31-1) — the same construction Spark MLlib's MinHashLSH
+    uses — where (a, b) are the first two 32-bit lanes of ONE
+    md5(shingle) digest (b forced odd). One digest per shingle row,
+    then k cheap integer expressions: products stay < 2^36, so BIGINT
+    arithmetic is exact and identical in Spark and the DuckDB oracle.
+    (The round-2 first cut used k/2 full md5 digests per row: measured
+    ~4× slower at sf0.1 with no recall difference — the recall floor
+    vs exact Jaccard is pinned in tests/test_ext.py.)
 
     Staged so each expensive step runs ONCE per row: shingle
-    construction, then the k/2 md5 digests in one projection, then the
-    min-aggregation over cheap substrings. Inlining the shingle
-    expression k times instead blows the generated method past JIT
-    limits and drops whole rows to interpreted eval — measured ~100×
-    slower at sf0.1 (round 1).
+    construction, then the digest projection, then the integer
+    min-aggregation. Inlining the shingle expression k times instead
+    blows the generated method past JIT limits and drops whole rows to
+    interpreted eval — measured ~100× slower at sf0.1 (round 1).
     """
-    assert k % 2 == 0, "k must be even (two 64-bit lanes per md5 digest)"
-    sh = doc_shingles(df, n, text_col)
-    digests = sh.select(
+    return _signatures_from_shingles(doc_shingles(df, n, text_col), k)
+
+
+def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    d = F.md5(F.col("shingle"))
+    lanes = sh.select(
         "doc_id",
-        *[
-            F.md5(F.concat_ws(":", F.lit(str(g)), F.col("shingle"))).alias(
-                f"_g{g}"
-            )
-            for g in range(k // 2)
-        ],
+        F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("_a"),
+        F.conv(F.substring(d, 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+        .alias("_b"),
     )
-    mins = digests.groupBy("doc_id").agg(
+    mins = lanes.groupBy("doc_id").agg(
         *[
             F.min(
-                F.substring(F.col(f"_g{j // 2}"), 1 + (j % 2) * 16, 16)
+                (F.col("_a") + F.lit(j) * F.col("_b")) % F.lit(MINHASH_PRIME)
             ).alias(f"_m{j}")
             for j in range(k)
         ]
@@ -161,7 +169,14 @@ def minhash_near_dups(
     exact shingle Jaccard and filtered at ``threshold``.
     """
     rows_per_band = k // bands
-    sig = minhash_signatures(df, k, n, text_col)
+    # signature build and candidate verification both consume the
+    # exploded shingle rows; persist them once (MEMORY_AND_DISK, LRU-
+    # evicted — small vs the corpus: ids + short strings) instead of
+    # re-tokenizing the corpus twice. Halves wall time at sf0.1.
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(df, n, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sh, k)
 
     banded = sig.select(
         "doc_id",
@@ -203,8 +218,8 @@ def minhash_near_dups(
 
     # exact verification restricted to LSH candidates only — the whole
     # point of LSH: never compute the full O(shared-shingle-pairs)
-    # self-join. Cost is O(candidates × shingles-per-doc).
-    sh = doc_shingles(df, n, text_col)
+    # self-join. Cost is O(candidates × shingles-per-doc). Reuses the
+    # persisted shingle rows from the signature pass.
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -284,16 +284,19 @@ sh AS (
 
 
 def _minhash_oracle(k: int = 32, bands: int = 8, threshold: float = 0.4) -> str:
-    """DuckDB twin of ext.dedup.minhash_near_dups: same md5 lane family
-    (two 16-hex-char lanes per digest), same banding, same exact-Jaccard
-    verification — generated, not hand-kept, so k/bands stay in sync."""
+    """DuckDB twin of ext.dedup.minhash_near_dups: same affine family
+    h_j = (a + j*b) mod 2^31-1 over the same single-md5 lanes, same
+    banding, same exact-Jaccard verification — generated, not
+    hand-kept, so k/bands stay in sync."""
+    from ..ext.dedup import MINHASH_PRIME
+
     r = k // bands
-    digests = ",\n         ".join(
-        f"md5(concat('{g}:', shingle)) AS g{g}" for g in range(k // 2)
+    digests = (
+        "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS a,\n"
+        "         (CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) | 1) AS b"
     )
     lanes = ",\n         ".join(
-        f"min(substr(g{j // 2}, {1 + (j % 2) * 16}, 16)) AS m{j}"
-        for j in range(k)
+        f"min((a + {j} * b) % {MINHASH_PRIME}) AS m{j}" for j in range(k)
     )
     band_rows = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "

@@ -101,8 +101,13 @@ class LogStructuredState(KeyedParquetState):
         self._n_deltas = 0
 
     def merge(self, updates: DataFrame) -> None:
-        batch = self._dedupe(updates)
-        batch.coalesce(max(1, self.write_partitions // 2)).write.mode(
+        # append RAW: no per-batch dedupe. "max version per key" is a
+        # semilattice fold, so deduping once at read time over raw
+        # deltas equals deduping every batch — and the per-batch window
+        # was one shuffle per merge per job, the dominant per-batch cost
+        # (measured ~40% of pipeline wall at sf0.1). coalesce is a
+        # narrow repartition (small-files control), not a shuffle.
+        updates.coalesce(max(1, self.write_partitions // 2)).write.mode(
             "append"
         ).parquet(self.path)
         self._n_deltas += 1
