@@ -157,3 +157,14 @@ def test_no_unbounded_global_window_in_any_query(spark, reg):
                 continue
             offenders.append((name, line.strip()[:100]))
     assert not offenders, offenders
+
+
+def test_cosine_near_dups_is_bucketed_not_all_pairs(spark, reg):
+    """The near-dup pair query must generate candidates via EQUI-joins
+    on the LSH half-bucket keys (hash-partitionable at any scale) —
+    never the O(N^2/2) `vec_id < vec_id` cross product round 1 shipped
+    (a nested-loop join). The exact all-pairs twin exists only as the
+    test baseline (cosine_near_dup_pairs_exact)."""
+    plan = plan_of(reg["embedding_cosine_near_dups"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
