@@ -1,0 +1,133 @@
+"""[EXT] Corpus assembly operators for LLM training-data pipelines:
+deterministic sampling / data mixing, sequence packing, vocabulary
+statistics, and leakage-safe dataset splits.
+
+All selection decisions are HASH-based (md5 of a stable id), never
+RNG-based: a 100 TB pipeline re-run, a late-arriving partition, or a
+speculative task must make the identical keep/drop decision, and the
+DuckDB differential oracle must be able to reproduce it verbatim.
+Everything here is built-in expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def pct_hash(col: Column, mod: int = 10_000) -> Column:
+    """Uniform [0, mod) bucket from the first 32 bits of md5(col) —
+    the deterministic coin every sampling decision flips. Exact DuckDB
+    twin: ``CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8) AS
+    BIGINT) % mod``."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling at fixed rates — the data-mixing
+    primitive (e.g. upsample low-resource languages, downsample boiler-
+    plate). Pure narrow filter: no shuffle, trivially scales; the kept
+    set is a deterministic function of (id, stratum table).
+    """
+    coin = pct_hash(F.col(id_col))
+    rate = F.lit(default_rate)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.withColumn("_keep_rate", rate).filter(
+        coin < F.col("_keep_rate") * 10_000
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str,
+    max_tokens: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing plan: documents are laid out
+    end-to-end in deterministic (shard, id) order and cut into
+    ``max_tokens`` windows; each doc gets its shard, sequence ordinal
+    and start offset within the stream.
+
+    Scale shape: ONE hash shuffle on the shard key, then a per-shard
+    ordered running sum — shard count is the parallelism knob, and no
+    shard ever needs more than its own token stream in memory. A global
+    (unsharded) packing would be a single-partition sort: exactly the
+    anti-pattern the plan guard bans.
+    """
+    shard = pct_hash(F.col(id_col), shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(n_tokens_col)
+    with_shard = df.select(id_col, n_tokens_col, shard)
+    return with_shard.select(
+        id_col,
+        n_tokens_col,
+        "shard",
+        (F.sum(toks).over(w) - toks).alias("stream_offset"),
+    ).select(
+        id_col,
+        n_tokens_col,
+        "shard",
+        F.floor(F.col("stream_offset") / max_tokens)
+        .cast("long")
+        .alias("seq_id"),
+        (F.col("stream_offset") % max_tokens).alias("seq_offset"),
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame, tokens: Column, k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k token frequencies (vocabulary head). Explode →
+    partial-aggregated count (map-side combine carries the heavy lift)
+    → distributed top-k via orderBy+limit (TakeOrderedAndProject, never
+    a global window over the full vocabulary)."""
+    counts = (
+        df.select(F.explode(tokens).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """train/val/test assignment that can NOT leak near-duplicates
+    across splits: the hash coin is flipped per dedup CLUSTER, not per
+    document, so every member of a near-dup cluster lands in the same
+    split (the train/test-contamination guard every serious corpus
+    build needs). Docs outside any cluster are their own singleton
+    cluster. ``clusters`` is (doc_id, cluster_id), e.g. from
+    ext.cluster.connected_components over near-dup edges."""
+    joined = docs.select(id_col).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    cid = F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id")
+    coin = pct_hash(F.coalesce(F.col("cluster_id"), F.col(id_col)), 100)
+    split = (
+        F.when(coin < F.lit(val_pct), "val")
+        .when(coin < F.lit(val_pct + test_pct), "test")
+        .otherwise("train")
+    )
+    return joined.select(id_col, cid, split.alias("split"))

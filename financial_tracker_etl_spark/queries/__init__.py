@@ -46,6 +46,11 @@ _CHECK_FIRST = [
     "stream_static_enrichment",
     "multimodal_resize_plan",
     "multimodal_frame_samples",
+    # round-2 additions — no driver row exists yet for these either
+    "text_stratified_sample",
+    "seq_packing_plan",
+    "vocab_top_terms",
+    "leakage_safe_splits",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green

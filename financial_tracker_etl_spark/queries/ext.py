@@ -660,6 +660,148 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Corpus assembly: data mixing, sequence packing, vocabulary, splits
+# (ext/sampling.py)
+# ---------------------------------------------------------------------------
+
+_PCT_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 8)) AS BIGINT) % {m}"
+)
+
+_MIX_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.25, "zh": 0.1}
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixing rates — upsample de, keep half
+    of en, thin the rest (ext.sampling.stratified_sample)."""
+    from ..ext.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", _MIX_RATES)
+    return out.select(
+        "doc_id", "lang", F.col("_keep_rate").alias("keep_rate")
+    )
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({r} AS DOUBLE)" for s, r in _MIX_RATES.items()
+    )
+    coin = _PCT_HASH_SQL.format(x="doc_id", m=10_000)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE lang {cases} ELSE CAST(0.0 AS DOUBLE) END AS keep_rate,
+         {coin} AS coin
+  FROM documents
+)
+SELECT doc_id, lang, keep_rate FROM t WHERE coin < keep_rate * 10000
+"""
+
+
+def _q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan over whitespace token counts
+    (ext.sampling.pack_sequences)."""
+    from ..ext.sampling import pack_sequences
+    from ..ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(with_counts, "n_tokens")
+
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         {_PCT_HASH_SQL.format(x="doc_id", m=8)} AS shard
+  FROM t
+),
+o AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         - n_tokens AS stream_offset
+  FROM s
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor(stream_offset / 512) AS BIGINT) AS seq_id,
+       stream_offset % 512 AS seq_offset
+FROM o
+"""
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency
+    (ext.sampling.vocab_top_terms; TakeOrderedAndProject top-k)."""
+    from ..ext.sampling import vocab_top_terms
+    from ..ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_top_terms(docs, tokens_col(F.col("text")), k=100)
+
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token
+)
+SELECT token, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+FROM counts
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
+"""
+
+
+def _q_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split coin is
+    flipped per near-dup CLUSTER (ext.cluster.connected_components over
+    jaccard>=0.4 edges), so near-duplicates can never straddle splits
+    (ext.sampling.leakage_safe_splits)."""
+    from ..ext.cluster import connected_components
+    from ..ext.sampling import leakage_safe_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
+    clusters = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    return leakage_safe_splits(docs, clusters)
+
+
+def _splits_oracle(val_pct: int = 5, test_pct: int = 5) -> str:
+    # reuse the recursive-CTE cluster oracle, then the per-cluster coin
+    coin = _PCT_HASH_SQL.format(
+        x="coalesce(c.cluster_id, d.doc_id)", m=100
+    )
+    body = _CLUSTERS_ORACLE.strip().removesuffix(
+        "SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"
+    )
+    return f"""
+{body}
+, clusters AS (
+  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN {coin} < {val_pct} THEN 'val'
+            WHEN {coin} < {val_pct + test_pct} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing: binary column -> mapInPandas feature extraction
 # ---------------------------------------------------------------------------
 
@@ -740,6 +882,10 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _cosine_pairs_oracle()),
     "embedding_ann_lsh": QuerySpec(_q_ann_lsh, _ann_lsh_oracle()),
     "embedding_ann_ivf": QuerySpec(_q_ann_ivf, _ann_ivf_oracle()),
+    "text_stratified_sample": QuerySpec(_q_stratified, _stratified_oracle()),
+    "seq_packing_plan": QuerySpec(_q_packing, _PACKING_ORACLE),
+    "vocab_top_terms": QuerySpec(_q_vocab, _VOCAB_ORACLE),
+    "leakage_safe_splits": QuerySpec(_q_splits, _splits_oracle()),
     "multimodal_decode_features": QuerySpec(_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_resize_plan": QuerySpec(_q_resize, _RESIZE_ORACLE),
     "multimodal_frame_samples": QuerySpec(_q_frames, _FRAMES_ORACLE),

@@ -208,3 +208,74 @@ def test_cosine_near_dup_lsh_prefilter_is_subset_of_exact(spark):
     assert set(approx) <= set(exact)
     for pair, cos in approx.items():
         assert abs(exact[pair] - cos) < 1e-12
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from financial_tracker_etl_spark.ext.sampling import stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    a = stratified_sample(docs, "lang", rates).select("doc_id").collect()
+    b = stratified_sample(docs, "lang", rates).select("doc_id").collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}  # hash, not RNG
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, "lang", rates)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["de"] == totals["de"]  # rate 1.0 keeps everything
+    assert "zh" not in by_lang  # rate 0.0 drops everything
+    assert 0.3 < by_lang["en"] / totals["en"] < 0.7  # ~half of en
+    assert "fr" not in by_lang  # default rate 0.0
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
+    """stream_offset within a shard must be an exact prefix sum: starts
+    at 0, each doc begins where the previous ended — the property that
+    makes the packing a faithful concat-and-chunk layout."""
+    from financial_tracker_etl_spark.ext.sampling import pack_sequences
+    from financial_tracker_etl_spark.ext.text import tokens_col
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(docs, "n_tokens", max_tokens=512, shards=4)
+    rows = sorted(
+        out.select("shard", "doc_id", "n_tokens", "seq_id", "seq_offset").collect(),
+        key=lambda r: (r.shard, r.doc_id),
+    )
+    offset_by_shard: dict[int, int] = {}
+    for r in rows:
+        expect = offset_by_shard.get(r.shard, 0)
+        assert r.seq_id == expect // 512 and r.seq_offset == expect % 512, r
+        offset_by_shard[r.shard] = expect + r.n_tokens
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark):
+    from financial_tracker_etl_spark.ext.cluster import connected_components
+    from financial_tracker_etl_spark.ext.dedup import shingle_jaccard_pairs
+    from financial_tracker_etl_spark.ext.sampling import leakage_safe_splits
+
+    docs = load_table(spark, SF_DIR, "documents")
+    edges = shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
+    clusters = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    out = leakage_safe_splits(docs, clusters)
+    assert out.count() == docs.count()  # a split for every doc
+    # leakage guard: no cluster spans more than one split
+    spans = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    names = {r["split"] for r in out.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"} and "train" in names
