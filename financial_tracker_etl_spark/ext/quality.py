@@ -1,0 +1,211 @@
+"""[EXT] Corpus-quality and safety operators for LLM training-data
+pipelines: repetition-based quality filtering (the Gopher/MassiveText
+rule family), PII scrubbing, benchmark-contamination detection, and
+TF-IDF keyword extraction.
+
+Scale notes mirror the rest of the EXT tier:
+
+- Per-document metrics (repetition, PII) are pure built-in column
+  expressions — narrow, no shuffle, whole-stage codegen; they run as a
+  map over the corpus at any scale.
+- Contamination detection is an inverted-index equi-join on shingles
+  with the (small, by definition) benchmark side broadcast — never an
+  all-pairs document comparison.
+- TF-IDF is two hash aggregations plus a broadcast of the (vocabulary-
+  sized) document-frequency table; scoring is INTEGER arithmetic so
+  the DuckDB differential oracle matches bit-for-bit with no float
+  accumulation concerns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens_col
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics used for quality filtering
+    (Rae et al. 2021, "Scaling Language Models" §A1.1 repetition
+    rules): duplicate-token fraction and the fraction of token bigrams
+    taken by the single most frequent bigram. High values flag
+    boilerplate / degenerate text.
+
+    All-array expressions evaluated per row (docs are KB-sized; the
+    O(distinct-bigrams x bigrams) scan per row is bounded and JVM-side)
+    — no shuffle, no UDF. Ties on the top bigram break to the
+    lexicographically smallest so the result is deterministic.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    staged = df.withColumn("_toks", toks)
+    t = F.col("_toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+        ),
+    )
+    staged = staged.withColumn(
+        "_bigrams", F.when(F.size(t) >= 2, bigrams).otherwise(F.array().cast("array<string>"))
+    )
+    b = F.col("_bigrams")
+    count_of = lambda g: F.size(F.filter(b, lambda x: x == g))  # noqa: E731
+    max_cnt = F.array_max(F.transform(F.array_distinct(b), count_of))
+    top_bigram = F.array_min(
+        F.filter(F.array_distinct(b), lambda g: count_of(g) == max_cnt)
+    )
+    return (
+        staged.withColumns(
+            {
+                "n_tokens": n,
+                "dup_token_frac": F.round(
+                    1.0 - F.size(F.array_distinct(t)).cast("double") / n.cast("double"), 6
+                ),
+                "top_bigram": F.when(F.size(b) >= 1, top_bigram),
+                "top_bigram_frac": F.when(
+                    F.size(b) >= 1,
+                    F.round(max_cnt.cast("double") / F.size(b).cast("double"), 6),
+                ),
+            }
+        )
+        .drop("_toks", "_bigrams")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Conservative, engine-portable regexes (no lookaround, no shorthand
+# classes that differ between RE2/ICU/Java): email addresses and
+# NANP-ish phone numbers.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_RE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phone numbers and count the redactions — the
+    standard pre-training scrub pass. Pure JVM regex per row (narrow,
+    no shuffle). The synthetic corpus contains no PII (verified: zero
+    '@' / digit characters), so the registry query proves cross-engine
+    regex parity while tests/test_ext.py proves the redaction itself
+    on synthetic rows containing PII."""
+    txt = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(txt, F.lit(EMAIL_RE)),
+            "n_phones": F.regexp_count(txt, F.lit(PHONE_RE)),
+            "text_scrubbed": F.regexp_replace(
+                F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination detection
+# ---------------------------------------------------------------------------
+
+CONTAM_SHINGLE = 5
+
+
+def doc_shingle_sets(
+    df: DataFrame, text_col: str = "text", k: int = CONTAM_SHINGLE
+) -> DataFrame:
+    """(doc_id, shingles) with the DISTINCT set of k-token shingles per
+    document. Docs shorter than k tokens are dropped (no shingle)."""
+    toks = tokens_col(F.col(text_col))
+    staged = df.withColumn("_toks", toks).filter(F.size(F.col("_toks")) >= k)
+    t = F.col("_toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+    )
+    return staged.select("doc_id", shingles.alias("shingles"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    k: int = CONTAM_SHINGLE,
+) -> DataFrame:
+    """Flag corpus documents sharing k-token shingles with a benchmark
+    / eval set — the train-test contamination scan (e.g. GPT-3 paper
+    §C, PaLM §7.2) every serious corpus build runs before training.
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets,
+    not corpora) — its distinct shingle set is broadcast, so the scan
+    is one narrow pass over corpus shingles with a hash-probe filter;
+    no shuffle of the 100 TB side. Returns one row per contaminated
+    doc: hit count and contaminated-shingle fraction.
+    """
+    corpus_sh = doc_shingle_sets(docs, k=k)
+    bench_sh = (
+        doc_shingle_sets(bench_docs, k=k)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    exploded = corpus_sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hits = exploded.join(F.broadcast(bench_sh), "shingle").groupBy(
+        "doc_id", "n_shingles"
+    ).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("contaminated_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by a TF-IDF-shaped
+    score. Scoring is exact INTEGER arithmetic — score_ppm =
+    (tf * 1_000_000) div (df + 1) — deliberately avoiding log():
+    the ranking is the same monotone order per (tf, df) and the DuckDB
+    oracle matches bit-for-bit with no transcendental-function
+    divergence. Ties break (score desc, term asc) for determinism.
+
+    Plan: explode -> two hash aggregations (tf per (doc, term); df per
+    term), broadcast the vocabulary-sized df table back onto tf, then
+    a per-doc top-k window. The only full shuffle is the tf groupBy;
+    df is vocabulary-sized (tiny relative to the corpus) and
+    broadcast."""
+    toks = tokens_col(F.col(text_col))
+    terms = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score_ppm",
+        F.expr("tf * 1000000 div (doc_freq + 1)").cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "score_ppm", "rank")
+    )

@@ -47,6 +47,51 @@ def stratified_sample(
     )
 
 
+def mix_by_token_budget(
+    docs: DataFrame,
+    weights: dict[str, float],
+    n_tokens_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget data mixing: downsample each source so the KEPT
+    token mass follows the target ``weights`` distribution, scaled to
+    the largest budget feasible without upsampling (water-filled to the
+    limiting source: B = min_s tokens_s / w_s, rate_s = w_s * B /
+    tokens_s — the rate of the scarcest weighted source is exactly 1).
+    This is the mixture-assembly step of a pre-training corpus build
+    (e.g. The Pile / MassiveText mixture tables) as one deterministic
+    dataflow.
+
+    Scale shape: one vocabulary-of-sources-sized aggregation, a
+    broadcast of the per-source rate table, then the same narrow
+    hash-coin filter as :func:`stratified_sample` — the corpus-sized
+    side is never shuffled. Sources without a weight are dropped
+    (rate 0). Returns the kept docs with their ``_keep_rate``.
+    """
+    toks = F.col(n_tokens_col).cast("double")
+    weight = F.lit(None).cast("double")
+    for src, wt in sorted(weights.items()):
+        weight = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(weight)
+    totals = (
+        docs.withColumn("_w", weight)
+        .filter(F.col("_w") > 0)
+        .groupBy(source_col, "_w")
+        .agg(F.sum(toks).alias("_src_tokens"))
+    )
+    budget = totals.agg(
+        F.min(F.col("_src_tokens") / F.col("_w")).alias("_budget")
+    )
+    rates = totals.crossJoin(F.broadcast(budget)).select(
+        source_col,
+        (F.col("_w") * F.col("_budget") / F.col("_src_tokens")).alias("_keep_rate"),
+    )
+    coin = pct_hash(F.col(id_col))
+    return docs.join(F.broadcast(rates), source_col).filter(
+        coin < F.col("_keep_rate") * 10_000
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     n_tokens_col: str,

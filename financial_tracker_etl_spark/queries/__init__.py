@@ -51,6 +51,11 @@ _CHECK_FIRST = [
     "seq_packing_plan",
     "vocab_top_terms",
     "leakage_safe_splits",
+    "text_repetition_stats",
+    "pii_scrub_stats",
+    "benchmark_contamination",
+    "tfidf_keywords",
+    "token_budget_mix",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green

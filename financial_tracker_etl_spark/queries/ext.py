@@ -865,7 +865,230 @@ FROM idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus quality & safety: repetition stats, PII scrub, contamination,
+# TF-IDF keywords, token-budget mixing (ext.quality / ext.sampling)
+# ---------------------------------------------------------------------------
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (ext.quality.with_repetition_stats)."""
+    from ..ext.quality import with_repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_bigram", "top_bigram_frac"
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM t
+),
+m AS (
+  SELECT doc_id, toks, bigrams,
+         CASE WHEN len(bigrams) >= 1
+              THEN list_aggregate(
+                     list_transform(list_distinct(bigrams),
+                       g -> len(list_filter(bigrams, x -> x = g))), 'max')
+              END AS max_cnt
+  FROM b
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE), 6) AS dup_token_frac,
+       CASE WHEN len(bigrams) >= 1
+            THEN list_aggregate(
+                   list_filter(list_distinct(bigrams),
+                     g -> len(list_filter(bigrams, x -> x = g)) = max_cnt),
+                   'min')
+            END AS top_bigram,
+       CASE WHEN len(bigrams) >= 1
+            THEN round(CAST(max_cnt AS DOUBLE)
+                       / CAST(len(bigrams) AS DOUBLE), 6)
+            END AS top_bigram_frac
+FROM m
+"""
+
+
+def _q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (ext.quality.with_pii_scrub). The synthetic
+    corpus carries no PII, so the oracle proves cross-engine regex
+    parity; tests/test_ext.py proves the redaction on rows that DO
+    contain emails/phones."""
+    from ..ext.quality import with_pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_phones", "text_scrubbed"
+    )
+
+
+def _pii_oracle() -> str:
+    from ..ext.quality import EMAIL_RE, PHONE_RE
+
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed
+FROM documents
+"""
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing 5-token
+    shingles with the held-out 'benchmark' slice (doc_id % 10 = 3)
+    (ext.quality.contamination_check)."""
+    from ..ext.quality import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 3)
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    return contamination_check(corpus, bench)
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS shingles
+  FROM t WHERE len(toks) >= 5
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 10 = 3
+),
+corpus AS (
+  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_shingles,
+         unnest(shingles) AS shingle
+  FROM sh WHERE doc_id % 10 <> 3
+)
+SELECT c.doc_id, c.n_shingles,
+       count(*) AS n_contaminated,
+       round(CAST(count(*) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE), 6)
+         AS contaminated_frac
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc, integer-exact TF-IDF-shaped
+    score (ext.quality.tfidf_top_terms)."""
+    from ..ext.quality import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+_TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM terms GROUP BY term
+),
+scored AS (
+  SELECT doc_id, t.term, tf, doc_freq,
+         CAST(tf * 1000000 // (doc_freq + 1) AS BIGINT) AS score_ppm
+  FROM tf t JOIN dfreq d ON t.term = d.term
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_ppm DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, score_ppm, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+_MIX_WEIGHTS = {
+    "src0": 0.3,
+    "src1": 0.25,
+    "src2": 0.2,
+    "src3": 0.15,
+    "src4": 0.1,
+}
+
+
+def _q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly, summarized per source
+    (ext.sampling.mix_by_token_budget)."""
+    from ..ext.sampling import mix_by_token_budget
+    from ..ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    kept = mix_by_token_budget(docs, _MIX_WEIGHTS, "n_tokens")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.floor(F.min("_keep_rate") * 1_000_000).cast("long").alias("rate_ppm"),
+    )
+
+
+def _token_mix_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', CAST({w} AS DOUBLE))" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    coin = _PCT_HASH_SQL.format(x="doc_id", m=10_000)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+w AS (SELECT * FROM (VALUES {values}) AS t(source, wt)),
+totals AS (
+  SELECT d.source, wt, sum(CAST(n_tokens AS DOUBLE)) AS src_tokens
+  FROM d JOIN w ON d.source = w.source
+  GROUP BY d.source, wt
+),
+b AS (SELECT min(src_tokens / wt) AS budget FROM totals),
+rates AS (
+  SELECT source, wt * budget / src_tokens AS keep_rate
+  FROM totals CROSS JOIN b
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.n_tokens, r.keep_rate
+  FROM d JOIN rates r ON d.source = r.source
+  WHERE {coin} < keep_rate * 10000
+)
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(floor(min(keep_rate) * 1000000) AS BIGINT) AS rate_ppm
+FROM kept GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_repetition_stats": QuerySpec(_q_repetition, _REPETITION_ORACLE),
+    "pii_scrub_stats": QuerySpec(_q_pii, _pii_oracle()),
+    "benchmark_contamination": QuerySpec(_q_contamination, _CONTAMINATION_ORACLE),
+    "tfidf_keywords": QuerySpec(_q_tfidf, _TFIDF_ORACLE),
+    "token_budget_mix": QuerySpec(_q_token_mix, _token_mix_oracle()),
     "text_token_stats": QuerySpec(_q_token_stats, _TOKEN_STATS_ORACLE, bench=True),
     "text_quality_scores": QuerySpec(_q_quality, _QUALITY_ORACLE),
     "text_language_id": QuerySpec(_q_lang_id, _LANG_ORACLE),

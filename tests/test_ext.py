@@ -279,3 +279,121 @@ def test_leakage_safe_splits_keep_clusters_together(spark):
     assert spans == 0
     names = {r["split"] for r in out.select("split").distinct().collect()}
     assert names <= {"train", "val", "test"} and "train" in names
+
+
+def test_pii_scrub_redacts_synthetic_rows(spark):
+    from financial_tracker_etl_spark.ext.quality import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@mail-host.example.org today"),
+            (2, "call 555-867-5309 or 555.867.5309 now"),
+            (3, "no pii here at all"),
+            (4, "a@b.io and 123-456-7890 both"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_pii_scrub(df).collect()}
+    assert rows[1].n_emails == 1 and "<EMAIL>" in rows[1].text_scrubbed
+    assert "@" not in rows[1].text_scrubbed
+    assert rows[2].n_phones == 2 and rows[2].text_scrubbed.count("<PHONE>") == 2
+    assert rows[3].n_emails == 0 and rows[3].n_phones == 0
+    assert rows[3].text_scrubbed == "no pii here at all"
+    assert rows[4].n_emails == 1 and rows[4].n_phones == 1
+
+
+def test_repetition_stats_known_answers(spark):
+    from financial_tracker_etl_spark.ext.quality import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # bigrams: ab ba ab ba -> top frac 0.5
+            (2, "w x y z"),  # all distinct
+            (3, "q q q q"),  # fully repeated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    assert rows[1].n_tokens == 5
+    assert abs(rows[1].dup_token_frac - 0.6) < 1e-9  # 2 distinct of 5
+    assert rows[1].top_bigram == "a b" and abs(rows[1].top_bigram_frac - 0.5) < 1e-9
+    assert rows[2].dup_token_frac == 0.0
+    assert abs(rows[2].top_bigram_frac - 1 / 3) < 1e-6
+    assert rows[2].top_bigram == "w x"  # tie broken lexicographically
+    assert rows[3].dup_token_frac == 0.75 and rows[3].top_bigram_frac == 1.0
+
+
+def test_contamination_flags_shared_shingles(spark):
+    from financial_tracker_etl_spark.ext.quality import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps over something"),
+            (2, "completely unrelated words with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_check(corpus, bench).collect()}
+    # doc 1 shares the 5-gram "the quick brown fox jumps" (and the
+    # 4 following shifted windows overlap partially -> 2 full 5-grams)
+    assert 1 in out and out[1].n_contaminated >= 1
+    assert 2 not in out  # no shared shingle -> not flagged
+
+
+def test_token_budget_mix_waterfills_to_limit(spark):
+    from financial_tracker_etl_spark.ext.quality import tfidf_top_terms  # noqa: F401
+    from financial_tracker_etl_spark.ext.sampling import mix_by_token_budget
+    from financial_tracker_etl_spark.ext.text import tokens_col
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    weights = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1}
+    kept = mix_by_token_budget(docs, weights, "n_tokens")
+    rates = {
+        r.source: r.rate
+        for r in kept.groupBy("source")
+        .agg(F.min("_keep_rate").alias("rate"))
+        .collect()
+    }
+    # only weighted sources survive, and every rate is a valid probability
+    assert set(rates) <= set(weights)
+    assert all(0 < v <= 1 + 1e-12 for v in rates.values())
+    # water-filling: the limiting source keeps (essentially) everything
+    assert max(rates.values()) > 1 - 1e-9
+    # determinism: the same call selects the same doc set
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in mix_by_token_budget(docs, weights, "n_tokens")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+
+def test_tfidf_ranks_are_dense_per_doc(spark):
+    from financial_tracker_etl_spark.ext.quality import tfidf_top_terms
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("rank").alias("ranks"),
+        F.max("score_ppm").alias("mx"),
+        F.min("score_ppm").alias("mn"),
+    )
+    bad = per_doc.filter(
+        (F.col("n") > 3) | (F.col("mx") < F.col("mn"))
+    ).count()
+    assert bad == 0
+    # rank 1's score is >= rank 3's within every doc (window ordering)
+    r1 = out.filter(F.col("rank") == 1).select("doc_id", F.col("score_ppm").alias("s1"))
+    r3 = out.filter(F.col("rank") == 3).select("doc_id", F.col("score_ppm").alias("s3"))
+    assert r1.join(r3, "doc_id").filter(F.col("s1") < F.col("s3")).count() == 0
