@@ -37,21 +37,25 @@ def main() -> None:
     reg = registry()
     bench_queries = {n: s for n, s in reg.items() if s.bench}
 
-    # warmup: JVM + codegen + parquet footer reads. Pinned to the
-    # flagship — NOT registry order, which round 2 put the stream
-    # pipeline first: warming up with the pipeline would populate its
-    # shared-run cache and credit the measured stream query with ~0 s.
-    force(reg["flagship_historical_repair"].fn(spark, sf_dir))
-    # streaming-machinery warmup (JSON file source, from_json codegen,
-    # checkpoint plumbing): one tiny index tick at the SMALLEST sf —
-    # different shared-pipeline cache key and topic subset, so the
-    # measured stream query still executes its full consume loop.
-    from financial_tracker_etl_spark.streaming.scheduler import run_index_tick
-
-    run_index_tick(spark, "/root/testdata/sf0.001")
+    # Warmup: JVM + whole-stage-codegen JIT + parquet footer reads.
+    # Every bench query runs ONCE at the smallest sf first, so the
+    # measured numbers are steady-state throughput, not one-time
+    # generated-code compilation (measured: minhash first call 3.9 s,
+    # warm 1.9 s at sf0.1 — the plan is identical, only JIT differs).
+    # sf0.001 uses different input paths and (for the stream pipeline)
+    # a different shared-run cache key, so NO RESULT of the warmup is
+    # reusable by the measured sf run — only compiled code is shared.
+    warmup_dir = "/root/testdata/sf0.001"
+    for spec in bench_queries.values():
+        force(spec.fn(spark, warmup_dir))
 
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():
+        # drop persisted blocks left by the warmup / previous queries
+        # (outside the timed region): leftover cached RDDs are dead
+        # weight that shows up as GC pauses attributed to whichever
+        # query runs next — measured ±4 s noise on the upsert query.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         force(spec.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
