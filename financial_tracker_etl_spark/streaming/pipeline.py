@@ -276,7 +276,12 @@ def run_routed_pipeline(
                 & F.col(f"r.{job.parse_probe}").isNull(),
                 "dead",
             ).when((F.col("topic") == job.topic) & violation, "invalid")
-        return withp.select("*", status.otherwise("valid").alias("_status"))
+        # raw payload is consumed by parse + status; everything
+        # downstream (counts, merges) needs only (topic, r, _status) —
+        # caching the payload too would double the cached bytes
+        return withp.select(
+            "topic", "r", status.otherwise("valid").alias("_status")
+        )
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         # ST4: one bad message must never kill the stream — every
