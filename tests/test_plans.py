@@ -168,3 +168,31 @@ def test_cosine_near_dups_is_bucketed_not_all_pairs(spark, reg):
     plan = plan_of(reg["embedding_cosine_near_dups"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, reg):
+    """The benchmark shingle set is small by definition (eval sets);
+    the corpus-sided scan must probe it via broadcast — a shuffle of
+    the corpus shingles against the bench side would move the 100 TB
+    side for a KB-sized lookup."""
+    plan = plan_of(reg["benchmark_contamination"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, reg):
+    """doc-frequency is vocabulary-sized; joining it back onto the
+    (corpus-sized) tf rows must broadcast, leaving the tf groupBy as
+    the only full shuffle."""
+    plan = plan_of(reg["tfidf_keywords"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_mix_broadcasts_rates_and_stays_narrow(spark, reg):
+    """Per-source keep-rates are a sources-sized table; attaching them
+    to the corpus must broadcast. The corpus side's only wide op is
+    the final per-source summary aggregation."""
+    plan = plan_of(reg["token_budget_mix"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
