@@ -340,3 +340,77 @@ def topk_cosine_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means building blocks: data-derived centroids + assignment (E-step)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(emb: DataFrame, group_col: str = "label") -> DataFrame:
+    """(group, pos, centroid): element-wise mean vector per group — the
+    k-means M-step / nearest-class-mean model, and the data-derived
+    counterpart of :func:`topk_cosine_ivf`'s literal centroids.
+
+    Relational shape: posexplode -> ONE hash aggregation keyed
+    (group, pos); map-side partial aggregation carries the 64×
+    row inflation, so the shuffle moves only (groups × dims) partial
+    sums per partition — at 100 TB the wire traffic is O(cardinality
+    of the centroid table), not the corpus.
+
+    Exactness: per-element sums go through DECIMAL(18,9) (exact,
+    order-independent) and the mean is ONE double division of
+    identical exact operands — bit-equal across engines, per the
+    repo's decimal-sum rule (fixtures.py).
+    """
+    pv = emb.select(group_col, F.posexplode("embedding").alias("pos", "val"))
+    return pv.groupBy(group_col, "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid")
+    )
+
+
+def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, assigned_label, dist): nearest centroid per vector by
+    squared L2 — one k-means E-step against a (groups × dims) centroid
+    table.
+
+    Scale shape: the centroid table is tiny by construction and is
+    BROADCAST onto the exploded corpus; the per-(vector, centroid)
+    partial distances reduce through map-side combine into one
+    (vec_id, label)-keyed aggregation, then a per-vector
+    WindowGroupLimit picks the argmin. The corpus is never shuffled
+    against itself.
+
+    Determinism: squared terms are cast to DECIMAL(20,18) (values
+    bounded ~1.5 for unit-scale embeddings) so the distance sum is
+    exact and order-independent; argmin ties break on label asc.
+    """
+    from pyspark.sql import Window
+
+    pv = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    j = pv.join(broadcast(centroids), "pos")
+    diff = F.col("val").cast("double") - F.col("centroid")
+    dists = (
+        j.select(
+            "vec_id",
+            F.col("label").alias("clabel"),
+            (diff * diff).cast("decimal(20,18)").alias("_term"),
+        )
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum("_term").alias("_dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_dist").asc(), F.col("clabel").asc()
+    )
+    return (
+        dists.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("assigned_label"),
+            F.round(F.col("_dist").cast("double"), 6).alias("dist"),
+        )
+    )

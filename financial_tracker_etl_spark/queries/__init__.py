@@ -56,6 +56,8 @@ _CHECK_FIRST = [
     "benchmark_contamination",
     "tfidf_keywords",
     "token_budget_mix",
+    "embedding_label_centroids",
+    "kmeans_assign_step",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green

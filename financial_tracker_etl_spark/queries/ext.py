@@ -1083,7 +1083,77 @@ FROM kept GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# K-means building blocks over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean vectors
+    (ext.similarity.label_centroids)."""
+    from ..ext.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+_PV_SQL = """
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+"""
+
+_CENTROIDS_ORACLE = f"""
+WITH pv AS ({_PV_SQL})
+SELECT label, pos,
+       CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         / count(*) AS centroid
+FROM pv GROUP BY label, pos
+"""
+
+
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means E-step: nearest per-label centroid by squared L2
+    (ext.similarity.kmeans_assign)."""
+    from ..ext.similarity import kmeans_assign, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, label_centroids(emb))
+
+
+_KMEANS_ASSIGN_ORACLE = f"""
+WITH pv AS ({_PV_SQL}),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           / count(*) AS centroid
+  FROM pv GROUP BY label, pos
+),
+terms AS (
+  SELECT pv.vec_id, c.label AS clabel,
+         CAST((CAST(pv.val AS DOUBLE) - c.centroid)
+              * (CAST(pv.val AS DOUBLE) - c.centroid)
+              AS DECIMAL(20,18)) AS term
+  FROM pv JOIN cent c ON pv.pos = c.pos
+),
+dists AS (
+  SELECT vec_id, clabel, sum(term) AS dist FROM terms GROUP BY vec_id, clabel
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY vec_id ORDER BY dist ASC, clabel ASC) AS rn
+  FROM dists
+)
+SELECT vec_id, clabel AS assigned_label,
+       round(CAST(dist AS DOUBLE), 6) AS dist
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_label_centroids": QuerySpec(_q_centroids, _CENTROIDS_ORACLE),
+    "kmeans_assign_step": QuerySpec(_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "text_repetition_stats": QuerySpec(_q_repetition, _REPETITION_ORACLE),
     "pii_scrub_stats": QuerySpec(_q_pii, _pii_oracle()),
     "benchmark_contamination": QuerySpec(_q_contamination, _CONTAMINATION_ORACLE),

@@ -397,3 +397,32 @@ def test_tfidf_ranks_are_dense_per_doc(spark):
     r1 = out.filter(F.col("rank") == 1).select("doc_id", F.col("score_ppm").alias("s1"))
     r3 = out.filter(F.col("rank") == 3).select("doc_id", F.col("score_ppm").alias("s3"))
     assert r1.join(r3, "doc_id").filter(F.col("s1") < F.col("s3")).count() == 0
+
+
+def test_kmeans_assign_planted_clusters(spark):
+    from financial_tracker_etl_spark.ext.similarity import (
+        kmeans_assign,
+        label_centroids,
+    )
+
+    # two planted clusters around (1,0,...) and (0,1,...): every vector
+    # must be assigned to its own cluster's centroid
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0 - eps, eps, 0.0, 0.0], 0 if i < 10 else 1))
+    # move the second half near the other axis
+    rows = [
+        (i, v if lab == 0 else [v[1], v[0], 0.0, 0.0], lab)
+        for (i, v, lab) in rows
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cent = label_centroids(emb)
+    assert cent.count() == 2 * 4  # 2 labels x 4 dims
+    out = {r.vec_id: r for r in kmeans_assign(emb, cent).collect()}
+    assert len(out) == 20
+    for i in range(20):
+        assert out[i].assigned_label == (0 if i < 10 else 1), out[i]
+        assert out[i].dist >= 0.0
