@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     "token_budget_mix",
     "embedding_label_centroids",
     "kmeans_assign_step",
+    "corpus_curation_summary",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green

@@ -1151,7 +1151,81 @@ FROM r WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Flagship composition: end-to-end corpus curation pass
+# ---------------------------------------------------------------------------
+
+
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass composed from the EXT operators:
+    quality-score filter (>= 0.3) → exact dedup on the normalized-text
+    md5 fingerprint (lowest doc_id survives) → per-source corpus
+    budget (docs kept, whitespace tokens kept, duplicate-class mass).
+    One narrow scoring pass, one dedup shuffle, one summary
+    aggregation — the shape a real corpus build runs nightly."""
+    from ..ext.quality import with_pii_scrub
+    from ..ext.text import exact_dedup, normalized_text, tokens_col, with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).filter(F.col("quality_score") >= 0.3)
+    scrubbed = with_pii_scrub(scored)  # no-op on this corpus; real pass shape
+    survivors = exact_dedup(
+        scrubbed, F.md5(normalized_text(F.col("text_scrubbed")))
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(F.size(tokens_col(F.col("text")))).alias("tokens_kept"),
+        F.sum("n_duplicates").alias("dup_class_mass"),
+    )
+
+
+_CURATION_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source, text,
+         round(CASE WHEN len({_TOKS}) >= 20 AND len({_TOKS}) <= 200
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+           * (1.0 - CAST(len(list_filter({_TOKS}, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+                    / len({_TOKS}))
+           * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6)
+           AS quality_score
+  FROM documents
+),
+f AS (SELECT * FROM q WHERE quality_score >= 0.3),
+s AS (
+  SELECT *,
+         regexp_replace(regexp_replace(text, '{{EMAIL}}', '<EMAIL>', 'g'),
+                        '{{PHONE}}', '<PHONE>', 'g') AS text_scrubbed
+  FROM f
+),
+d AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(trim(text_scrubbed), '\\s+', ' ', 'g')))
+           ORDER BY doc_id ASC) AS rn,
+         count(*) OVER (
+           PARTITION BY md5(lower(regexp_replace(trim(text_scrubbed), '\\s+', ' ', 'g')))
+         ) AS n_duplicates
+  FROM s
+)
+SELECT source,
+       count(*) AS n_docs_kept,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS tokens_kept,
+       CAST(sum(n_duplicates) AS BIGINT) AS dup_class_mass
+FROM d WHERE rn = 1
+GROUP BY source
+"""
+
+
+def _curation_oracle() -> str:
+    from ..ext.quality import EMAIL_RE, PHONE_RE
+
+    return _CURATION_ORACLE.replace("{EMAIL}", EMAIL_RE).replace(
+        "{PHONE}", PHONE_RE
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),
     "embedding_label_centroids": QuerySpec(_q_centroids, _CENTROIDS_ORACLE),
     "kmeans_assign_step": QuerySpec(_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "text_repetition_stats": QuerySpec(_q_repetition, _REPETITION_ORACLE),
