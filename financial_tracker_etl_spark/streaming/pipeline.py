@@ -207,6 +207,10 @@ def run_routed_pipeline(
             os.path.join(work_dir, f"state_{job.topic}"),
             job.keys,
             job.version_cols,
+            # local-harness states are MB-sized: 1-file deltas halve the
+            # merge-on-read scan (measured ~0.5 s at sf0.1); at 100 TB
+            # this knob is the table format's target-file-size instead
+            write_partitions=2,
         )
         for job in jobs
     }
