@@ -196,3 +196,31 @@ def test_token_mix_broadcasts_rates_and_stays_narrow(spark, reg):
     plan = plan_of(reg["token_budget_mix"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
+    """Sweeping scale guard over EVERY registry query plan: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only where
+    the broadcast side is a scalar/tiny-by-construction table —
+    1-row aggregate totals (token_budget_mix, brand_revenue_share) or
+    the small broadcast query set scored against the streamed corpus
+    (the top-k/ANN family, whose non-equi predicates can't hash-join).
+    Any new query that plans a cartesian or an unlisted NLJ is a
+    100 TB incident, not a style choice."""
+    allow_nlj = {
+        "token_budget_mix",
+        "brand_revenue_share",
+        "embedding_topk_cosine",
+        "embedding_ann_lsh",
+        "embedding_ann_ivf",
+    }
+    offenders = []
+    for name, spec in reg.items():
+        if name.startswith("stream_"):
+            continue  # eager pipeline, covered by its own runtime tests
+        plan = plan_of(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in allow_nlj:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
