@@ -59,6 +59,7 @@ _CHECK_FIRST = [
     "embedding_label_centroids",
     "kmeans_assign_step",
     "corpus_curation_summary",
+    "source_vocab_divergence",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green

@@ -1224,8 +1224,77 @@ def _curation_oracle() -> str:
     )
 
 
+def _q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: for each source, the terms most
+    over-represented vs the global corpus (per-mille ratio of in-source
+    frequency to corpus frequency, integer-exact). The production use
+    is drift detection between corpus slices/snapshots before a
+    training run.
+
+    Scale shape: the corpus shuffles ONCE (the (source, term) count);
+    every further aggregate (source totals, global term counts, grand
+    total) re-aggregates that vocabulary-sized table and joins back
+    broadcast. over_rep_ppm = cnt_s * tot_g * 1e6 div (tot_s * cnt_g)
+    stays in BIGINT (overflow headroom to ~1e12-token corpora; shard
+    the ppm factor for more)."""
+    from ..ext.text import tokens_col
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    st = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt_s"))
+    tot_s = st.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
+    cg = st.groupBy("term").agg(F.sum("cnt_s").alias("cnt_g"))
+    tg = st.agg(F.sum("cnt_s").alias("tot_g"))
+    scored = (
+        st.join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(cg), "term")
+        .crossJoin(F.broadcast(tg))
+        .withColumn(
+            "over_rep_ppm",
+            F.expr("cnt_s * tot_g * 1000000 div (tot_s * cnt_g)").cast("long"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("over_rep_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "term", "cnt_s", "over_rep_ppm", "rank")
+    )
+
+
+_VOCAB_DIVERGENCE_ORACLE = f"""
+WITH terms AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+st AS (SELECT source, term, count(*) AS cnt_s FROM terms GROUP BY source, term),
+tot_s AS (SELECT source, CAST(sum(cnt_s) AS BIGINT) AS tot_s FROM st GROUP BY source),
+cg AS (SELECT term, CAST(sum(cnt_s) AS BIGINT) AS cnt_g FROM st GROUP BY term),
+tg AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS tot_g FROM st),
+j AS (
+  SELECT st.source, st.term, cnt_s,
+         CAST(cnt_s * tot_g * 1000000 // (tot_s * cnt_g) AS BIGINT) AS over_rep_ppm
+  FROM st JOIN tot_s USING (source) JOIN cg USING (term) CROSS JOIN tg
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY over_rep_ppm DESC, term ASC) AS rank
+  FROM j
+)
+SELECT source, term, cnt_s, over_rep_ppm, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),
+    "source_vocab_divergence": QuerySpec(
+        _q_vocab_divergence, _VOCAB_DIVERGENCE_ORACLE
+    ),
     "embedding_label_centroids": QuerySpec(_q_centroids, _CENTROIDS_ORACLE),
     "kmeans_assign_step": QuerySpec(_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "text_repetition_stats": QuerySpec(_q_repetition, _REPETITION_ORACLE),
