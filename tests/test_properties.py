@@ -189,3 +189,55 @@ def test_log_structured_state_equals_rewrite_state(
     assert sorted(map(tuple, log.read_merged().collect())) == sorted(
         map(tuple, rewrite.read().collect())
     )
+
+
+_mix_weights = st.dictionaries(
+    st.sampled_from(["s0", "s1", "s2", "s3"]),
+    st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+    min_size=1,
+    max_size=4,
+)
+
+_mix_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id (dups possible)
+        st.sampled_from(["s0", "s1", "s2", "s3", "s_unweighted"]),
+        st.integers(min_value=1, max_value=500),  # n_tokens
+    ),
+    min_size=4,
+    max_size=24,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=_mix_docs, weights=_mix_weights)
+@settings(**SETTINGS)
+def test_token_budget_mix_matches_waterfill_model(spark, docs, weights):
+    """mix_by_token_budget's keep-rates must equal the driver-side
+    water-filling model exactly — rate_s = w_s * B / tokens_s with
+    B = min_s tokens_s / w_s — and the kept doc set must be exactly
+    the hash-coin filter at those rates (deterministic, replayable)."""
+    from financial_tracker_etl_spark.ext.sampling import mix_by_token_budget
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_tokens long")
+    present = {s for _, s, _ in docs}
+    eligible = {s: w for s, w in weights.items() if s in present}
+    out = mix_by_token_budget(df, weights, "n_tokens")
+    rows = out.collect()
+    if not eligible:
+        assert rows == []
+        return
+    tokens = {}
+    for _, s, n in docs:
+        tokens[s] = tokens.get(s, 0) + n
+    budget = min(tokens[s] / w for s, w in eligible.items())
+    model_rates = {s: w * budget / tokens[s] for s, w in eligible.items()}
+    for r in rows:
+        assert math.isclose(
+            r["_keep_rate"], model_rates[r["source"]], rel_tol=0, abs_tol=0
+        ), (r, model_rates)
+    # every rate is a probability and at least one source keeps ~all
+    assert all(0 < v <= 1 + 1e-12 for v in model_rates.values())
+    # deterministic replay: identical kept set
+    again = {r["doc_id"] for r in mix_by_token_budget(df, weights, "n_tokens").collect()}
+    assert {r["doc_id"] for r in rows} == again
