@@ -304,3 +304,60 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             .cast("long"),
         )
     return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc1, doc2, hamming): all document pairs within ``max_hamming``
+    bits of SimHash distance, found via chunk blocking.
+
+    Completeness: with 4 chunks, two fingerprints within Hamming
+    distance 3 differ in at most 3 chunks (pigeonhole), so they MUST
+    agree on at least one — candidates from the 4 chunk equi-joins are
+    lossless for max_hamming <= 3, and the exact ``bit_count(xor)``
+    filter afterwards makes the result identical to an all-pairs scan
+    (which the DuckDB oracle runs at its tiny scale).
+
+    Scale shape: explode 4 (chunk_idx, chunk_val) rows per doc, hash
+    equi-join on them (bucketed, never all-pairs), distinct the
+    candidate pairs, verify with one integer xor/popcount — the same
+    candidates-only economics as MinHash banding.
+    """
+    fp = simhash_fingerprints(df, text_col)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"), F.col(f"chunk{c}").alias("cv")
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.ci", "b.cv")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("x.simhash").alias("sim1"),
+            F.col("y.doc_id").alias("doc2"),
+            F.col("y.simhash").alias("sim2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    return (
+        cand.select("doc1", "doc2", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "kmeans_assign_step",
     "corpus_curation_summary",
     "source_vocab_divergence",
+    "simhash_near_dup_pairs",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green

@@ -391,6 +391,29 @@ FROM f
 """
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk-blocked near-dup pairs, exact-Hamming verified
+    (ext.dedup.simhash_near_dup_pairs)."""
+    from ..ext.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs)
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    """All-pairs twin (exact at oracle scale): chunk blocking is
+    lossless for hamming <= 3 with 4 chunks, so the blocked Spark
+    result must equal this brute-force filter."""
+    body = _simhash_oracle().strip()
+    return f"""
+WITH fp AS ({body})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def _q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return with_regex_token_stats(docs).select(
@@ -1312,6 +1335,7 @@ QUERIES: dict[str, QuerySpec] = {
     "near_dup_edit_distance": QuerySpec(_q_edit_distance, _EDIT_DISTANCE_ORACLE),
     "minhash_lsh_near_dups": QuerySpec(_q_minhash, _minhash_oracle(), bench=True),
     "simhash_fingerprints": QuerySpec(_q_simhash, _simhash_oracle()),
+    "simhash_near_dup_pairs": QuerySpec(_q_simhash_pairs, _simhash_pairs_oracle()),
     "text_regex_token_stats": QuerySpec(_q_regex_tokens, _REGEX_TOKENS_ORACLE),
     "text_winnow_fingerprints": QuerySpec(_q_winnow, _WINNOW_ORACLE),
     "embedding_topk_cosine": QuerySpec(_q_topk_cosine, _TOPK_ORACLE, bench=True),
