@@ -186,17 +186,16 @@ def tfidf_top_terms(
     oracle matches bit-for-bit with no transcendental-function
     divergence. Ties break (score desc, term asc) for determinism.
 
-    Plan: explode -> two hash aggregations (tf per (doc, term); df per
-    term), broadcast the vocabulary-sized df table back onto tf, then
-    a per-doc top-k window. The only full shuffle is the tf groupBy;
-    df is vocabulary-sized (tiny relative to the corpus) and
-    broadcast."""
+    Plan: ONE explode + hash aggregation over the corpus (tf per
+    (doc, term)); doc-frequency then aggregates the tf TABLE (one row
+    per doc-term, so count(*) per term == countDistinct(doc)) instead
+    of re-exploding the corpus — the corpus is scanned once. The
+    vocabulary-sized df table broadcasts back onto tf, then a per-doc
+    top-k window."""
     toks = tokens_col(F.col(text_col))
     terms = docs.select("doc_id", F.explode(toks).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
-    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "score_ppm",
         F.expr("tf * 1000000 div (doc_freq + 1)").cast("long"),
