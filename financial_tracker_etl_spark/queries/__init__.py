@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     "corpus_curation_summary",
     "source_vocab_divergence",
     "simhash_near_dup_pairs",
+    "bigram_lm_counts",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green

@@ -1313,7 +1313,66 @@ FROM r WHERE rank <= 3
 """
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count table: (w1, w2, pair count, w1 count,
+    integer-exact conditional probability ppm) over the corpus — the
+    count-collection step of n-gram LM training / LM-based quality
+    filtering. One corpus explode + one (w1, w2) aggregation; the
+    unigram totals re-aggregate the bigram table (vocabulary-sized)
+    and join back broadcast."""
+    from ..ext.text import tokens_col
+    from pyspark.sql import Window  # noqa: F401  (plan parity with peers)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+    t = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i.cast("int")).alias("w1"),
+            F.element_at(t, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    pairs = (
+        toked.filter(F.size(t) >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    w1c = bc.groupBy("w1").agg(F.sum("pair_count").alias("w1_count"))
+    return bc.join(F.broadcast(w1c), "w1").select(
+        "w1",
+        "w2",
+        "pair_count",
+        "w1_count",
+        F.expr("pair_count * 1000000 div w1_count").cast("long").alias("cond_ppm"),
+    )
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS g
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS pair_count
+  FROM pairs GROUP BY g.w1, g.w2
+),
+w1c AS (
+  SELECT w1, CAST(sum(pair_count) AS BIGINT) AS w1_count FROM bc GROUP BY w1
+)
+SELECT bc.w1, bc.w2, pair_count, w1_count,
+       CAST(pair_count * 1000000 // w1_count AS BIGINT) AS cond_ppm
+FROM bc JOIN w1c ON bc.w1 = w1c.w1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bigram_lm_counts": QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE),
     "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),
     "source_vocab_divergence": QuerySpec(
         _q_vocab_divergence, _VOCAB_DIVERGENCE_ORACLE
