@@ -359,15 +359,22 @@ def label_centroids(emb: DataFrame, group_col: str = "label") -> DataFrame:
     of the centroid table), not the corpus.
 
     Exactness: per-element sums go through DECIMAL(18,9) (exact,
-    order-independent) and the mean is ONE double division of
-    identical exact operands — bit-equal across engines, per the
-    repo's decimal-sum rule (fixtures.py).
+    order-independent) and the mean is ONE double division, then
+    round(6). The final round is load-bearing: a float's exact decimal
+    expansion always terminates in ...5, so among hundreds of
+    thousands of double→DECIMAL conversions a few land exactly on the
+    9th-digit rounding boundary where Spark (HALF_UP) and DuckDB
+    disagree by one ulp — observed as an 11th-significant-digit sum
+    divergence at sf0.1. Rounding the mean to 6 digits absorbs it on
+    both engines (and makes the downstream assignment's inputs
+    bit-identical).
     """
     pv = emb.select(group_col, F.posexplode("embedding").alias("pos", "val"))
     return pv.groupBy(group_col, "pos").agg(
-        (
+        F.round(
             F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1))
+            / F.count(F.lit(1)),
+            6,
         ).alias("centroid")
     )
 

@@ -1130,8 +1130,8 @@ _PV_SQL = """
 _CENTROIDS_ORACLE = f"""
 WITH pv AS ({_PV_SQL})
 SELECT label, pos,
-       CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-         / count(*) AS centroid
+       round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS centroid
 FROM pv GROUP BY label, pos
 """
 
@@ -1149,8 +1149,8 @@ _KMEANS_ASSIGN_ORACLE = f"""
 WITH pv AS ({_PV_SQL}),
 cent AS (
   SELECT label, pos,
-         CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-           / count(*) AS centroid
+         round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*), 6) AS centroid
   FROM pv GROUP BY label, pos
 ),
 terms AS (
