@@ -25,11 +25,26 @@ def _dec(c: Column) -> Column:
 
 
 def _dsum(c: Column) -> Column:
-    return F.sum(_dec(c)).cast("double")
+    """Exact DECIMAL(18,8) sum emitted as a BIT-IDENTICAL double on
+    both engines. The naive ``CAST(sum AS DOUBLE)`` diverges at scale:
+    DuckDB's wide-decimal→double cast double-rounds (int128 numerator
+    exceeds 2^53 once group sums pass ~9e7) while Spark's BigDecimal
+    path is correctly rounded — observed as a 17th-significant-digit
+    mismatch on the sf0.1 Q1 sums (invisible at the sf0.01 gate).
+    Fix: floor the sum at 4 decimals into an exact BIGINT (floor on
+    DECIMAL is exact on both engines), then rebuild the double with
+    the SAME two correctly-rounded ops everywhere — int64→double and
+    one division by an exactly-representable 1e4. Headroom: sums to
+    ~9.2e14, i.e. TPC-H sf ~30000 for Q1."""
+    scaled = F.floor(F.sum(_dec(c)) * F.lit(10000)).cast("long")
+    return scaled.cast("double") / F.lit(10000.0)
 
 
 def _dsum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(18,8))) AS DOUBLE)"
+    return (
+        f"CAST(CAST(floor(sum(CAST({expr} AS DECIMAL(18,8))) * 10000) "
+        f"AS BIGINT) AS DOUBLE) / 10000.0"
+    )
 
 
 # ---------------------------------------------------------------------------
