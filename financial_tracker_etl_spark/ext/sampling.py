@@ -176,3 +176,51 @@ def leakage_safe_splits(
         .otherwise("train")
     )
     return joined.select(id_col, cid, split.alias("split"))
+
+
+DSIR_BUCKETS = 128
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    tokens: Column,
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    integer-exact variant: score every document by how target-like its
+    hashed-token profile is, so a raw 100 TB crawl can be resampled
+    toward a small high-quality target domain.
+
+    Token occurrences hash into ``buckets`` feature buckets (md5 coin —
+    deterministic, DuckDB-reproducible). Each bucket's affinity is the
+    ppm share of its occurrences that come from target-domain rows
+    (``is_target``); a document's ``importance_ppm`` is the mean bucket
+    affinity over its token occurrences (BIGINT div — no floats, no
+    transcendentals, hash-exact across engines; the published method's
+    log-ratio ranking is monotone in this mean for a fixed corpus).
+
+    Scale: one explode + one groupBy over ``buckets`` rows, then the
+    per-doc aggregate joins the bucket table via BROADCAST (``buckets``
+    rows, never a shuffle of the corpus side).
+    """
+    occ = docs.select(
+        F.col(id_col),
+        is_target.cast("long").alias("_tgt"),
+        F.explode(tokens).alias("_token"),
+    ).withColumn("bucket", pct_hash(F.col("_token"), buckets))
+    bucket_stats = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum("_tgt").alias("_target"),
+    ).withColumn("affinity_ppm", F.expr("1000000 * _target div _total"))
+    return (
+        occ.join(F.broadcast(bucket_stats.select("bucket", "affinity_ppm")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("affinity_ppm").alias("_aff_sum"),
+        )
+        .withColumn("importance_ppm", F.expr("_aff_sum div n_tokens"))
+        .drop("_aff_sum")
+    )

@@ -65,6 +65,10 @@ _CHECK_FIRST = [
     "source_vocab_divergence",
     "simhash_near_dup_pairs",
     "bigram_lm_counts",
+    "doc_token_chunks",
+    "chunk_level_dedup",
+    "winnow_overlap_pairs",
+    "dsir_importance_weights",
     # (2) round-1 no_oracle rows whose new md5/literal-weight oracles
     # only count if the driver re-checks them...
     "minhash_lsh_near_dups",
@@ -92,11 +96,12 @@ _CHECK_FIRST = [
     "p4_typed_quotes",
     "p5_payload_envelopes",
     "upsert_market_data",
-    "a4_latest_monthly_price",
-    "s6_asset_dispatch",
-    "a1_historical_batches",
-    "udtf_month_spine",
 ]
+# displaced from the 50-entry prefix by the round-2 span-granularity
+# additions (each has a round-1 green row, so a cut-off loses least
+# here): a4_latest_monthly_price, s6_asset_dispatch,
+# a1_historical_batches, udtf_month_spine — they sit in the unlisted
+# middle region, before _CHECK_LAST.
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green
     # proof (round-1 green, so a cut-off loses least information here)

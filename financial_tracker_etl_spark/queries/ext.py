@@ -1371,12 +1371,162 @@ FROM bc JOIN w1c ON bc.w1 = w1c.w1
 """
 
 
+# ---------------------------------------------------------------------------
+# Span-granularity operators: token chunking, chunk-level dedup,
+# winnow-overlap containment pairs, DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def _q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking (training-sequence prep;
+    ext.chunking.token_chunks, chunk 32 / stride 24)."""
+    from ..ext.chunking import token_chunks
+
+    return token_chunks(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_CHUNKS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 24 AS INTEGER) AS chunk_idx,
+       CAST(start AS INTEGER) AS start_token,
+       CAST(len(list_slice(toks, start, start + 31)) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start, start + 31), ' ')) AS chunk_hash
+FROM e
+"""
+
+
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity cross-doc dedup stats
+    (ext.chunking.chunk_shared_stats, disjoint 32-token chunks)."""
+    from ..ext.chunking import chunk_shared_stats
+
+    return chunk_shared_stats(load_table(spark, sf_dir, "documents"))
+
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 32)) AS start FROM t
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, start, start + 31), ' ')) AS chunk_hash
+  FROM e
+),
+h AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(1000000 * sum(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS shared_ppm
+FROM c JOIN h USING (chunk_hash)
+GROUP BY c.doc_id
+"""
+
+
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style sampled-fingerprint overlap pairs
+    (ext.chunking.winnow_overlap_pairs: 16-char windows, 1/8 mod-p
+    sample, ≥2 shared fingerprints)."""
+    from ..ext.chunking import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_WINNOW_OVERLAP_ORACLE = r"""
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nt, unnest(range(1, length(nt) - 14)) AS i
+  FROM nrm WHERE length(nt) >= 16
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(substr(nt, i, 16)), 1, 8)) AS BIGINT) AS fp
+  FROM g
+  WHERE CAST(concat('0x', substr(md5(substr(nt, i, 16)), 1, 8)) AS BIGINT) % 8 = 0
+),
+n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+),
+sh AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, shared_fps,
+       CAST(1000000 * shared_fps // least(na.n_fp, nb.n_fp) AS BIGINT)
+         AS containment_ppm
+FROM sh
+JOIN n na ON doc_a = na.doc_id
+JOIN n nb ON doc_b = nb.doc_id
+"""
+
+
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-token importance weights, target domain = lang='en'
+    (ext.sampling.dsir_importance, 128 buckets)."""
+    from ..ext.sampling import dsir_importance
+    from ..ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    return dsir_importance(docs, is_target, tokens_col(F.col("text")))
+
+
+_DSIR_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         unnest({_TOKS}) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tgt,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 128 AS bucket
+  FROM occ
+),
+bs AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(tgt) AS BIGINT) AS target
+  FROM b GROUP BY bucket
+),
+ba AS (
+  SELECT bucket, 1000000 * target // total AS affinity_ppm FROM bs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(affinity_ppm) // count(*) AS BIGINT) AS importance_ppm
+FROM b JOIN ba USING (bucket)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "bigram_lm_counts": QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE),
     "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),
     "source_vocab_divergence": QuerySpec(
         _q_vocab_divergence, _VOCAB_DIVERGENCE_ORACLE
     ),
+    "doc_token_chunks": QuerySpec(_q_token_chunks, _TOKEN_CHUNKS_ORACLE),
+    "chunk_level_dedup": QuerySpec(_q_chunk_dedup, _CHUNK_DEDUP_ORACLE),
+    "winnow_overlap_pairs": QuerySpec(_q_winnow_overlap, _WINNOW_OVERLAP_ORACLE),
+    "dsir_importance_weights": QuerySpec(_q_dsir, _DSIR_ORACLE),
     "embedding_label_centroids": QuerySpec(_q_centroids, _CENTROIDS_ORACLE),
     "kmeans_assign_step": QuerySpec(_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "text_repetition_stats": QuerySpec(_q_repetition, _REPETITION_ORACLE),

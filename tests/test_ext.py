@@ -426,3 +426,102 @@ def test_kmeans_assign_planted_clusters(spark):
     for i in range(20):
         assert out[i].assigned_label == (0 if i < 10 else 1), out[i]
         assert out[i].dist >= 0.0
+
+
+def test_token_chunks_cover_every_token_contiguously(spark):
+    from financial_tracker_etl_spark.ext.chunking import token_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(80))), (2, "one two"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = token_chunks(docs, chunk_size=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 80 tokens -> starts 1,25,49,73; tail chunk is 8 tokens
+    d1 = sorted(by_doc[1], key=lambda r: r.start_token)
+    assert [r.start_token for r in d1] == [1, 25, 49, 73]
+    assert [r.chunk_idx for r in d1] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in d1] == [32, 32, 32, 8]
+    # every token index 1..80 falls inside at least one chunk
+    covered = set()
+    for r in d1:
+        covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    assert covered == set(range(1, 81))
+    # short docs yield exactly one chunk holding all tokens
+    assert [(r.n_chunk_tokens, r.chunk_idx) for r in by_doc[2]] == [(2, 0)]
+    assert [(r.n_chunk_tokens, r.chunk_idx) for r in by_doc[3]] == [(1, 0)]
+
+
+def test_chunk_shared_stats_counts_cross_doc_spans(spark):
+    from financial_tracker_etl_spark.ext.chunking import chunk_shared_stats
+
+    shared_span = " ".join(f"s{i}" for i in range(32))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(32))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, shared_span + " " + uniq("a")),
+            (2, shared_span + " " + uniq("b")),
+            (3, uniq("c")),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_shared_stats(docs, chunk_size=32).collect()}
+    # docs 1 and 2 share exactly their first disjoint 32-token chunk
+    assert out[1].n_chunks == 2 and out[1].n_shared_chunks == 1
+    assert out[1].shared_ppm == 500_000
+    assert out[2].n_shared_chunks == 1
+    assert out[3].n_shared_chunks == 0 and out[3].shared_ppm == 0
+
+
+def test_winnow_overlap_detects_containment(spark):
+    from financial_tracker_etl_spark.ext.chunking import winnow_overlap_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base + " completely different tail content here"),
+            (2, "unrelated prefix words then " + base),
+            (3, "zebra xylophone quartz vortex jumble " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r for r in winnow_overlap_pairs(docs).collect()}
+    assert (1, 2) in pairs, "shared block must produce an overlap pair"
+    r = pairs[(1, 2)]
+    assert r.shared_fps >= 2
+    # containment vs the SMALLER fingerprint set approaches 1 for a
+    # doc pasted into another; far above any chance collision level
+    assert r.containment_ppm >= 500_000
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dsir_importance_separates_target_profile(spark):
+    from financial_tracker_etl_spark.ext.sampling import dsir_importance
+    from financial_tracker_etl_spark.ext.text import tokens_col
+
+    # target rows speak one vocabulary, non-target rows another;
+    # a fresh doc written in target vocabulary must outscore one
+    # written in non-target vocabulary
+    rows = [(i, "alpha beta gamma delta epsilon", "en") for i in range(10)]
+    rows += [(100 + i, "uno dos tres cuatro cinco", "es") for i in range(10)]
+    rows += [(200, "alpha beta gamma beta alpha", "es")]  # target-like text
+    rows += [(201, "uno dos tres dos uno", "en")]  # non-target-like text
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    is_target = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(
+            docs, is_target, tokens_col(F.col("text"))
+        ).collect()
+    }
+    assert out[200].importance_ppm > out[201].importance_ppm
+    # deterministic: same inputs, same scores
+    again = {
+        r.doc_id: r.importance_ppm
+        for r in dsir_importance(
+            docs, is_target, tokens_col(F.col("text"))
+        ).collect()
+    }
+    assert again == {k: v.importance_ppm for k, v in out.items()}
