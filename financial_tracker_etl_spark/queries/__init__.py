@@ -69,6 +69,9 @@ _CHECK_FIRST = [
     "chunk_level_dedup",
     "winnow_overlap_pairs",
     "dsir_importance_weights",
+    "events_funnel_stages",
+    "events_weekly_retention",
+    "length_outlier_filter",
     # (2) round-1 no_oracle rows whose new md5/literal-weight oracles
     # only count if the driver re-checks them...
     "minhash_lsh_near_dups",
@@ -89,19 +92,17 @@ _CHECK_FIRST = [
     "historical_fetch_windows",
     "j1_symbols_needing_update",
     "j2_existing_state_semi_join",
-    "j4_coverage_counts",
     "j5_coverage_index",
     "p1_invalid_quote_rows",
-    "p2_index_quote_projection",
-    "p4_typed_quotes",
     "p5_payload_envelopes",
     "upsert_market_data",
 ]
-# displaced from the 50-entry prefix by the round-2 span-granularity
-# additions (each has a round-1 green row, so a cut-off loses least
-# here): a4_latest_monthly_price, s6_asset_dispatch,
-# a1_historical_batches, udtf_month_spine — they sit in the unlisted
-# middle region, before _CHECK_LAST.
+# displaced from the 50-entry prefix by round-2 additions (each has a
+# round-1 green row, so a cut-off loses least here):
+# a4_latest_monthly_price, s6_asset_dispatch, a1_historical_batches,
+# udtf_month_spine, p2_index_quote_projection, p4_typed_quotes,
+# j4_coverage_counts — they sit in the unlisted middle region, before
+# _CHECK_LAST.
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green
     # proof (round-1 green, so a cut-off loses least information here)

@@ -635,7 +635,139 @@ WHERE n > CAST(s1 AS DOUBLE) / n_hours
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered funnel + cohort retention over events (engine breadth:
+# event-analytics operators a product team runs beside the ETL)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel view→click→purchase: each stage's first
+    event must come strictly AFTER the previous stage's first event
+    (the sequencing that distinguishes a funnel from three independent
+    filters). Per-stage min-aggregates then user-keyed joins — all
+    shuffles share the user_id key, so AQE co-partitions the chain;
+    no window over the full event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_purchase_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_us",
+            "first_click_us",
+            "first_purchase_us",
+            (
+                F.lit(1)
+                + F.col("first_click_us").isNotNull().cast("int")
+                + F.col("first_purchase_us").isNotNull().cast("int")
+            ).alias("stage_reached"),
+        )
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts_us) AS first_view_us
+  FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS first_click_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.first_view_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.first_click_us
+  GROUP BY e.user_id
+)
+SELECT v.user_id, first_view_us, first_click_us, first_purchase_us,
+       1 + CASE WHEN first_click_us IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN first_purchase_us IS NULL THEN 0 ELSE 1 END AS stage_reached
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in each later week they return. Weeks are 7-day epoch
+    buckets of the integer microsecond clock — pure BIGINT arithmetic,
+    bit-identical across engines (no calendar/timezone semantics to
+    disagree on). Two user-keyed aggregates + one join; the final
+    (cohort, offset) aggregate is tiny.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    # integer `div` throughout: ts_us / 86400000000 as DOUBLE would be
+    # one ulp from the BIGINT floor the oracle computes
+    cohort = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("_first_us")
+    ).select(
+        "user_id",
+        F.expr(f"(_first_us div {_DAY_US}) div 7").alias("cohort_week"),
+    )
+    active = ev.select(
+        "user_id",
+        F.expr(f"(ts_us div {_DAY_US}) div 7").alias("active_week"),
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+cohort AS (
+  SELECT user_id, (min(ts_us) // 86400000000) // 7 AS cohort_week
+  FROM ev GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, (ts_us // 86400000000) // 7 AS active_week FROM ev
+)
+SELECT cohort_week,
+       active_week - cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_funnel_stages": QuerySpec(_q_funnel, _FUNNEL_ORACLE),
+    "events_weekly_retention": QuerySpec(_q_retention, _RETENTION_ORACLE),
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
     "top_revenue_customers": QuerySpec(
         _q_top_customers, _TOP_CUSTOMERS_ORACLE, bench=True

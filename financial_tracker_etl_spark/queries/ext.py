@@ -1517,7 +1517,47 @@ GROUP BY doc_id
 """
 
 
+def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-percentile outlier filter (corpus curation:
+    drop the shortest/longest tails per source before training). Uses
+    rank-based percent_rank — identical (rank-1)/(n-1) rational on both
+    engines, ties share a rank, so the kept set is deterministic. One
+    per-source window sort; at 100 TB the same cut can be computed
+    two-pass (per-source count + rank join) if a single source exceeds
+    a partition, but the windowed form is the idiomatic Spark plan.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", pr.alias("_pr")
+        )
+        .filter((F.col("_pr") >= 0.05) & (F.col("_pr") <= 0.95))
+        .select(
+            "doc_id", "source", "n_chars",
+            F.round("_pr", 6).alias("len_pct_rank"),
+        )
+    )
+
+
+_LENGTH_FILTER_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(pr, 6) AS len_pct_rank
+FROM r
+WHERE pr >= 0.05 AND pr <= 0.95
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),
     "bigram_lm_counts": QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE),
     "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),
     "source_vocab_divergence": QuerySpec(

@@ -525,3 +525,23 @@ def test_dsir_importance_separates_target_profile(spark):
         ).collect()
     }
     assert again == {k: v.importance_ppm for k, v in out.items()}
+
+
+def test_length_filter_keeps_inner_band_per_source(spark):
+    from financial_tracker_etl_spark.queries.ext import _q_length_filter
+    from conftest import SF_DIR
+
+    out = _q_length_filter(spark, SF_DIR)
+    rows = out.collect()
+    assert rows and all(0.05 <= r.len_pct_rank <= 0.95 for r in rows)
+    # extremes per source must be gone: the max-length doc of any
+    # source has percent_rank 1.0 and may never survive
+    from financial_tracker_etl_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    maxes = {
+        (r.source, r.mx)
+        for r in docs.groupBy("source").agg(F.max("n_chars").alias("mx")).collect()
+    }
+    kept = {(r.source, r.n_chars) for r in rows}
+    assert not (maxes & kept)

@@ -317,3 +317,54 @@ def test_asof_join_null_values_and_multi_col_same_row(spark):
     # trade 2 matches the t(5) quote: bid stays NULL (no mixing with
     # the older row), ask comes from the SAME row
     assert got == {1: (10.0, 100.0), 2: (None, 500.0)}
+
+
+def test_funnel_stages_require_strict_ordering(spark):
+    from financial_tracker_etl_spark.queries.analytics import _q_funnel
+
+    # synthetic: user 1 does view->click->purchase in order (stage 3),
+    # user 2 purchases BEFORE clicking (stage 2), user 3 only views,
+    # user 4 clicks without ever viewing (not in the funnel at all)
+    import pandas as pd
+
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        (2, "view", 100), (2, "purchase", 150), (2, "click", 200),
+        (3, "view", 100),
+        (4, "click", 100),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, us) for i, (u, t, us) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    import financial_tracker_etl_spark.queries.analytics as qa
+    from unittest import mock
+
+    with mock.patch.object(qa, "load_table", lambda spark, sf, name: df):
+        out = {r.user_id: r for r in _q_funnel(spark, "unused").collect()}
+    assert out[1].stage_reached == 3
+    assert out[2].stage_reached == 2  # purchase before click doesn't count
+    assert out[3].stage_reached == 1
+    assert 4 not in out  # never viewed -> not in funnel
+
+
+def test_weekly_retention_buckets_are_integer_weeks(spark):
+    from financial_tracker_etl_spark.queries.analytics import _q_retention, _DAY_US
+    import financial_tracker_etl_spark.queries.analytics as qa
+    from unittest import mock
+
+    # user 10 first active week 0, returns week 2; user 11 only week 1
+    df = spark.createDataFrame(
+        [
+            (1, 10, 0 * _DAY_US),
+            (2, 10, 15 * _DAY_US),
+            (3, 11, 8 * _DAY_US),
+        ],
+        "event_id long, user_id long, ts_us long",
+    )
+    with mock.patch.object(qa, "load_table", lambda spark, sf, name: df):
+        got = {
+            (r.cohort_week, r.week_offset): r.n_users
+            for r in _q_retention(spark, "unused").collect()
+        }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
