@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "events_funnel_stages",
     "events_weekly_retention",
     "length_outlier_filter",
+    "hll_distinct_users",
     # (2) round-1 no_oracle rows whose new md5/literal-weight oracles
     # only count if the driver re-checks them...
     "minhash_lsh_near_dups",
@@ -92,7 +93,6 @@ _CHECK_FIRST = [
     "historical_fetch_windows",
     "j1_symbols_needing_update",
     "j2_existing_state_semi_join",
-    "j5_coverage_index",
     "p1_invalid_quote_rows",
     "p5_payload_envelopes",
     "upsert_market_data",
@@ -101,8 +101,8 @@ _CHECK_FIRST = [
 # round-1 green row, so a cut-off loses least here):
 # a4_latest_monthly_price, s6_asset_dispatch, a1_historical_batches,
 # udtf_month_spine, p2_index_quote_projection, p4_typed_quotes,
-# j4_coverage_counts — they sit in the unlisted middle region, before
-# _CHECK_LAST.
+# j4_coverage_counts, j5_coverage_index — they sit in the unlisted
+# middle region, before _CHECK_LAST.
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green
     # proof (round-1 green, so a cut-off loses least information here)

@@ -1556,7 +1556,65 @@ WHERE pr >= 0.05 AND pr <= 0.95
 """
 
 
+def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-exact HyperLogLog distinct-user counts per event
+    type (ext.sketches: md5 60-bit hash, 256 registers, integer
+    harmonic sum), joined with the exact count for accuracy reference.
+    """
+    from ..ext.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_estimate(
+        hll_registers(ev, F.col("user_id"), ["event_type"]), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type")
+
+
+_HLL_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM events
+),
+b AS (
+  SELECT event_type, hh % 256 AS bucket, hh // 256 AS w FROM h
+),
+r AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS register
+  FROM b GROUP BY event_type, bucket
+),
+s AS (
+  SELECT event_type,
+         sum(1::BIGINT << (60 - register)) AS present_sum,
+         count(*) AS nb
+  FROM r GROUP BY event_type
+),
+e AS (
+  SELECT event_type,
+         CAST(256 - nb AS BIGINT) AS n_empty_buckets,
+         round((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)
+                * 65536 * 1152921504606846976)
+               / CAST(present_sum
+                      + (256 - nb) * 1152921504606846976::HUGEINT AS DOUBLE),
+               2) AS hll_estimate
+  FROM s
+)
+SELECT ex.event_type, n_exact, n_empty_buckets, hll_estimate
+FROM (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+) ex
+JOIN e USING (event_type)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hll_distinct_users": QuerySpec(_q_hll, _HLL_ORACLE),
     "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),
     "bigram_lm_counts": QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE),
     "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),

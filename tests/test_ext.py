@@ -545,3 +545,36 @@ def test_length_filter_keeps_inner_band_per_source(spark):
     }
     kept = {(r.source, r.n_chars) for r in rows}
     assert not (maxes & kept)
+
+
+def test_hll_estimate_accuracy_and_mergeability(spark):
+    from financial_tracker_etl_spark.ext.sketches import (
+        HLL_BUCKETS,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").alias("key")
+    )
+    regs = hll_registers(df, F.col("key"), ["grp"])
+    est = hll_estimate(regs, ["grp"]).collect()[0]
+    # raw-regime cardinality (n >> 2.5m): standard error ~1.04/sqrt(m)
+    # = 6.5%; assert within 4 sigma
+    assert abs(est.hll_estimate - n) / n < 0.26
+    assert est.n_empty_buckets < HLL_BUCKETS // 4
+
+    # sketches must merge: registers built from two halves then
+    # max-folded equal the registers of the union (the property that
+    # makes the sketch shard/retry/late-partition safe)
+    h1 = spark.range(0, n // 2).select(F.lit("g").alias("grp"), F.col("id").alias("key"))
+    h2 = spark.range(n // 2, n).select(F.lit("g").alias("grp"), F.col("id").alias("key"))
+    merged = (
+        hll_registers(h1, F.col("key"), ["grp"])
+        .unionByName(hll_registers(h2, F.col("key"), ["grp"]))
+        .groupBy("grp", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    est_merged = hll_estimate(merged, ["grp"]).collect()[0]
+    assert est_merged.hll_estimate == est.hll_estimate
