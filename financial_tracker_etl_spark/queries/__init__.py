@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "events_weekly_retention",
     "length_outlier_filter",
     "hll_distinct_users",
+    "semantic_dedup_pairs",
     # (2) round-1 no_oracle rows whose new md5/literal-weight oracles
     # only count if the driver re-checks them...
     "minhash_lsh_near_dups",
@@ -95,14 +96,15 @@ _CHECK_FIRST = [
     "j2_existing_state_semi_join",
     "p1_invalid_quote_rows",
     "p5_payload_envelopes",
-    "upsert_market_data",
 ]
 # displaced from the 50-entry prefix by round-2 additions (each has a
 # round-1 green row, so a cut-off loses least here):
 # a4_latest_monthly_price, s6_asset_dispatch, a1_historical_batches,
 # udtf_month_spine, p2_index_quote_projection, p4_typed_quotes,
-# j4_coverage_counts, j5_coverage_index — they sit in the unlisted
-# middle region, before _CHECK_LAST.
+# j4_coverage_counts, j5_coverage_index, upsert_market_data (S9 stays
+# driver-proven through stream_upsert_market_data, which shares its
+# oracle and leads the prefix) — they sit in the unlisted middle
+# region, before _CHECK_LAST.
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green
     # proof (round-1 green, so a cut-off loses least information here)

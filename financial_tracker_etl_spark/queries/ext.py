@@ -1613,7 +1613,68 @@ JOIN e USING (event_type)
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-modality near-dup detection (the SemDeDup-style pipeline
+    composition): embedding-space candidate pairs from the sign-LSH
+    cosine path, then lexical verification with exact n-gram Jaccard —
+    classifying each pair as lexical+semantic (paraphrase-or-copy) vs
+    semantic_only (same meaning, different words). documents.doc_id and
+    embeddings.vec_id share the id space by construction (TESTDATA.md).
+
+    Scale: both components are candidate-bounded (LSH buckets, shared
+    shingles); the final join is pair-keyed. No all-pairs step.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sem = cosine_near_dup_pairs(emb, threshold=0.35)
+    lex = shingle_jaccard_pairs(docs).select("doc1", "doc2", "jaccard")
+    joined = sem.join(
+        lex,
+        (sem.vec1 == lex.doc1) & (sem.vec2 == lex.doc2),
+        "left",
+    )
+    jac = F.coalesce(F.col("jaccard"), F.lit(0.0))
+    return joined.select(
+        F.col("vec1").alias("doc1"),
+        F.col("vec2").alias("doc2"),
+        "cosine",
+        jac.alias("lexical_jaccard"),
+        F.when(jac >= 0.4, F.lit("lexical+semantic"))
+        .otherwise(F.lit("semantic_only"))
+        .alias("dup_class"),
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+WITH sem AS (
+{_cosine_pairs_oracle(0.35).strip()}
+),
+lex AS (
+WITH {_SHINGLES_CTE.strip()},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc1, doc2,
+       round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+FROM common
+JOIN counts ca ON doc1 = ca.doc_id
+JOIN counts cb ON doc2 = cb.doc_id
+)
+SELECT sem.vec1 AS doc1, sem.vec2 AS doc2, cosine,
+       coalesce(lex.jaccard, CAST(0 AS DOUBLE)) AS lexical_jaccard,
+       CASE WHEN coalesce(lex.jaccard, CAST(0 AS DOUBLE)) >= 0.4
+            THEN 'lexical+semantic' ELSE 'semantic_only' END AS dup_class
+FROM sem
+LEFT JOIN lex ON sem.vec1 = lex.doc1 AND sem.vec2 = lex.doc2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "semantic_dedup_pairs": QuerySpec(_q_semantic_dedup, _semantic_dedup_oracle()),
     "hll_distinct_users": QuerySpec(_q_hll, _HLL_ORACLE),
     "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),
     "bigram_lm_counts": QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE),

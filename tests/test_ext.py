@@ -578,3 +578,19 @@ def test_hll_estimate_accuracy_and_mergeability(spark):
     )
     est_merged = hll_estimate(merged, ["grp"]).collect()[0]
     assert est_merged.hll_estimate == est.hll_estimate
+
+
+def test_semantic_dedup_classifies_both_modalities(spark):
+    from financial_tracker_etl_spark.queries.ext import _q_semantic_dedup
+    from conftest import SF_DIR
+
+    rows = _q_semantic_dedup(spark, SF_DIR).collect()
+    assert rows, "fixture corpus must contain semantic near-dup pairs"
+    classes = {r.dup_class for r in rows}
+    assert classes <= {"lexical+semantic", "semantic_only"}
+    for r in rows:
+        assert r.cosine >= 0.35
+        if r.dup_class == "lexical+semantic":
+            assert r.lexical_jaccard >= 0.4
+        else:
+            assert r.lexical_jaccard < 0.4
