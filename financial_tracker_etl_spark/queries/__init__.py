@@ -74,6 +74,8 @@ _CHECK_FIRST = [
     "length_outlier_filter",
     "hll_distinct_users",
     "semantic_dedup_pairs",
+    "incremental_dedup_new_docs",
+    "cross_source_overlap",
     # (2) round-1 no_oracle rows whose new md5/literal-weight oracles
     # only count if the driver re-checks them...
     "minhash_lsh_near_dups",
@@ -91,9 +93,7 @@ _CHECK_FIRST = [
     "embedding_cosine_near_dups",
     "flagship_historical_repair",
     "historical_missing_months",
-    "historical_fetch_windows",
     "j1_symbols_needing_update",
-    "j2_existing_state_semi_join",
     "p1_invalid_quote_rows",
     "p5_payload_envelopes",
 ]
@@ -101,10 +101,11 @@ _CHECK_FIRST = [
 # round-1 green row, so a cut-off loses least here):
 # a4_latest_monthly_price, s6_asset_dispatch, a1_historical_batches,
 # udtf_month_spine, p2_index_quote_projection, p4_typed_quotes,
-# j4_coverage_counts, j5_coverage_index, upsert_market_data (S9 stays
-# driver-proven through stream_upsert_market_data, which shares its
-# oracle and leads the prefix) — they sit in the unlisted middle
-# region, before _CHECK_LAST.
+# j4_coverage_counts, j5_coverage_index, j2_existing_state_semi_join,
+# historical_fetch_windows (A2 stays proven through the flagship
+# pipeline), upsert_market_data (S9 stays driver-proven through
+# stream_upsert_market_data, which shares its oracle and leads the
+# prefix) — they sit in the unlisted middle region, before _CHECK_LAST.
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green
     # proof (round-1 green, so a cut-off loses least information here)

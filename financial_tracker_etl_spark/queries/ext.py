@@ -1673,7 +1673,121 @@ LEFT JOIN lex ON sem.vec1 = lex.doc1 AND sem.vec2 = lex.doc2
 """
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: treat the top-quarter of doc_ids
+    as the NEW batch and the rest as the existing corpus; admit only
+    new docs whose content fingerprint is absent from the corpus AND
+    unique within the batch (lowest doc_id survives). This is the
+    anti-join-on-fingerprint shape a 100 TB rolling corpus runs every
+    ingest — against a bucketed fingerprint state table the join is
+    shuffle-free on the state side (operators/bucketing.py proves the
+    layout).
+    """
+    docs = with_fingerprint(load_table(spark, sf_dir, "documents"))
+    # 1-row broadcast of the batch boundary — declarative, no
+    # driver-side count() action gating plan construction
+    bounds = docs.agg(
+        F.expr("count(1) - count(1) div 4").alias("cut")
+    )
+    split = docs.join(F.broadcast(bounds), F.expr("true"))
+    new = split.filter(F.col("doc_id") >= F.col("cut")).drop("cut")
+    corpus = split.filter(F.col("doc_id") < F.col("cut")).drop("cut")
+    fresh = new.join(
+        corpus.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    return (
+        exact_dedup(fresh, F.col("fingerprint"))
+        .select(
+            "doc_id", "source", "fingerprint",
+            F.col("n_duplicates").cast("long").alias("batch_copies"),
+        )
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    return """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+bounds AS (
+  SELECT count(*) - count(*) // 4 AS cut FROM fp
+),
+fresh AS (
+  SELECT f.* FROM fp f, bounds
+  WHERE f.doc_id >= cut
+    AND NOT EXISTS (
+      SELECT 1 FROM fp c, bounds b2
+      WHERE c.doc_id < b2.cut AND c.fingerprint = f.fingerprint
+    )
+)
+SELECT doc_id, source, fingerprint, CAST(n AS BIGINT) AS batch_copies
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS n
+  FROM fresh
+)
+WHERE rn = 1
+"""
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix: for every source pair,
+    how many content fingerprints appear in BOTH (the curation
+    diagnostic that tells you which crawl feeds are mirrors of each
+    other). Key = md5 of the normalized 60-char prefix — the repo's
+    exact-dedup key (x1), which actually collides across sources at
+    every SF (full-text md5 has zero cross-source hits at sf0.01, so
+    it would make this gate row vacuous). Dedup to distinct
+    (source, fingerprint) first, then a fingerprint-keyed self-join —
+    candidates bounded by shared content, never |A|x|B|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        docs.select(
+            "source",
+            F.md5(
+                F.substring(normalized_text(F.col("text")), 1, 60)
+            ).alias("fingerprint"),
+        )
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 60)) AS fingerprint
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "incremental_dedup_new_docs": QuerySpec(
+        _q_incremental_dedup, _incremental_dedup_oracle()
+    ),
+    "cross_source_overlap": QuerySpec(_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "semantic_dedup_pairs": QuerySpec(_q_semantic_dedup, _semantic_dedup_oracle()),
     "hll_distinct_users": QuerySpec(_q_hll, _HLL_ORACLE),
     "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),

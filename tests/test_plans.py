@@ -208,6 +208,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
     Any new query that plans a cartesian or an unlisted NLJ is a
     100 TB incident, not a style choice."""
     allow_nlj = {
+        "incremental_dedup_new_docs",  # 1-row batch-boundary broadcast
         "token_budget_mix",
         "brand_revenue_share",
         "source_vocab_divergence",  # 1-row grand-total broadcast
