@@ -1371,6 +1371,96 @@ FROM bc JOIN w1c ON bc.w1 = w1c.w1
 """
 
 
+def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprise scoring — the LM-perplexity
+    quality filter of the CCNet pipeline (Wenzek et al. 2020), with the
+    LM trained on the corpus itself. Two corpus-bigram aggregations
+    build the LM table (vocabulary^2-bounded: here broadcast back to
+    the per-doc bigram stream; at 100 TB the LM side is still tiny
+    relative to the corpus, so the enrich join stays broadcast), then
+    one per-doc aggregation yields an integer-exact surprise score:
+    surprise(w1,w2) = w1_count * 1e6 div pair_count (inverse
+    conditional probability, ppm). Integer sums/divs only — no float
+    accumulation, so the DuckDB hash matches exactly."""
+    from ..ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+    t = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i.cast("int")).alias("w1"),
+            F.element_at(t, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    doc_pairs = (
+        toked.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    bc = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    w1c = bc.groupBy("w1").agg(F.sum("pair_count").alias("w1_count"))
+    lm = (
+        bc.join(F.broadcast(w1c), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.expr("w1_count * 1000000 div pair_count")
+            .cast("long")
+            .alias("surprise_ppm"),
+        )
+    )
+    return (
+        doc_pairs.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surprise_ppm").alias("_s"),
+            F.max("surprise_ppm").alias("max_surprise_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_s div n_bigrams").cast("long").alias("avg_surprise_ppm"),
+            "max_surprise_ppm",
+        )
+    )
+
+
+_DOC_PERPLEXITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS g
+  FROM t WHERE len(toks) >= 2
+),
+dp AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM pairs
+),
+bc AS (
+  SELECT w1, w2, count(*) AS pair_count FROM dp GROUP BY w1, w2
+),
+w1c AS (
+  SELECT w1, CAST(sum(pair_count) AS BIGINT) AS w1_count FROM bc GROUP BY w1
+),
+lm AS (
+  SELECT bc.w1, bc.w2,
+         CAST(w1_count * 1000000 // pair_count AS BIGINT) AS surprise_ppm
+  FROM bc JOIN w1c ON bc.w1 = w1c.w1
+)
+SELECT dp.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(surprise_ppm) // count(*) AS BIGINT) AS avg_surprise_ppm,
+       CAST(max(surprise_ppm) AS BIGINT) AS max_surprise_ppm
+FROM dp JOIN lm ON dp.w1 = lm.w1 AND dp.w2 = lm.w2
+GROUP BY dp.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Span-granularity operators: token chunking, chunk-level dedup,
 # winnow-overlap containment pairs, DSIR importance weights
@@ -1792,6 +1882,7 @@ QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(_q_hll, _HLL_ORACLE),
     "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),
     "bigram_lm_counts": QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE),
+    "doc_lm_perplexity": QuerySpec(_q_doc_perplexity, _DOC_PERPLEXITY_ORACLE),
     "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),
     "source_vocab_divergence": QuerySpec(
         _q_vocab_divergence, _VOCAB_DIVERGENCE_ORACLE

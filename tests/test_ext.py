@@ -594,3 +594,31 @@ def test_semantic_dedup_classifies_both_modalities(spark):
             assert r.lexical_jaccard >= 0.4
         else:
             assert r.lexical_jaccard < 0.4
+
+
+def test_doc_perplexity_surprise_tracks_conditional_probability(spark):
+    """Docs whose prefixes branch (conditional prob < 1) must score
+    higher surprise than docs whose every bigram is the only observed
+    continuation of its prefix (conditional prob 1 -> surprise 1e6)."""
+    from financial_tracker_etl_spark.queries.ext import _q_doc_perplexity
+    import financial_tracker_etl_spark.queries.ext as ext_mod
+
+    rows = [
+        # prefix 'a' branches to 'b' and 'c' -> surprise(a,b)=surprise(a,c)=2e6
+        ("mixed", "a b a c"),
+        # all prefixes deterministic -> every bigram surprise exactly 1e6
+        ("flat", "zq xw vy ut rs pq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    orig = ext_mod.load_table
+    ext_mod.load_table = lambda _s, _d, _t: docs
+    try:
+        out = {r.doc_id: r for r in _q_doc_perplexity(spark, "ignored").collect()}
+    finally:
+        ext_mod.load_table = orig
+    assert out["flat"].avg_surprise_ppm == 1_000_000
+    assert out["flat"].n_bigrams == 5
+    # mixed: bigrams (a,b),(b,a),(a,c) -> (2e6 + 1e6 + 2e6) div 3
+    assert out["mixed"].avg_surprise_ppm == 1_666_666
+    assert out["mixed"].max_surprise_ppm == 2_000_000
+    assert out["mixed"].avg_surprise_ppm > out["flat"].avg_surprise_ppm
