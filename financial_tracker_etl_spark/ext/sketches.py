@@ -92,3 +92,36 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
             F.expr(_ALPHA_NUM_SQL) / total.cast("double"), 2
         ).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership sketch
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def bloom_position_array(
+    key: Column, k: int = BLOOM_HASHES, m: int = BLOOM_BITS
+) -> Column:
+    """Array of the k Bloom bit positions for ``key`` (Bloom 1970).
+
+    Position j = first-8-hex-digits of md5(key # j) mod m — the same
+    md5 coin as the HLL sketch above, so DuckDB reproduces every bit.
+    The filter itself is the DISTINCT set of positions per group: a
+    ≤ m-row relation per group, mergeable by union (the same
+    idempotent-merge property as HLL registers). At 100 TB the built
+    filter is broadcast-sized (m bits/group) no matter how large the
+    corpus that built it — membership probes never touch the corpus
+    that was sketched, which is the entire point.
+    """
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(key, F.lit(f"#{j}"))), 1, 8), 16, 10
+            ).cast("long")
+            % m
+            for j in range(k)
+        ]
+    )

@@ -1873,11 +1873,104 @@ GROUP BY a.source, b.source
 """
 
 
+def _q_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership overlap matrix: build a per-source
+    Bloom filter (m=4096 bits, k=4) over the exact-dedup content key,
+    then probe every document against every source's filter. A doc
+    "hits" a filter when ALL its bit positions are set — so
+    n_hit_docs upper-bounds true content overlap (hits = true dups +
+    false positives; fill_bits lets a consumer estimate the FPR as
+    (fill/m)^k). This is the sketch-based twin of
+    ``cross_source_overlap``: at 100 TB the filter stays ≤ m rows per
+    source and is broadcast to the probe stream, replacing the
+    fingerprint self-join with a corpus-side-only scan. Pairs with
+    zero shared bit positions drop out of the matrix; both engines
+    drop them identically (at any real fill ratio no pair drops).
+    All counts are integers — exact cross-engine hash."""
+    from ..ext.sketches import bloom_position_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(normalized_text(F.col("text")), 1, 60)
+    pos = (
+        docs.select(
+            "doc_id", "source", F.explode(bloom_position_array(key)).alias("pos")
+        )
+        .distinct()
+    )
+    filters = pos.select(F.col("source").alias("target_source"), "pos").distinct()
+    npos = pos.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_pos"))
+    matched = (
+        pos.join(F.broadcast(filters), "pos")
+        .groupBy("doc_id", "source", "target_source")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    fill = filters.groupBy("target_source").agg(
+        F.count(F.lit(1)).alias("fill_bits")
+    )
+    hits = (
+        matched.join(npos, ["doc_id", "source"])
+        .groupBy("source", "target_source")
+        .agg(
+            F.sum(F.when(F.col("n_match") == F.col("n_pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit_docs")
+        )
+    )
+    return (
+        hits.join(F.broadcast(srcs), "source")
+        .join(F.broadcast(fill), "target_source")
+        .select(
+            F.col("source").alias("probe_source"),
+            "target_source",
+            "n_docs",
+            "n_hit_docs",
+            "fill_bits",
+        )
+    )
+
+
+_BLOOM_OVERLAP_ORACLE = """
+WITH k AS (
+  SELECT doc_id, source,
+         substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 60) AS key
+  FROM documents
+),
+pos AS (
+  SELECT DISTINCT doc_id, source,
+         CAST(concat('0x', substr(md5(key || '#' || j), 1, 8)) AS BIGINT) % 4096 AS pos
+  FROM k, (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+filters AS (SELECT DISTINCT source AS target_source, pos FROM pos),
+npos AS (SELECT doc_id, source, count(*) AS n_pos FROM pos GROUP BY doc_id, source),
+matched AS (
+  SELECT p.doc_id, p.source, f.target_source, count(*) AS n_match
+  FROM pos p JOIN filters f ON p.pos = f.pos
+  GROUP BY p.doc_id, p.source, f.target_source
+),
+srcs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+fill AS (SELECT target_source, count(*) AS fill_bits FROM filters GROUP BY target_source),
+hits AS (
+  SELECT m.source, m.target_source,
+         CAST(sum(CASE WHEN m.n_match = n.n_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit_docs
+  FROM matched m JOIN npos n ON m.doc_id = n.doc_id AND m.source = n.source
+  GROUP BY m.source, m.target_source
+)
+SELECT h.source AS probe_source, h.target_source,
+       CAST(s.n_docs AS BIGINT) AS n_docs, h.n_hit_docs,
+       CAST(f.fill_bits AS BIGINT) AS fill_bits
+FROM hits h JOIN srcs s ON h.source = s.source
+JOIN fill f ON h.target_source = f.target_source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "incremental_dedup_new_docs": QuerySpec(
         _q_incremental_dedup, _incremental_dedup_oracle()
     ),
     "cross_source_overlap": QuerySpec(_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
+    "bloom_source_overlap": QuerySpec(_q_bloom_overlap, _BLOOM_OVERLAP_ORACLE),
     "semantic_dedup_pairs": QuerySpec(_q_semantic_dedup, _semantic_dedup_oracle()),
     "hll_distinct_users": QuerySpec(_q_hll, _HLL_ORACLE),
     "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),

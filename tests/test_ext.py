@@ -622,3 +622,42 @@ def test_doc_perplexity_surprise_tracks_conditional_probability(spark):
     assert out["mixed"].avg_surprise_ppm == 1_666_666
     assert out["mixed"].max_surprise_ppm == 2_000_000
     assert out["mixed"].avg_surprise_ppm > out["flat"].avg_surprise_ppm
+
+
+def test_bloom_overlap_counts_planted_duplicates(spark):
+    """A doc duplicated across sources must hit the other source's
+    Bloom filter; a disjoint-content source must not (at 4 hashes /
+    4096 bits the planted-fixture FP probability is ~1e-10, and the
+    md5 positions are deterministic either way)."""
+    from financial_tracker_etl_spark.queries.ext import _q_bloom_overlap
+    import financial_tracker_etl_spark.queries.ext as ext_mod
+
+    rows = [
+        ("a1", "alpha beta gamma delta", "srcA"),
+        ("a2", "epsilon zeta eta theta", "srcA"),
+        ("b1", "alpha beta gamma delta", "srcB"),  # dup of a1
+        ("b2", "iota kappa lambda mu", "srcB"),
+        ("c1", "nu xi omicron pi", "srcC"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    orig = ext_mod.load_table
+    ext_mod.load_table = lambda _s, _d, _t: docs
+    try:
+        out = {
+            (r.probe_source, r.target_source): r
+            for r in _q_bloom_overlap(spark, "ignored").collect()
+        }
+    finally:
+        ext_mod.load_table = orig
+    # every doc hits its own source's filter
+    assert out[("srcA", "srcA")].n_hit_docs == 2
+    assert out[("srcB", "srcB")].n_hit_docs == 2
+    # the planted duplicate hits in both directions
+    assert out[("srcB", "srcA")].n_hit_docs == 1
+    assert out[("srcA", "srcB")].n_hit_docs == 1
+    # disjoint content: zero hits (row may drop entirely when no bit overlaps)
+    for pair in [("srcC", "srcA"), ("srcC", "srcB")]:
+        assert pair not in out or out[pair].n_hit_docs == 0
+    # filter fill: k=4 hashes per distinct key, minus any position collisions
+    assert 0 < out[("srcA", "srcA")].fill_bits <= 8
+    assert out[("srcA", "srcA")].n_docs == 2
