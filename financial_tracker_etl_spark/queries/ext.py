@@ -1965,12 +1965,91 @@ JOIN fill f ON h.target_source = f.target_source
 """
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the compression step ANN
+    indexes apply before storing 100 TB of embeddings): min-max scale
+    each vector to 0..255 buckets, report an integer checksum of the
+    quantized codes plus the max reconstruction error in ppb. Entirely
+    per-row array expressions — ZERO shuffle, the whole query is one
+    narrow scan (the higher-order functions are interpreted, but four
+    passes over a 64-element array per row is cheap and beats
+    shuffling the exploded corpus). All outputs are integers: the
+    float math is identical-expression-shape on both engines and ends
+    in floor(), so no rounding-mode dependence anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("xs"),
+    )
+    s = d.select(
+        "vec_id",
+        "xs",
+        F.expr("array_min(xs)").alias("vmin"),
+        F.expr("array_max(xs)").alias("vmax"),
+    )
+    qv = (
+        "CASE WHEN vmax > vmin THEN least(CAST(floor((x - vmin) * 255"
+        " / (vmax - vmin)) AS BIGINT), CAST(255 AS BIGINT))"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    q = s.select(
+        "vec_id", "xs", "vmin", "vmax",
+        F.expr(f"transform(xs, x -> {qv})").alias("qs"),
+    )
+    err = (
+        "CAST(floor(abs(x - (vmin + qv * (vmax - vmin) / 255))"
+        " * 1000000000) AS BIGINT)"
+    )
+    return q.select(
+        "vec_id",
+        F.expr("CAST(size(xs) AS INT)").alias("n_dims"),
+        F.expr("aggregate(qs, CAST(0 AS BIGINT), (a, b) -> a + b)").alias(
+            "q_checksum"
+        ),
+        F.expr(f"array_max(zip_with(xs, qs, (x, qv) -> {err}))").alias(
+            "max_err_ppb"
+        ),
+    )
+
+
+_EMBEDDING_QUANTIZE_ORACLE = """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xs,
+         list_aggregate(xs, 'min') AS vmin,
+         list_aggregate(xs, 'max') AS vmax
+  FROM d
+),
+q AS (
+  SELECT vec_id, xs, vmin, vmax,
+         list_transform(xs, x ->
+           CASE WHEN vmax > vmin THEN least(CAST(floor((x - vmin) * 255
+             / (vmax - vmin)) AS BIGINT), CAST(255 AS BIGINT))
+           ELSE CAST(0 AS BIGINT) END) AS qs
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(xs) AS INTEGER) AS n_dims,
+       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_checksum,
+       CAST(list_aggregate(list_transform(range(1, len(xs) + 1),
+              i -> CAST(floor(abs(xs[i] - (vmin + qs[i] * (vmax - vmin) / 255))
+                   * 1000000000) AS BIGINT)), 'max') AS BIGINT) AS max_err_ppb
+FROM q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "incremental_dedup_new_docs": QuerySpec(
         _q_incremental_dedup, _incremental_dedup_oracle()
     ),
     "cross_source_overlap": QuerySpec(_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "bloom_source_overlap": QuerySpec(_q_bloom_overlap, _BLOOM_OVERLAP_ORACLE),
+    "embedding_int8_quantize": QuerySpec(
+        _q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE
+    ),
     "semantic_dedup_pairs": QuerySpec(_q_semantic_dedup, _semantic_dedup_oracle()),
     "hll_distinct_users": QuerySpec(_q_hll, _HLL_ORACLE),
     "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),

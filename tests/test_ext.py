@@ -661,3 +661,30 @@ def test_bloom_overlap_counts_planted_duplicates(spark):
     # filter fill: k=4 hashes per distinct key, minus any position collisions
     assert 0 < out[("srcA", "srcA")].fill_bits <= 8
     assert out[("srcA", "srcA")].n_docs == 2
+
+
+def test_int8_quantize_known_vectors(spark):
+    """Constant vectors quantize to all-zero codes with zero error;
+    an exactly-representable ramp reconstructs losslessly; a
+    non-grid-aligned vector must report a positive bounded error."""
+    from financial_tracker_etl_spark.queries.ext import _q_embedding_quantize
+    import financial_tracker_etl_spark.queries.ext as ext_mod
+
+    rows = [
+        (1, [5.0, 5.0, 5.0]),          # constant: vmax == vmin branch
+        (2, [0.0, 1.0, 2.0, 3.0]),     # ramp: codes 0,85,170,255 exact
+        (3, [0.0, 0.1, 1.0]),          # 0.1 is off the 1/255 grid
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    orig = ext_mod.load_table
+    ext_mod.load_table = lambda _s, _d, _t: emb
+    try:
+        out = {r.vec_id: r for r in _q_embedding_quantize(spark, "x").collect()}
+    finally:
+        ext_mod.load_table = orig
+    assert (out[1].q_checksum, out[1].max_err_ppb) == (0, 0)
+    assert out[2].q_checksum == 0 + 85 + 170 + 255
+    assert out[2].max_err_ppb == 0
+    assert out[3].n_dims == 3
+    assert 0 < out[3].max_err_ppb <= 2_000_000  # < half a grid step (~1.96e6 ppb)
+    assert 0 < out[3].q_checksum <= 255 * 3
