@@ -93,9 +93,10 @@ _CHECK_FIRST = [
     "embedding_cosine_near_dups",
     "flagship_historical_repair",
     "historical_missing_months",
-    "j1_symbols_needing_update",
-    "p1_invalid_quote_rows",
-    "p5_payload_envelopes",
+    # (1c) late round-2 additions — no driver row exists yet
+    "doc_lm_perplexity",
+    "bloom_source_overlap",
+    "embedding_int8_quantize",
 ]
 # displaced from the 50-entry prefix by round-2 additions (each has a
 # round-1 green row, so a cut-off loses least here):
@@ -105,7 +106,9 @@ _CHECK_FIRST = [
 # historical_fetch_windows (A2 stays proven through the flagship
 # pipeline), upsert_market_data (S9 stays driver-proven through
 # stream_upsert_market_data, which shares its oracle and leads the
-# prefix) — they sit in the unlisted middle region, before _CHECK_LAST.
+# prefix), and late in the round j1_symbols_needing_update,
+# p1_invalid_quote_rows, p5_payload_envelopes (J1/P1/P5 all r1-green)
+# — they sit in the unlisted middle region, before _CHECK_LAST.
 _CHECK_LAST = [
     # engine-breadth extras whose operators all have an earlier green
     # proof (round-1 green, so a cut-off loses least information here)
