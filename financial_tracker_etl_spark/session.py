@@ -9,13 +9,12 @@ settings are sane on a 1000-executor cluster:
   coalesces from a high initial number),
 - Arrow for any pandas-interop path (vectorized, not row-at-a-time),
 - UTC session timezone so timestamp semantics are deterministic and
-  match the DuckDB oracle,
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` pinned ONCE here:
-  events.parquet carries TIMESTAMP(NANOS), which Spark otherwise
-  refuses to read; every consumer derives integer microseconds from
-  the long (``ts div 1000``). Pinning at session construction makes
-  the semantics visible and engine-wide instead of a hidden side
-  effect of whichever events query ran first (round-1 advisor).
+  match the DuckDB oracle.
+
+Event-time normalization deliberately does NOT live in session conf:
+``catalog.load_table("events")`` branches on the dtype Spark actually
+loaded (see ``catalog.events_ts_us_col``), so queries behave the same
+under the driver's vanilla session as under this factory.
 """
 
 from __future__ import annotations
@@ -40,7 +39,6 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed state) live in scratch space, never the repo

@@ -20,22 +20,9 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import table_path
-
-# raw parquet carries TIMESTAMP(NANOS); with nanosAsLong the stream
-# reads it as ns-since-epoch longs (see catalog.load_table)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..catalog import events_ts_us_col, table_path
 
 WATERMARK_DELAY = "47 minutes"
 WATERMARK_DELAY_US = 47 * 60 * 1_000_000
@@ -61,8 +48,14 @@ def _staged_events_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import _ensure_session_defaults
 
-    _ensure_session_defaults(spark)  # nanosAsLong et al., pinned once
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+    _ensure_session_defaults(spark)
+    # FileStreamSource needs an explicit schema; probe it from a batch
+    # read of the same file so the stream sees events.ts exactly as the
+    # environment resolves it (ns-longs vs timestamp[_ntz]) and the
+    # dtype-branching conversion stays identical to the batch path.
+    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    ts_us = events_ts_us_col(dict(batch.dtypes)["ts"])
+    raw = spark.readStream.schema(batch.schema).parquet(
         _staged_events_dir(sf_dir)
     )
     return raw.select(
@@ -70,8 +63,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.expr("ts div 1000").alias("ts_us"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("event_time"),
     )
 
 
