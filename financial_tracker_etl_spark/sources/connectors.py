@@ -33,6 +33,22 @@ def file_request_stream(
     return reader.json(input_dir)
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """Consumer options mirroring the reference's consume loop
+    (reference: etl/main.py:86-131). Exposed as a pure dict so the
+    classpath-free test can pin them without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
 def kafka_request_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -44,10 +60,7 @@ def kafka_request_stream(
     JSON parse (F4) happen downstream in the shared pipeline."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+        .options(**kafka_source_options(bootstrap_servers, topics, starting_offsets))
         .load()
     )
     return raw.select(
@@ -70,11 +83,21 @@ def kafka_completion_sink(
     )
     return (
         payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("kafka.compression.type", "snappy")
-        .option("kafka.linger.ms", "5")
-        .option("kafka.batch.size", "16384")
-        .option("kafka.enable.idempotence", "true")
+        .options(**kafka_sink_options(bootstrap_servers, topic))
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """Producer options mirroring the reference's idempotent
+    snappy-batched producer (reference: etl/main.py:221-231:
+    linger_ms=5, batch_size=16384, compression_type='snappy',
+    enable_idempotence=True). Pure dict for the broker-free pin test."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "kafka.compression.type": "snappy",
+        "kafka.linger.ms": "5",
+        "kafka.batch.size": "16384",
+        "kafka.enable.idempotence": "true",
+    }

@@ -18,11 +18,16 @@ from __future__ import annotations
 from typing import Any, Callable, Iterable, Iterator
 
 
-def upsert_sql(table: str, columns: list[str], keys: list[str]) -> str:
+def upsert_sql(
+    table: str, columns: list[str], keys: list[str], placeholder: str = "%s"
+) -> str:
     """The reference's upsert statement, parameterized
-    (reference: etl/jobs/fetch_market_data/fetch_market_data.py:36-46)."""
+    (reference: etl/jobs/fetch_market_data/fetch_market_data.py:36-46).
+    ``placeholder`` is the paramstyle token: ``%s`` for psycopg
+    (reference), ``?`` for qmark drivers (DuckDB/SQLite), letting the
+    integration test execute the same statement against a real store."""
     cols = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    placeholders = ", ".join([placeholder] * len(columns))
     conflict = ", ".join(keys)
     updates = ", ".join(
         f"{c} = EXCLUDED.{c}" for c in columns if c not in keys
@@ -46,8 +51,9 @@ class PartitionUpserter:
         keys: list[str],
         connection_factory: Callable[[], Any],
         batch_size: int = 1000,
+        placeholder: str = "%s",
     ) -> None:
-        self.sql = upsert_sql(table, columns, keys)
+        self.sql = upsert_sql(table, columns, keys, placeholder)
         self.columns = columns
         self.connection_factory = connection_factory
         self.batch_size = batch_size

@@ -368,3 +368,49 @@ def test_weekly_retention_buckets_are_integer_weeks(spark):
             for r in _q_retention(spark, "unused").collect()
         }
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_catalog_contract_under_vanilla_session(spark):
+    """Environment-contract guard (round-2 postmortem): the driver runs
+    queries under ITS OWN SparkSession, not ours — the catalog must not
+    depend on any conf set at session-build time. ``newSession()`` gives
+    a session whose runtime confs reset to build-time defaults, so any
+    reliance on a runtime ``spark.conf.set`` (like round 2's dead
+    nanosAsLong pin) surfaces here. Asserts dtype AND epoch-us value
+    range — the range check is what catches a silent 1000x unit error."""
+    from financial_tracker_etl_spark.catalog import TABLES, load_table
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    vanilla = spark.newSession()
+    ev = load_table(vanilla, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts_us"] == "bigint"
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    # testdata events span 2024+; any ns/ms/s unit slip moves this by 1000x
+    assert 1_500_000_000_000_000 < lo <= hi < 2_500_000_000_000_000, (lo, hi)
+    key_dtypes = {
+        "orders": ("o_orderkey", "bigint"),
+        "lineitem": ("l_quantity", "double"),
+        "documents": ("doc_id", "bigint"),
+        "embeddings": ("vec_id", "bigint"),
+    }
+    for name in TABLES:
+        df = load_table(vanilla, SF_DIR, name)
+        assert df.count() > 0, name
+        if name in key_dtypes:
+            col, want = key_dtypes[name]
+            assert dict(df.dtypes)[col] == want, (name, col, dict(df.dtypes)[col])
+
+
+def test_events_stream_ts_matches_batch(spark):
+    """The streaming events source must produce the identical ts_us the
+    batch catalog does, whatever dtype the parquet resolves to (the
+    round-2 silent-wrong failure mode: stream schema hardcoded longs)."""
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.streaming.windows import events_stream
+    from conftest import SF_DIR
+
+    batch = load_table(spark, SF_DIR, "events").select("event_id", "ts_us")
+    stream = events_stream(spark, SF_DIR)
+    assert dict(stream.dtypes)["ts_us"] == "bigint"
+    assert dict(stream.dtypes)["event_time"].startswith("timestamp")

@@ -210,3 +210,102 @@ def test_kafka_builders_reach_classpath_boundary(spark):
         completions, "broker.invalid:9092", "completions", "/tmp/unused-ckpt"
     )
     assert writer is not None  # lazy builder: nothing started, no network
+
+
+def test_upsert_sql_pins_full_reference_statement():
+    """Exact parity with the reference's pinned market_data upsert
+    (reference: etl/jobs/fetch_market_data/fetch_market_data.py:36-46,
+    pinned by its tests/test_fetch_market_data.py:132-154): same column
+    list, same conflict keys, same EXCLUDED update set, in order."""
+    from financial_tracker_etl_spark.sources.jdbc_sink import upsert_sql
+
+    cols = [
+        "symbol", "asset_type", "price", "percent_change",
+        "change", "high", "low", "updated_at",
+    ]
+    sql = upsert_sql("market_data", cols, ["symbol", "asset_type"])
+    assert sql == (
+        "INSERT INTO market_data "
+        "(symbol, asset_type, price, percent_change, change, high, low, updated_at) "
+        "VALUES (%s, %s, %s, %s, %s, %s, %s, %s) "
+        "ON CONFLICT (symbol, asset_type) DO UPDATE SET "
+        "price = EXCLUDED.price, percent_change = EXCLUDED.percent_change, "
+        "change = EXCLUDED.change, high = EXCLUDED.high, low = EXCLUDED.low, "
+        "updated_at = EXCLUDED.updated_at"
+    )
+
+
+def test_partition_upserter_against_real_duckdb():
+    """Integration: the same statement executed against a real store
+    (DuckDB speaks the ON CONFLICT .. EXCLUDED dialect; qmark
+    paramstyle). Insert-then-conflict must end with the updated row —
+    the reference's idempotent upsert semantics (ST2), actually
+    executed, not mocked."""
+    import duckdb
+
+    from financial_tracker_etl_spark.sources.jdbc_sink import PartitionUpserter
+
+    con = duckdb.connect(":memory:")
+    con.execute(
+        "CREATE TABLE market_data ("
+        "symbol TEXT, asset_type TEXT, price DOUBLE, updated_at BIGINT, "
+        "PRIMARY KEY (symbol, asset_type))"
+    )
+
+    class NoCloseCon:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def close(self):  # keep the shared in-memory db alive across calls
+            pass
+
+    up = PartitionUpserter(
+        "market_data",
+        ["symbol", "asset_type", "price", "updated_at"],
+        ["symbol", "asset_type"],
+        lambda: NoCloseCon(con),
+        batch_size=2,
+        placeholder="?",
+    )
+    up(iter([
+        {"symbol": "AAPL", "asset_type": "STOCK", "price": 100.0, "updated_at": 1},
+        {"symbol": "BTC/USD", "asset_type": "CRYPTO", "price": 9.0, "updated_at": 1},
+    ]))
+    up(iter([  # conflict on (AAPL, STOCK) -> update wins
+        {"symbol": "AAPL", "asset_type": "STOCK", "price": 105.5, "updated_at": 2},
+    ]))
+    rows = dict(
+        (r[0], (r[2], r[3]))
+        for r in con.execute(
+            "SELECT symbol, asset_type, price, updated_at FROM market_data ORDER BY symbol"
+        ).fetchall()
+    )
+    assert rows == {"AAPL": (105.5, 2), "BTC/USD": (9.0, 1)}
+
+
+def test_kafka_option_dicts_pin_reference_tuning():
+    """Broker-free pin of the producer/consumer tuning the reference
+    uses (reference: etl/main.py:86-131 consumer, :221-231 producer:
+    linger_ms=5, batch_size=16384, compression snappy, idempotence)."""
+    from financial_tracker_etl_spark.sources.connectors import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    assert kafka_source_options("b:9092", ["requests/stock", "requests/index"]) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "requests/stock,requests/index",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_sink_options("b:9092", "completions") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "completions",
+        "kafka.compression.type": "snappy",
+        "kafka.linger.ms": "5",
+        "kafka.batch.size": "16384",
+        "kafka.enable.idempotence": "true",
+    }
