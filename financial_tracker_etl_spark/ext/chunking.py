@@ -181,3 +181,108 @@ def winnow_overlap_pairs(
             ),
         )
     )
+
+
+DUP_SPAN_N = 8
+
+
+def duplicate_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Repeated-substring detection, the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" shape re-expressed
+    relationally: every ``n``-token sliding gram is hashed; grams that
+    occur more than once ANYWHERE in the corpus (same doc included)
+    mark their ``n``-token span as duplicated; overlapping spans merge
+    per document; the output is per-doc duplicated-span statistics —
+    the mask a curation pass uses to cut repeated boilerplate out of
+    training text (as opposed to dropping whole near-dup docs).
+
+    The suffix-array machinery of the paper is a single-node design;
+    the distributed equivalent of its "duplicated substring of length
+    >= n" predicate is exactly this gram-hash → global count → interval
+    merge pipeline:
+
+    - sliding grams via ``lead`` windows (narrow, per-doc partitions);
+    - ONE shuffle on the gram hash for the global occurrence count
+      (map-side partial aggregation applies);
+    - dup positions rejoin on the hash (equi-join, never all-pairs);
+    - interval merge per doc via a running-max window (no UDF).
+
+    Output: (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_ppm) for
+    every document, zeros where nothing repeats.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(wdoc) for i in range(1, n)]
+    )
+    # gram and the completeness marker MUST be computed in the same
+    # projection: a window evaluated after the filter would see the
+    # truncated row set and silently corrupt the tail grams of each doc
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.md5(gram).alias("ghash"),
+            F.lead("tok", n - 1).over(wdoc).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "ghash")
+    )
+    dup_hashes = (
+        grams.groupBy("ghash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("ghash")
+    )
+    dup_pos = grams.join(dup_hashes, "ghash").select("doc_id", "pos")
+
+    # classic interval merge: a span starts a new island iff its start
+    # lies past the running max end of all earlier spans in the doc
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = dup_pos.withColumn(
+        "_island",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        ).over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islanded.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (n - 1)).alias("span_end"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("n_tokens"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.floor(
+                F.lit(1_000_000)
+                * F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens")
+            ).cast("long").alias("dup_ppm"),
+        )
+    )

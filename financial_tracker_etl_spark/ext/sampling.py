@@ -224,3 +224,35 @@ def dsir_importance(
         .withColumn("importance_ppm", F.expr("_aff_sum div n_tokens"))
         .drop("_aff_sum")
     )
+
+
+def shard_assignments(
+    docs: DataFrame, n_shards: int = 16, token_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic output sharding for training-data writes:
+    (doc_id, shard_id, shard_pos, weight) where shard_id is an md5
+    hash-coin bucket and shard_pos the document's rank inside its
+    shard in (hash, doc_id) order — i.e. the file and offset a
+    tokenize-and-write job would place this document at, decided
+    entirely by data, not by partition layout or arrival order.
+
+    Scale shape: this IS the plan for the terminal write of a corpus
+    pipeline — ``df.repartition(n_shards, shard_id)`` then
+    ``sortWithinPartitions(shard_pos)`` streams each shard out in one
+    pass (one shuffle total); the hash coin balances shards to within
+    sampling noise regardless of doc_id clustering, and a re-run (or a
+    task retry) reproduces byte-identical shards, which is what makes
+    checkpoint-resume of a 100 TB tokenization job safe.
+    """
+    from pyspark.sql import Window
+
+    h = pct_hash(F.col("doc_id"), mod=1_000_000_007)
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id", F.col(token_col).alias("weight"), h.alias("h")
+        )
+        .withColumn("shard_id", (F.col("h") % n_shards).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select("doc_id", "shard_id", "shard_pos", "weight")
+    )

@@ -421,3 +421,148 @@ def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             F.round(F.col("_dist").cast("double"), 6).alias("dist"),
         )
     )
+
+
+def pq_codebook(
+    corpus: DataFrame, m: int = 4, dim: int = 64, codeword_mod: int = 31
+) -> DataFrame:
+    """Product-quantization codebook: the vector space split into ``m``
+    contiguous subspaces of ``dim/m`` dims; each subspace's codewords
+    are the sub-vectors of a deterministic corpus sample
+    (vec_id % codeword_mod == 1 — a per-subspace k-means fit slots in
+    here unchanged, exactly like topk_cosine_ivf's centroid hook).
+    Rows: (s, code_id, cw) with unit-normalized codeword slices."""
+    sub = dim // m
+    u = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    # == (1 % mod), not == 1: mod=1 then selects the whole corpus (the
+    # degenerate every-vector-a-codeword case the exactness test uses)
+    sample = corpus.filter(
+        (F.col("vec_id") % codeword_mod) == (1 % codeword_mod)
+    ).select(F.col("vec_id").alias("code_id"), u.alias("u"))
+    parts = [
+        sample.select(
+            F.lit(s).alias("s"),
+            "code_id",
+            F.slice("u", s * sub + 1, sub).alias("cw"),
+        )
+        for s in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, m: int = 4, dim: int = 64) -> DataFrame:
+    """Encode every vector as ``m`` small codes: per subspace, the
+    nearest codeword by squared L2 (argmin of -2·dot(sub,cw)+dot(cw,cw);
+    the dot(sub,sub) term is constant per argmin and dropped). Ties
+    break on code_id asc.
+
+    Scale shape: the codebook is broadcast; the corpus is scanned once
+    per subspace slice and never shuffled against itself — the output
+    codes table is ~m bytes/vector (64 floats → 4 codes here, a 64×
+    memory cut), which is what makes the ADC scan below feasible over
+    corpora whose raw vectors don't fit storage bandwidth."""
+    sub = dim // m
+    u = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    parts = [
+        corpus.select(
+            "vec_id", F.lit(s).alias("s"), F.slice(u, s * sub + 1, sub).alias("subv")
+        )
+        for s in range(m)
+    ]
+    subv = parts[0]
+    for p in parts[1:]:
+        subv = subv.unionByName(p)
+    scored = subv.join(broadcast(codebook), "s").select(
+        "vec_id",
+        "s",
+        "code_id",
+        (
+            F.lit(-2.0) * dot(F.col("subv"), F.col("cw"))
+            + dot(F.col("cw"), F.col("cw"))
+        ).alias("d"),
+    )
+    return scored.groupBy("vec_id", "s").agg(
+        F.min_by("code_id", F.struct(F.col("d"), F.col("code_id"))).alias("code")
+    )
+
+
+def topk_cosine_pq(
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    codeword_mod: int = 31,
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization with
+    asymmetric distance computation (ADC): each query builds a tiny
+    lookup table dot(q_sub, codeword) per (subspace, codeword); the
+    corpus is then scanned as CODES ONLY — each candidate's approximate
+    cosine is the fixed-order sum of m table lookups, no float-vector
+    arithmetic per pair at all.
+
+    This is the classic IVF-PQ scale shape minus the IVF gating (which
+    `topk_cosine_ivf` provides and composes with): at 100 TB the codes
+    table is ~64× smaller than the raw vectors and the LUT join is a
+    broadcast hash join against an m·C-row table. Approximation error
+    is bounded by subspace quantization error; recall is tested against
+    the exact brute-force in tests/test_ext.py.
+
+    Determinism: the ADC sum is computed as p0+p1+p2+p3 in literal
+    subspace order (not an unordered float SUM), so Spark and the
+    DuckDB oracle agree bit-for-bit.
+    """
+    corpus = _corpus(embeddings)
+    codebook = pq_codebook(corpus, m, dim, codeword_mod)
+    codes = pq_encode(corpus, codebook, m, dim)
+
+    sub = dim // m
+    uq = F.transform(F.col("qv"), lambda x: x / F.col("qn"))
+    queries = corpus.filter((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qparts = [
+        queries.select(
+            "query_id", F.lit(s).alias("s"), F.slice(uq, s * sub + 1, sub).alias("qsub")
+        )
+        for s in range(m)
+    ]
+    qsub = qparts[0]
+    for p in qparts[1:]:
+        qsub = qsub.unionByName(p)
+    lut = qsub.join(broadcast(codebook), "s").select(
+        "query_id", "s", F.col("code_id").alias("code"),
+        dot(F.col("qsub"), F.col("cw")).alias("partial"),
+    )
+
+    cand = codes.join(broadcast(lut), ["s", "code"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    per_pair = cand.groupBy("query_id", "vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("partial"))).alias(f"p{s}")
+            for s in range(m)
+        ]
+    )
+    adc = per_pair.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sum(
+            (F.col(f"p{s}") for s in range(1, m)), F.col("p0")
+        ).alias("adc"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc"))
+    )

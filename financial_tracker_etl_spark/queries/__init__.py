@@ -84,9 +84,15 @@ _CHECK_FIRST = [
     "x1_exact_dedup",
     "ngram_jaccard_near_dups",
     "dedup_clusters",
-    "near_dup_edit_distance",
-    "text_regex_token_stats",
-    "text_winnow_fingerprints",
+    # round-3 addition (new code needs a driver row more than a
+    # redundant X2 twin: near_dup_edit_distance coasts on its r1 row,
+    # X2 near-dup stays prefix-covered by ngram_jaccard_near_dups)
+    "embedding_ann_pq",
+    # round-3 additions (same displacement rule: X3 token counting
+    # stays prefix-covered by text_token_stats, X3 fingerprinting by
+    # doc_fingerprints; the displaced twins coast on r1 rows)
+    "duplicate_span_stats",
+    "training_shard_plan",
     "embedding_topk_cosine",
     "multimodal_decode_features",
     "cdc_market_changes",
@@ -102,6 +108,9 @@ _CHECK_FIRST = [
 # Green round-2 rows — safe to coast one round (kept in a stable order
 # for readability; the gate does not reach them this round):
 _CHECK_LAST = [
+    "near_dup_edit_distance",
+    "text_regex_token_stats",
+    "text_winnow_fingerprints",
     "flagship_historical_repair",
     "historical_missing_months",
     "stream_upsert_market_data",

@@ -682,14 +682,172 @@ FROM (
 """
 
 
-# ---------------------------------------------------------------------------
-# Corpus assembly: data mixing, sequence packing, vocabulary, splits
-# (ext/sampling.py)
-# ---------------------------------------------------------------------------
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import topk_cosine_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine_pq(emb)
+
+
+def _ann_pq_oracle(
+    query_mod: int = 97, k: int = 10, m: int = 4, dim: int = 64,
+    codeword_mod: int = 31,
+) -> str:
+    """DuckDB twin of ext.similarity.topk_cosine_pq: same deterministic
+    codeword sample, same argmin encode (squared-L2 with the constant
+    dot(sub,sub) dropped), same fixed-order p0+p1+p2+p3 ADC sum."""
+    sub = dim // m
+    padd = "((p0 + p1) + p2) + p3" if m == 4 else " + ".join(
+        f"p{s}" for s in range(m)
+    )
+    pcols = ", ".join(
+        f"max(CASE WHEN c.s = {s} THEN partial END) AS p{s}" for s in range(m)
+    )
+    return f"""
+WITH {_CORPUS_CTE.strip()},
+u AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM corpus
+),
+ss AS (SELECT unnest(range({m})) AS s),
+cb AS (
+  SELECT ss.s, u.vec_id AS code_id,
+         list_slice(u.u, ss.s*{sub}+1, ss.s*{sub}+{sub}) AS cw
+  FROM u CROSS JOIN ss WHERE u.vec_id % {codeword_mod} = {1 % codeword_mod}
+),
+subv AS (
+  SELECT u.vec_id, ss.s,
+         list_slice(u.u, ss.s*{sub}+1, ss.s*{sub}+{sub}) AS subv
+  FROM u CROSS JOIN ss
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT subv.vec_id, subv.s, cb.code_id AS code,
+           row_number() OVER (
+             PARTITION BY subv.vec_id, subv.s
+             ORDER BY -2 * list_dot_product(subv.subv, cb.cw)
+                      + list_dot_product(cb.cw, cb.cw) ASC,
+                      cb.code_id ASC) AS rn
+    FROM subv JOIN cb ON subv.s = cb.s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, u AS uq FROM u WHERE vec_id % {query_mod} = 0),
+lut AS (
+  SELECT q.query_id, cb.s, cb.code_id AS code,
+         list_dot_product(
+           list_slice(q.uq, cb.s*{sub}+1, cb.s*{sub}+{sub}), cb.cw) AS partial
+  FROM q CROSS JOIN cb
+),
+pairs AS (
+  SELECT l.query_id, c.vec_id, {pcols}
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc
+FROM (
+  SELECT query_id, vec_id AS neighbor_id, {padd} AS adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {padd} DESC, vec_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
 
 _PCT_HASH_SQL = (
     "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 8)) AS BIGINT) % {m}"
 )
+
+
+def _q_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import shard_assignments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_assignments(docs)
+
+
+_SHARDS_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars AS weight,
+         {_PCT_HASH_SQL.format(x='doc_id', m=1_000_000_007)} AS h
+  FROM documents
+),
+s AS (SELECT doc_id, weight, h, CAST(h % 16 AS INTEGER) AS shard_id FROM h)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+            AS BIGINT) AS shard_pos,
+       weight
+FROM s
+"""
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.chunking import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs)
+
+
+def _dup_spans_oracle(n: int = 8) -> str:
+    """DuckDB twin of ext.chunking.duplicate_span_stats: same lead-window
+    grams, same global md5-count dup predicate, same running-max
+    interval merge."""
+    leads = ", ".join(f"lead(tok, {i}) OVER w" for i in range(1, n))
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(range(len(arr))) AS pos, unnest(arr) AS tok FROM arrs
+),
+grams AS (
+  SELECT doc_id, pos, md5(concat_ws(' ', tok, {leads})) AS ghash,
+         lead(tok, {n - 1}) OVER w AS _last
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (SELECT doc_id, pos, ghash FROM grams WHERE _last IS NOT NULL),
+dup AS (SELECT ghash FROM g GROUP BY ghash HAVING count(*) > 1),
+dup_pos AS (SELECT doc_id, pos FROM g JOIN dup USING (ghash)),
+islanded AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT doc_id, pos,
+           max(pos + {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM dup_pos
+  )
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS span_start,
+         max(pos) + {n - 1} AS span_end
+  FROM islanded GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         sum(span_end - span_start + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(text)), ' ')) AS n_tokens
+  FROM documents
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(floor(1000000 * coalesce(p.dup_tokens, 0) / t.n_tokens) AS BIGINT)
+         AS dup_ppm
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: data mixing, sequence packing, vocabulary, splits
+# (ext/sampling.py)
+# ---------------------------------------------------------------------------
 
 _MIX_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.25, "zh": 0.1}
 
@@ -2087,6 +2245,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _cosine_pairs_oracle()),
     "embedding_ann_lsh": QuerySpec(_q_ann_lsh, _ann_lsh_oracle()),
     "embedding_ann_ivf": QuerySpec(_q_ann_ivf, _ann_ivf_oracle()),
+    "embedding_ann_pq": QuerySpec(_q_ann_pq, _ann_pq_oracle()),
+    "duplicate_span_stats": QuerySpec(_q_dup_spans, _dup_spans_oracle()),
+    "training_shard_plan": QuerySpec(_q_shards, _SHARDS_ORACLE),
     "text_stratified_sample": QuerySpec(_q_stratified, _stratified_oracle()),
     "seq_packing_plan": QuerySpec(_q_packing, _PACKING_ORACLE),
     "vocab_top_terms": QuerySpec(_q_vocab, _VOCAB_ORACLE),

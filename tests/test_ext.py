@@ -711,3 +711,86 @@ def test_connected_components_lineage_bounded_deep_graph(spark):
     # one would contain one Join node per iteration
     assert plan.count("Join") == 0, plan[:2000]
     assert len(plan) < 4000, len(plan)
+
+
+def test_ann_pq_adc_recall_and_exact_degenerate(spark):
+    """PQ-ADC sanity: (a) the degenerate config (m=1, every vector a
+    codeword) encodes every vector as itself, so ADC == exact cosine
+    and the top-k matches brute force pair-for-pair; (b) m=4 with the
+    full codebook is still exact (each subvector quantizes to itself);
+    (c) the default config keeps a recall floor on random
+    near-orthogonal vectors (PQ's worst case — real clustered
+    embeddings quantize far better)."""
+    from financial_tracker_etl_spark.ext.similarity import (
+        topk_cosine_bruteforce,
+        topk_cosine_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bf = {(r.query_id, r.neighbor_id) for r in topk_cosine_bruteforce(emb).collect()}
+    assert bf
+    degen = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_cosine_pq(emb, m=1, codeword_mod=1).collect()
+    }
+    assert degen == bf
+    full_cb = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_cosine_pq(emb, m=4, codeword_mod=1).collect()
+    }
+    assert full_cb == bf
+    approx = {(r.query_id, r.neighbor_id) for r in topk_cosine_pq(emb).collect()}
+    recall = len(bf & approx) / len(bf)
+    assert recall >= 0.1, f"pq recall {recall}"
+
+
+def test_duplicate_span_stats_known_answer(spark):
+    """Planted repeats: an 8-gram repeated across docs marks exactly its
+    spans; overlapping dup grams merge into one island; unique docs
+    report zeros."""
+    from financial_tracker_etl_spark.ext.chunking import duplicate_span_stats
+
+    rep = "a b c d e f g h"  # the repeated 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep} x y z {rep} q"),        # spans [0,7] and [11,18]
+            (2, " ".join(f"u{i}" for i in range(20))),  # all unique
+            (3, f"{rep} i {rep} i"),            # periodic: every gram dups
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(docs).collect()}
+    assert out[1].n_tokens == 20
+    assert out[1].n_dup_spans == 2 and out[1].dup_tokens == 16
+    assert out[1].dup_ppm == 800_000
+    assert out[2].n_dup_spans == 0 and out[2].dup_tokens == 0
+    # doc 3: "a..h i" twice = 18 tokens; dup gram starts are {0,1,9,10}
+    # (grams crossing the period boundary occur once), so the merge
+    # yields islands [0,8] and [9,17] — all 18 tokens in 2 spans
+    assert out[3].n_tokens == 18
+    assert out[3].n_dup_spans == 2 and out[3].dup_tokens == 18
+    assert out[3].dup_ppm == 1_000_000
+
+
+def test_shard_assignments_deterministic_balanced_contiguous(spark):
+    """Sharding must be (a) reproducible run-to-run, (b) hash-balanced,
+    (c) gapless: shard_pos is exactly 1..count within every shard —
+    the property that makes the terminal corpus write resumable."""
+    from financial_tracker_etl_spark.ext.sampling import shard_assignments
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = shard_assignments(docs).collect()
+    b = shard_assignments(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    n, k = len(a), len(by_shard)
+    assert k == 16
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+        # binomial spread: no shard further than 5 sigma from n/16
+        import math
+
+        sigma = math.sqrt(n * (1 / 16) * (15 / 16))
+        assert abs(len(poss) - n / 16) < 5 * sigma, (shard, len(poss))
