@@ -256,3 +256,58 @@ def shard_assignments(
         .withColumn("shard_pos", F.row_number().over(w))
         .select("doc_id", "shard_id", "shard_pos", "weight")
     )
+
+
+def pps_systematic_sample(
+    docs: DataFrame,
+    n_select: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    block: int = 64,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: documents
+    in ``id_col`` order carry an exact global running weight; a doc is
+    selected iff its weight interval [cum_w - weight, cum_w) spans a
+    multiple of step = total_weight // n_select. Inclusion probability
+    ~ weight/step, integer-exact end to end — deliberately NOT the
+    Efraimidis-Spirakis -ln(u)/w key, whose libm transcendental is not
+    cross-engine-reproducible.
+
+    The global prefix sum is the scalable two-pass shape (same family
+    as pack_sequences): contiguous id blocks get per-block running sums
+    (partitioned window, parallel), block totals aggregate to a tiny
+    table whose own prefix (the block offset) comes from a broadcast
+    non-equi self-join — the only non-equi join is over #blocks rows,
+    never over documents.
+    """
+    shard = F.floor(F.col(id_col) / block).alias("blk")
+    w = (
+        Window.partitionBy("blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = docs.select(
+        id_col, F.col(weight_col).alias("weight"), shard
+    ).withColumn("cum_in", F.sum("weight").over(w))
+    totals = cum_in.groupBy("blk").agg(F.sum("weight").alias("blk_total"))
+    offsets = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.blk") < F.col("a.blk"),
+            "left",
+        )
+        .groupBy(F.col("a.blk").alias("blk"))
+        .agg(F.coalesce(F.sum("b.blk_total"), F.lit(0)).alias("offset"))
+    )
+    total = totals.agg(F.sum("blk_total").alias("total"))
+    cum = (
+        cum_in.join(F.broadcast(offsets), "blk")
+        .withColumn("cum_w", F.col("offset") + F.col("cum_in"))
+        .join(F.broadcast(total))
+        .withColumn("step", (F.col("total") / F.lit(n_select)).cast("long"))
+    )
+    return cum.filter(
+        F.floor(F.col("cum_w") / F.col("step"))
+        > F.floor((F.col("cum_w") - F.col("weight")) / F.col("step"))
+    ).select(id_col, "weight", F.col("cum_w").cast("long").alias("cum_w"))

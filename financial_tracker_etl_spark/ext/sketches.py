@@ -125,3 +125,78 @@ def bloom_position_array(
             for j in range(k)
         ]
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_sketch(
+    items: DataFrame,
+    key_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relation:
+    ``depth`` independent md5 hash lanes map every item occurrence to a
+    (lane, bucket) cell; the sketch is the per-cell occurrence count.
+
+    ONE shuffle of (lane, bucket) pairs with map-side partial counts —
+    the reduced state is depth·width rows no matter the corpus size,
+    which is the whole point: at 100 TB the sketch aggregates
+    arbitrarily many partitions into a constant-size table that then
+    BROADCASTS to estimate frequencies with no second pass over the
+    data. Same md5 hash-coin family as the HLL/Bloom sketches, so the
+    DuckDB oracle reproduces every cell exactly.
+    """
+    lanes = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("lane")
+    cells = items.select(F.col(key_col).alias("k"), lanes).select(
+        "lane",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("lane").cast("string"), F.col("k"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return cells.groupBy("lane", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates: est(k) = min over lanes of the cell k
+    hashes into — an overestimate by construction (collisions only add),
+    within eps·N with high probability. The sketch side is broadcast;
+    probes never touch the raw corpus."""
+    from pyspark.sql.functions import broadcast
+
+    lanes = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("lane")
+    probe_cells = probes.select(F.col(key_col).alias("k"), lanes).select(
+        "k",
+        "lane",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("lane").cast("string"), F.col("k"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    joined = probe_cells.join(broadcast(sketch), ["lane", "bucket"], "left")
+    return joined.groupBy("k").agg(
+        F.min(F.coalesce(F.col("cell_count"), F.lit(0))).alias("cms_est")
+    )

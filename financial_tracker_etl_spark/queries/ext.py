@@ -758,6 +758,87 @@ _PCT_HASH_SQL = (
 )
 
 
+def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's true
+    top-20 tokens, next to the exact counts (est >= true always; the
+    gap is the collision error the sketch trades for constant memory).
+    Completes the sketch family: HLL (distincts), Bloom (membership),
+    CMS (frequencies)."""
+    from ..ext.sketches import cms_estimate, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token")
+    )
+    sketch = cms_sketch(toks)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("token"))
+    return top.join(est, top["token"] == est["k"]).select(
+        "token", "true_count", "cms_est"
+    )
+
+
+_CMS_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(concat_ws('#', CAST(lane AS VARCHAR), "
+    "token)), 1, 8)) AS BIGINT) % 512"
+)
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents
+),
+lanes AS (SELECT unnest(range(4)) AS lane),
+cells AS (
+  SELECT lane, {_CMS_HASH_SQL} AS bucket FROM toks CROSS JOIN lanes
+),
+sketch AS (
+  SELECT lane, bucket, count(*) AS cell_count FROM cells GROUP BY lane, bucket
+),
+top AS (
+  SELECT token, count(*) AS true_count FROM toks GROUP BY token
+  ORDER BY true_count DESC, token ASC LIMIT 20
+),
+probe AS (
+  SELECT token, lane, {_CMS_HASH_SQL} AS bucket FROM top CROSS JOIN lanes
+),
+est AS (
+  SELECT token, CAST(min(coalesce(cell_count, 0)) AS BIGINT) AS cms_est
+  FROM probe LEFT JOIN sketch USING (lane, bucket) GROUP BY token
+)
+SELECT t.token, CAST(t.true_count AS BIGINT) AS true_count, e.cms_est
+FROM top t JOIN est e USING (token)
+"""
+
+
+def _q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import pps_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pps_systematic_sample(docs)
+
+
+# the oracle states the SEMANTICS with a plain global window — integer
+# arithmetic makes it value-identical to the engine's two-pass sharded
+# prefix sum, which exists purely for plan shape (no global sort)
+_PPS_ORACLE = """
+WITH cum AS (
+  SELECT doc_id, n_chars AS weight,
+         sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM documents
+),
+t AS (SELECT CAST(sum(n_chars) // 100 AS BIGINT) AS step FROM documents)
+SELECT doc_id, weight, CAST(cum_w AS BIGINT) AS cum_w
+FROM cum CROSS JOIN t
+WHERE (cum_w // step) > ((cum_w - weight) // step)
+"""
+
+
 def _q_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sampling import shard_assignments
 
@@ -2248,6 +2329,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_ann_pq": QuerySpec(_q_ann_pq, _ann_pq_oracle()),
     "duplicate_span_stats": QuerySpec(_q_dup_spans, _dup_spans_oracle()),
     "training_shard_plan": QuerySpec(_q_shards, _SHARDS_ORACLE),
+    "cms_token_frequencies": QuerySpec(_q_cms, _CMS_ORACLE),
+    "pps_weighted_sample": QuerySpec(_q_pps_sample, _PPS_ORACLE),
     "text_stratified_sample": QuerySpec(_q_stratified, _stratified_oracle()),
     "seq_packing_plan": QuerySpec(_q_packing, _PACKING_ORACLE),
     "vocab_top_terms": QuerySpec(_q_vocab, _VOCAB_ORACLE),

@@ -794,3 +794,46 @@ def test_shard_assignments_deterministic_balanced_contiguous(spark):
 
         sigma = math.sqrt(n * (1 / 16) * (15 / 16))
         assert abs(len(poss) - n / 16) < 5 * sigma, (shard, len(poss))
+
+
+def test_cms_estimates_overcount_and_near_exact_for_heavy_hitters(spark):
+    """CMS point estimates can only OVERcount (collisions add), and for
+    heavy hitters in a small vocabulary the 4x512 sketch should be
+    exact or nearly so."""
+    from financial_tracker_etl_spark.queries.ext import _q_cms
+
+    rows = _q_cms(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.true_count, r
+        assert r.cms_est <= r.true_count * 2, r  # small-vocab sanity
+
+
+def test_pps_sample_selects_by_weight_deterministically(spark):
+    """Systematic PPS: a document whose weight exceeds the step is
+    ALWAYS selected; total selections land within one of n_select; and
+    the selection is reproducible."""
+    from financial_tracker_etl_spark.ext.sampling import pps_systematic_sample
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(200)] + [(500, 5000)],
+        "doc_id long, n_chars long",
+    )
+    # total = 7000, n_select=10 -> step=700; the 5000-weight doc spans
+    # multiple step boundaries and must be picked
+    got = pps_systematic_sample(docs, n_select=10).collect()
+    ids = {r.doc_id for r in got}
+    assert 500 in ids
+    # a doc spanning k boundaries is emitted once but absorbs k slots:
+    # the spanned-boundary total is exactly total//step boundaries
+    step = 7000 // 10
+    spanned = sum(
+        r.cum_w // step - (r.cum_w - r.weight) // step for r in got
+    )
+    assert spanned == 10
+    again = {r.doc_id for r in pps_systematic_sample(docs, n_select=10).collect()}
+    assert ids == again
+    # real corpus: 100 requested -> 100 +- 1 selected
+    corpus = load_table(spark, SF_DIR, "documents")
+    n = pps_systematic_sample(corpus).count()
+    assert 99 <= n <= 101
