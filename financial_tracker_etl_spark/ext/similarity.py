@@ -566,3 +566,100 @@ def topk_cosine_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc"))
     )
+
+
+def topk_cosine_ivfpq(
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 10,
+    centroid_mod: int = 23,
+    nprobe: int = 4,
+    m: int = 4,
+    dim: int = 64,
+    codeword_mod: int = 31,
+) -> DataFrame:
+    """IVF + PQ composed — the production ANN shape at 100 TB (FAISS's
+    IVFPQ): the IVF stage gates WHICH vectors are candidates (only the
+    ``nprobe`` probed clusters, ~nprobe/C of the corpus), the PQ stage
+    changes WHAT is scanned for them (4-byte codes + a per-query lookup
+    table instead of raw float vectors). Compared to `topk_cosine_ivf`
+    the candidate scan reads ~64× fewer bytes; compared to
+    `topk_cosine_pq` it scores ~nprobe/C as many candidates. Both
+    stages reuse the standalone operators' exact machinery, so the
+    determinism story (fixed-order ADC sum, row_number tie-breaks) is
+    identical.
+    """
+    from pyspark.sql import Window
+
+    corpus = _corpus(embeddings)
+    centroids = corpus.filter((F.col("vec_id") % centroid_mod) == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = ivf_assignments(corpus, centroids).select("vec_id", "cluster_id")
+    codebook = pq_codebook(corpus, m, dim, codeword_mod)
+    codes = pq_encode(corpus, codebook, m, dim)
+
+    queries = corpus.filter((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qscore = queries.join(broadcast(centroids)).select(
+        "query_id",
+        "centroid_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "ccos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscore.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cluster_id"))
+    )
+
+    sub = dim // m
+    uq = F.transform(F.col("qv"), lambda x: x / F.col("qn"))
+    qparts = [
+        queries.select(
+            "query_id", F.lit(s).alias("s"), F.slice(uq, s * sub + 1, sub).alias("qsub")
+        )
+        for s in range(m)
+    ]
+    qsub = qparts[0]
+    for p in qparts[1:]:
+        qsub = qsub.unionByName(p)
+    lut = qsub.join(broadcast(codebook), "s").select(
+        "query_id", "s", F.col("code_id").alias("code"),
+        dot(F.col("qsub"), F.col("cw")).alias("partial"),
+    )
+
+    cand_vecs = assigned.join(broadcast(probes), "cluster_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cand = cand_vecs.join(codes, "vec_id").join(
+        broadcast(lut), ["query_id", "s", "code"]
+    )
+    per_pair = cand.groupBy("query_id", "vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("partial"))).alias(f"p{s}")
+            for s in range(m)
+        ]
+    )
+    adc = per_pair.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sum((F.col(f"p{s}") for s in range(1, m)), F.col("p0")).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc"))
+    )

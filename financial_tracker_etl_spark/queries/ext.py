@@ -753,6 +753,107 @@ FROM (
 """
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import topk_cosine_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine_ivfpq(emb)
+
+
+def _ann_ivfpq_oracle(
+    query_mod: int = 97, k: int = 10, centroid_mod: int = 23, nprobe: int = 4,
+    m: int = 4, dim: int = 64, codeword_mod: int = 31,
+) -> str:
+    """DuckDB twin of ext.similarity.topk_cosine_ivfpq: the IVF oracle's
+    cluster assignment/probing composed with the PQ oracle's codebook/
+    codes/LUT, candidates = probed clusters only, fixed-order ADC sum."""
+    sub = dim // m
+    padd = "((p0 + p1) + p2) + p3" if m == 4 else " + ".join(
+        f"p{s}" for s in range(m)
+    )
+    pcols = ", ".join(
+        f"max(CASE WHEN c.s = {s} THEN partial END) AS p{s}" for s in range(m)
+    )
+    return f"""
+WITH {_CORPUS_CTE.strip()},
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+  FROM corpus WHERE vec_id % {centroid_mod} = 1
+),
+asg AS (
+  SELECT vec_id, centroid_id AS cluster_id FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cent.cv) / (c.nrm * cent.cn) DESC,
+                      cent.centroid_id ASC) AS rn
+    FROM corpus c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM corpus),
+ss AS (SELECT unnest(range({m})) AS s),
+cb AS (
+  SELECT ss.s, u.vec_id AS code_id,
+         list_slice(u.u, ss.s*{sub}+1, ss.s*{sub}+{sub}) AS cw
+  FROM u CROSS JOIN ss WHERE u.vec_id % {codeword_mod} = {1 % codeword_mod}
+),
+subv AS (
+  SELECT u.vec_id, ss.s,
+         list_slice(u.u, ss.s*{sub}+1, ss.s*{sub}+{sub}) AS subv
+  FROM u CROSS JOIN ss
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT subv.vec_id, subv.s, cb.code_id AS code,
+           row_number() OVER (
+             PARTITION BY subv.vec_id, subv.s
+             ORDER BY -2 * list_dot_product(subv.subv, cb.cw)
+                      + list_dot_product(cb.cw, cb.cw) ASC,
+                      cb.code_id ASC) AS rn
+    FROM subv JOIN cb ON subv.s = cb.s
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT c.vec_id AS query_id, c.v AS qv, c.nrm AS qn, u.u AS uq
+  FROM corpus c JOIN u ON u.vec_id = c.vec_id
+  WHERE c.vec_id % {query_mod} = 0
+),
+probes AS (
+  SELECT query_id, centroid_id AS cluster_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cent.cv) / (q.qn * cent.cn) DESC,
+                      cent.centroid_id ASC) AS pr
+    FROM q CROSS JOIN cent
+  ) WHERE pr <= {nprobe}
+),
+lut AS (
+  SELECT q.query_id, cb.s, cb.code_id AS code,
+         list_dot_product(
+           list_slice(q.uq, cb.s*{sub}+1, cb.s*{sub}+{sub}), cw) AS partial
+  FROM q CROSS JOIN cb
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM asg a JOIN probes p ON a.cluster_id = p.cluster_id
+  WHERE a.vec_id <> p.query_id
+),
+pairs AS (
+  SELECT cd.query_id, cd.vec_id, {pcols}
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.vec_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.code = c.code
+  GROUP BY cd.query_id, cd.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc
+FROM (
+  SELECT query_id, vec_id AS neighbor_id, {padd} AS adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {padd} DESC, vec_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
 _PCT_HASH_SQL = (
     "CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 8)) AS BIGINT) % {m}"
 )
@@ -2330,6 +2431,7 @@ QUERIES: dict[str, QuerySpec] = {
     "duplicate_span_stats": QuerySpec(_q_dup_spans, _dup_spans_oracle()),
     "training_shard_plan": QuerySpec(_q_shards, _SHARDS_ORACLE),
     "cms_token_frequencies": QuerySpec(_q_cms, _CMS_ORACLE),
+    "embedding_ann_ivfpq": QuerySpec(_q_ann_ivfpq, _ann_ivfpq_oracle()),
     "pps_weighted_sample": QuerySpec(_q_pps_sample, _PPS_ORACLE),
     "text_stratified_sample": QuerySpec(_q_stratified, _stratified_oracle()),
     "seq_packing_plan": QuerySpec(_q_packing, _PACKING_ORACLE),

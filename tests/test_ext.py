@@ -837,3 +837,32 @@ def test_pps_sample_selects_by_weight_deterministically(spark):
     corpus = load_table(spark, SF_DIR, "documents")
     n = pps_systematic_sample(corpus).count()
     assert 99 <= n <= 101
+
+
+def test_ann_ivfpq_composes_consistently(spark):
+    """IVF+PQ with nprobe=all clusters degrades to plain PQ (the gate
+    admits everything), and with the default nprobe each query's result
+    is a subset of the PQ candidate scoring restricted to probed
+    clusters — i.e. the composition changes WHICH vectors are scanned,
+    never HOW they are scored."""
+    from financial_tracker_etl_spark.ext.similarity import (
+        topk_cosine_ivfpq,
+        topk_cosine_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pq = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc)
+        for r in topk_cosine_pq(emb).collect()
+    }
+    exhaustive = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc)
+        for r in topk_cosine_ivfpq(emb, nprobe=10**6).collect()
+    }
+    assert exhaustive == pq
+    gated = [(r.query_id, r.neighbor_id, r.adc) for r in topk_cosine_ivfpq(emb).collect()]
+    assert gated
+    pq_scores = {(q, n): a for q, n, _, a in pq}
+    for q, n, a in gated:
+        if (q, n) in pq_scores:  # same pair must carry the same ADC score
+            assert abs(pq_scores[(q, n)] - a) < 1e-9

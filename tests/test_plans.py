@@ -215,6 +215,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "embedding_topk_cosine",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
+        "embedding_ann_ivfpq",  # same broadcast centroid/query scoring
         # block-offset prefix: non-equi broadcast self-join over the
         # ~#docs/64-row block-totals table, never over documents
         "pps_weighted_sample",

@@ -241,3 +241,74 @@ def test_token_budget_mix_matches_waterfill_model(spark, docs, weights):
     # deterministic replay: identical kept set
     again = {r["doc_id"] for r in mix_by_token_budget(df, weights, "n_tokens").collect()}
     assert {r["doc_id"] for r in rows} == again
+
+
+def _dup_span_model(texts: list[str], n: int = 8):
+    """Python reference for duplicate_span_stats: gram counting +
+    interval merge, brute force."""
+    from collections import Counter
+
+    toks = {i: t.strip().lower().split(" ") for i, t in enumerate(texts)}
+    gram_count: Counter = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - n + 1):
+            gram_count[tuple(ts[i : i + n])] += 1
+    out = {}
+    for doc, ts in toks.items():
+        spans = []
+        for i in range(len(ts) - n + 1):
+            if gram_count[tuple(ts[i : i + n])] > 1:
+                if spans and i <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], i + n - 1)
+                else:
+                    spans.append([i, i + n - 1])
+        dup_tokens = sum(e - s + 1 for s, e in spans)
+        out[doc] = (len(ts), len(spans), dup_tokens)
+    return out
+
+
+_span_tokens = st.lists(
+    st.sampled_from("a b c d e".split()), min_size=1, max_size=30
+).map(" ".join)
+
+
+@given(texts=st.lists(_span_tokens, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_duplicate_span_stats_matches_python_model(spark, texts):
+    from financial_tracker_etl_spark.ext.chunking import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_span_stats(df).collect()
+    }
+    assert got == _dup_span_model(texts)
+
+
+_pps_weights = st.lists(
+    st.integers(min_value=1, max_value=500), min_size=5, max_size=40
+)
+
+
+@given(weights=_pps_weights, n_select=st.integers(min_value=1, max_value=10))
+@settings(**SETTINGS)
+def test_pps_boundary_count_invariant(spark, weights, n_select):
+    """Systematic PPS: however the weights fall, the spanned-boundary
+    total over selected docs equals total // step boundaries (every
+    step multiple in (0, total] is spanned by exactly one doc)."""
+    from financial_tracker_etl_spark.ext.sampling import pps_systematic_sample
+
+    total = sum(weights)
+    step = total // n_select
+    if step == 0:
+        return  # degenerate: fewer weight units than selections
+    df = spark.createDataFrame(
+        list(enumerate(weights)), "doc_id long, n_chars long"
+    )
+    got = pps_systematic_sample(df, n_select=n_select).collect()
+    spanned = sum(
+        r.cum_w // step - (r.cum_w - r.weight) // step for r in got
+    )
+    assert spanned == total // step
