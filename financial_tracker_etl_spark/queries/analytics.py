@@ -107,16 +107,30 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
+    # partial aggregation BELOW the join: lineitem (the 100 TB table)
+    # collapses to one row per order before touching orders, so the
+    # big join moves ~4× fewer bytes and reuses the groupBy's hash
+    # partitioning on the join key (no extra exchange). DECIMAL sums
+    # are exact and associative, so re-aggregating the per-order
+    # partials per customer is bit-identical to the flat aggregation
+    # the oracle states.
+    # the partial stays an exact DECIMAL sum — _dsum's floor-to-double
+    # happens ONCE in the outer aggregation, so regrouping the exact
+    # partials per customer is bit-identical to the flat aggregation
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    outer_sum = F.floor(F.sum("_rev") * F.lit(10000)).cast("long")
     revenue = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            (outer_sum.cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.sum("_n").alias("n_lineitems"),
         )
     )
     # top-k via orderBy+limit, which Spark plans as a distributed
