@@ -962,6 +962,75 @@ FROM s
 """
 
 
+def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation composition, end to end: substring-level dedup
+    stats gate the corpus (drop docs that are mostly repeated spans),
+    the survivors are PPS-sampled by length, and the sample is laid out
+    into deterministic training shards — the full reduce-select-write
+    chain a production corpus pass runs, each stage an already-oracled
+    operator. Output: per-shard document count and total weight."""
+    from ..ext.chunking import duplicate_span_stats
+    from ..ext.sampling import pps_systematic_sample, shard_assignments
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_span_stats(docs)
+    keep = spans.filter(F.col("dup_ppm") < 500_000).select("doc_id")
+    survivors = docs.join(keep, "doc_id")
+    sampled = pps_systematic_sample(survivors, n_select=50).select("doc_id")
+    sharded = shard_assignments(docs.join(sampled, "doc_id"), n_shards=8)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("weight").alias("total_weight"),
+        F.max("shard_pos").alias("max_pos"),
+    )
+
+
+def _curation_v2_oracle(n: int = 8) -> str:
+    span_cte = _dup_spans_oracle(n).strip().removeprefix("WITH ")
+    # reuse the span oracle's CTE chain, rename its SELECT into a CTE
+    return f"""
+WITH {span_cte.rsplit("SELECT t.doc_id", 1)[0].rstrip()},
+span_stats AS (
+  SELECT t.doc_id,
+         CAST(floor(1000000 * coalesce(p.dup_tokens, 0) / t.n_tokens)
+              AS BIGINT) AS dup_ppm
+  FROM totals t LEFT JOIN per_doc p USING (doc_id)
+),
+survivors AS (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  JOIN span_stats s USING (doc_id) WHERE s.dup_ppm < 500000
+),
+cum AS (
+  SELECT doc_id, n_chars AS weight,
+         sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM survivors
+),
+st AS (SELECT CAST(sum(n_chars) // 50 AS BIGINT) AS step FROM survivors),
+sampled AS (
+  SELECT doc_id, weight FROM cum CROSS JOIN st
+  WHERE (cum_w // step) > ((cum_w - weight) // step)
+),
+sh AS (
+  SELECT doc_id, weight,
+         CAST({_PCT_HASH_SQL.format(x='doc_id', m=1_000_000_007)} % 8
+              AS INTEGER) AS shard_id,
+         {_PCT_HASH_SQL.format(x='doc_id', m=1_000_000_007)} AS h
+  FROM sampled
+),
+ranked AS (
+  SELECT shard_id, weight,
+         row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+           AS shard_pos
+  FROM sh
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(weight) AS BIGINT) AS total_weight,
+       CAST(max(shard_pos) AS BIGINT) AS max_pos
+FROM ranked GROUP BY shard_id
+"""
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.chunking import duplicate_span_stats
 
@@ -2433,6 +2502,7 @@ QUERIES: dict[str, QuerySpec] = {
     "cms_token_frequencies": QuerySpec(_q_cms, _CMS_ORACLE),
     "embedding_ann_ivfpq": QuerySpec(_q_ann_ivfpq, _ann_ivfpq_oracle()),
     "pps_weighted_sample": QuerySpec(_q_pps_sample, _PPS_ORACLE),
+    "curation_pipeline_v2": QuerySpec(_q_curation_v2, _curation_v2_oracle()),
     "text_stratified_sample": QuerySpec(_q_stratified, _stratified_oracle()),
     "seq_packing_plan": QuerySpec(_q_packing, _PACKING_ORACLE),
     "vocab_top_terms": QuerySpec(_q_vocab, _VOCAB_ORACLE),

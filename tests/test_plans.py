@@ -219,6 +219,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         # block-offset prefix: non-equi broadcast self-join over the
         # ~#docs/64-row block-totals table, never over documents
         "pps_weighted_sample",
+        "curation_pipeline_v2",  # same PPS block-offset join, inherited
     }
     offenders = []
     for name, spec in reg.items():
