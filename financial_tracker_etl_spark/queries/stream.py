@@ -25,6 +25,7 @@ from ..streaming.pipeline import shared_pipeline
 from ..streaming.windows import (
     SESSION_GAP_US,
     WATERMARK_DELAY_US,
+    docs_ingest_stream,
     hourly_rollup_stream,
     session_windows_stream,
     stream_dedup_within_watermark,
@@ -181,7 +182,28 @@ FROM ordered
 """
 
 
+_DOCS_INGEST_ORACLE = """
+WITH fp AS (
+  SELECT source, md5(lower(trim(text))) AS fingerprint,
+         len(string_split(lower(trim(text)), ' ')) AS n_tokens
+  FROM documents
+  WHERE len(string_split(lower(trim(text)), ' ')) >= 5
+),
+uniq AS (
+  SELECT source, fingerprint, min(n_tokens) AS n_tokens
+  FROM fp GROUP BY source, fingerprint
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_unique_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM uniq GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_docs_ingest_dedup": QuerySpec(
+        lambda spark, sf_dir: docs_ingest_stream(spark, sf_dir),
+        _DOCS_INGEST_ORACLE,
+    ),
     "stream_upsert_market_data": QuerySpec(
         _q_stream_market, _UPSERT_ORACLE, bench=True
     ),

@@ -235,3 +235,57 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start_us", "session_end_us", "n_events"
     )
     return _run_to_table(out, spark, "append")
+
+
+_DOC_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_documents_dir(sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key not in _DOC_STAGE_CACHE:
+        d = tempfile.mkdtemp(prefix="ftes_docs_src_")
+        os.symlink(
+            table_path(sf_dir, "documents"), os.path.join(d, "part-0.parquet")
+        )
+        _DOC_STAGE_CACHE[key] = d
+    return _DOC_STAGE_CACHE[key]
+
+
+def docs_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion — the [EXT] curation tier's arrival
+    path: documents replayed as a file stream are quality-gated
+    (>= 5 whitespace tokens), fingerprinted (md5 of the normalized
+    text), exact-deduped on (source, fingerprint) with streaming
+    ``dropDuplicates`` state, and the surviving stream aggregates to
+    per-source corpus stats.
+
+    Determinism for the oracle: which PHYSICAL row survives dedup
+    depends on arrival order, but every output column is a function of
+    the fingerprint alone (identical text => identical token count), so
+    the per-source (n_unique_docs, total_tokens) pair is
+    survivor-invariant and DuckDB states it as COUNT/SUM over DISTINCT
+    fingerprints. At scale the dedup state is the fingerprint set —
+    at-least-once file replay folds into it idempotently, and a
+    watermarked ``dropDuplicatesWithinWatermark`` bounds it for
+    genuinely unbounded feeds (the events twin demonstrates that
+    variant)."""
+    from ..catalog import _ensure_session_defaults
+
+    _ensure_session_defaults(spark)
+    batch_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    raw = spark.readStream.schema(batch_schema).parquet(
+        _staged_documents_dir(sf_dir)
+    )
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.size(F.split(norm, " "))
+    enriched = raw.select(
+        "source",
+        F.md5(norm).alias("fingerprint"),
+        toks.alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 5)
+    deduped = enriched.dropDuplicates(["source", "fingerprint"])
+    survivors = _run_to_table(deduped, spark, "append")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
