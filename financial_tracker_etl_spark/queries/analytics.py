@@ -585,6 +585,113 @@ GROUP BY l_returnflag
 """
 
 
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles: p50/p95 of l_extendedprice per
+    returnflag estimated from a 1000-bin equi-width histogram — the
+    constant-memory quantile path for data that cannot be sorted
+    (exact `percentile` re-sorts every group; at 100 TB the histogram
+    is the only shape whose state does not grow with the data, the same
+    trade approx_percentile's t-digest makes, but with deterministic
+    integer cell counts the DuckDB oracle reproduces exactly).
+
+    Plan: one 2-row-output scan for the global range (broadcast back),
+    one (flag, bin)-grouped count with map-side combine, a tiny
+    per-flag window over <=1000 bins, and integer-threshold selection
+    (ceil via integer arithmetic, not float multiplication)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("x")
+    )
+    rng = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    binned = li.join(broadcast(rng)).select(
+        "l_returnflag",
+        "mn",
+        "mx",
+        F.least(
+            F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1000),
+            F.lit(999),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("mn").alias("mn"),
+        F.first("mx").alias("mx"),
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("n").over(w))
+    tot = cum.groupBy("l_returnflag").agg(F.sum("n").alias("total"))
+    j = cum.join(broadcast(tot), "l_returnflag")
+    est = lambda b: F.round(  # noqa: E731 — bin midpoint back to value space
+        F.col("mn") + (b + F.lit(0.5)) * (F.col("mx") - F.col("mn")) / F.lit(1000.0),
+        6,
+    )
+    picked = j.groupBy("l_returnflag").agg(
+        F.first("total").alias("n_rows"),
+        F.min(
+            F.when(F.col("cum") >= (F.col("total") + 1) / 2, F.col("bin"))
+        ).alias("_b50"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((19 * F.col("total") + 19) / 20),
+                F.col("bin"),
+            )
+        ).alias("_b95"),
+        F.first("mn").alias("mn"),
+        F.first("mx").alias("mx"),
+    )
+    return picked.select(
+        "l_returnflag",
+        "n_rows",
+        est(F.col("_b50")).alias("p50_est"),
+        est(F.col("_b95")).alias("p95_est"),
+    )
+
+
+_HIST_QUANTILES_ORACLE = """
+WITH rng AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+),
+binned AS (
+  SELECT l_returnflag, mn, mx,
+         CAST(least(floor((l_extendedprice - mn) / (mx - mn) * 1000), 999)
+              AS INTEGER) AS bin
+  FROM lineitem CROSS JOIN rng
+),
+counts AS (
+  SELECT l_returnflag, bin, count(*) AS n, min(mn) AS mn, min(mx) AS mx
+  FROM binned GROUP BY l_returnflag, bin
+),
+cum AS (
+  SELECT *, sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+),
+tot AS (SELECT l_returnflag, sum(n) AS total FROM counts GROUP BY l_returnflag),
+picked AS (
+  SELECT c.l_returnflag,
+         CAST(min(t.total) AS BIGINT) AS n_rows,
+         min(CASE WHEN c.cum >= (t.total + 1) / 2 THEN c.bin END) AS b50,
+         min(CASE WHEN c.cum >= floor((19 * t.total + 19) / 20) THEN c.bin END)
+           AS b95,
+         min(c.mn) AS mn, min(c.mx) AS mx
+  FROM cum c JOIN tot t USING (l_returnflag)
+  GROUP BY c.l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       round(mn + (b50 + 0.5) * (mx - mn) / 1000.0, 6) AS p50_est,
+       round(mn + (b95 + 0.5) * (mx - mn) / 1000.0, 6) AS p95_est
+FROM picked
+"""
+
+
 # ---------------------------------------------------------------------------
 # Hourly-count anomalies: z-score per event_type, integer-exact moments
 # ---------------------------------------------------------------------------
@@ -798,5 +905,8 @@ QUERIES: dict[str, QuerySpec] = {
     "cube_monthly_summary": QuerySpec(_q_cube, _CUBE_ORACLE),
     "pivot_monthly_by_type": QuerySpec(_q_pivot, _PIVOT_ORACLE),
     "quantiles_by_returnflag": QuerySpec(_q_quantiles, _QUANTILES_ORACLE),
+    "histogram_quantile_sketch": QuerySpec(
+        _q_hist_quantiles, _HIST_QUANTILES_ORACLE
+    ),
     "events_hourly_anomalies": QuerySpec(_q_anomalies, _ANOMALIES_ORACLE),
 }

@@ -691,12 +691,13 @@ def _q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CDC_ORACLE = (
-    fixtures.with_ctes(
-        fixtures.MARKET_DATA_SQL,
-        fixtures.QUOTES_RAW_SQL,
-        "typed AS (" + _TYPED_QUOTES_SQL_BODY + ")",
-        """
+# old snapshot (market_data) + merged new snapshot — shared by the CDC
+# classification and the bucket-digest reconciliation oracles
+_SNAPSHOT_CTES = (
+    fixtures.MARKET_DATA_SQL,
+    fixtures.QUOTES_RAW_SQL,
+    "typed AS (" + _TYPED_QUOTES_SQL_BODY + ")",
+    """
 updates AS (
   SELECT symbol, asset_type, price, change, percent_change, high, low, updated_at
   FROM (
@@ -706,7 +707,7 @@ updates AS (
   ) WHERE rn = 1
 )
 """,
-        """
+    """
 unioned AS (
   SELECT symbol, asset_type, price, high, low, updated_at, 0 AS _src
   FROM market_data
@@ -715,7 +716,7 @@ unioned AS (
   FROM updates
 )
 """,
-        """
+    """
 merged AS (
   SELECT symbol, asset_type, price, high, low
   FROM (
@@ -725,6 +726,11 @@ merged AS (
   ) WHERE rn = 1
 )
 """,
+)
+
+_CDC_ORACLE = (
+    fixtures.with_ctes(
+        *_SNAPSHOT_CTES,
         """
 diff AS (
   SELECT CASE WHEN o.symbol IS NULL THEN 'inserted'
@@ -744,6 +750,70 @@ diff AS (
 SELECT change_type, count(*) AS n_keys, count(DISTINCT symbol) AS n_symbols
 FROM diff
 GROUP BY change_type
+"""
+)
+
+
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-digest reconciliation of the old vs upserted market
+    state (operators/reconcile.py): Merkle-style anti-entropy — each
+    snapshot reduces to 64 (count, digest) buckets and only
+    disagreeing buckets surface. The row-level repair join would then
+    touch ONLY those buckets, which is what makes snapshot comparison
+    feasible at 100 TB."""
+    from ..operators.reconcile import bucket_digests, digest_diff
+
+    def payload(_df):
+        return F.concat_ws(
+            "|",
+            *[
+                F.round(F.col(c) * 10000).cast("long").cast("string")
+                for c in ("price", "high", "low")
+            ],
+        )
+
+    old = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
+        "symbol", "asset_type", "price", "high", "low"
+    )
+    new = _q_upsert(spark, sf_dir).select(
+        "symbol", "asset_type", "price", "high", "low"
+    )
+    da = bucket_digests(old, ["symbol", "asset_type"], payload(old))
+    db = bucket_digests(new, ["symbol", "asset_type"], payload(new))
+    return digest_diff(da, db)
+
+
+_DIGEST_SQL_BODY = """
+  SELECT CAST(concat('0x', substr(md5(concat_ws('|', symbol, asset_type)),
+                                  1, 15)) AS BIGINT) % 64 AS bucket,
+         CAST(concat('0x', substr(md5(concat_ws('|', symbol, asset_type,
+           CAST(CAST(round(price * 10000) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(high * 10000) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(low * 10000) AS BIGINT) AS VARCHAR))),
+                                  1, 15)) AS BIGINT) % 2147483647 AS d
+  FROM {src}
+"""
+
+_TABLE_DIFF_ORACLE = (
+    fixtures.with_ctes(
+        *_SNAPSHOT_CTES,
+        "rowsa AS (" + _DIGEST_SQL_BODY.format(src="market_data") + ")",
+        "rowsb AS (" + _DIGEST_SQL_BODY.format(src="merged") + ")",
+        """
+da AS (SELECT bucket, count(*) AS n_rows, sum(d) AS ds FROM rowsa GROUP BY bucket)
+""",
+        """
+db AS (SELECT bucket, count(*) AS n_rows, sum(d) AS ds FROM rowsb GROUP BY bucket)
+""",
+    )
+    + """
+SELECT coalesce(a.bucket, b.bucket) AS bucket,
+       CAST(coalesce(a.n_rows, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(b.n_rows, 0) AS BIGINT) AS n_new,
+       coalesce(a.ds, -1) = coalesce(b.ds, -2) AS digest_match
+FROM da a FULL OUTER JOIN db b ON a.bucket = b.bucket
+WHERE coalesce(a.n_rows, 0) <> coalesce(b.n_rows, 0)
+   OR NOT coalesce(a.ds, -1) = coalesce(b.ds, -2)
 """
 )
 
@@ -861,6 +931,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a1_historical_batches": QuerySpec(_q_a1_batches, _A1_ORACLE),
     "p5_payload_envelopes": QuerySpec(_q_p5_envelopes, _P5_ORACLE),
     "cdc_market_changes": QuerySpec(_q_cdc, _CDC_ORACLE),
+    "table_diff_buckets": QuerySpec(_q_table_diff, _TABLE_DIFF_ORACLE),
     "longest_month_gap": QuerySpec(_q_longest_gap, _LONGEST_GAP_ORACLE),
     "udtf_month_spine": QuerySpec(_q_udtf_spine, _UDTF_SPINE_ORACLE),
 }

@@ -414,3 +414,67 @@ def test_events_stream_ts_matches_batch(spark):
     stream = events_stream(spark, SF_DIR)
     assert dict(stream.dtypes)["ts_us"] == "bigint"
     assert dict(stream.dtypes)["event_time"].startswith("timestamp")
+
+
+def test_table_diff_localizes_planted_changes(spark):
+    """Identical snapshots produce an EMPTY diff; a single changed row
+    and a single inserted row surface exactly their key's bucket (with
+    count equality for the value change, count drift for the insert)."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.operators.reconcile import (
+        _md5_int60,
+        bucket_digests,
+        digest_diff,
+    )
+
+    rows = [(f"SYM{i}", "STOCK", float(i)) for i in range(200)]
+    a = spark.createDataFrame(rows, "symbol string, asset_type string, v double")
+    payload = F.col("v").cast("long").cast("string")
+    da = bucket_digests(a, ["symbol", "asset_type"], payload)
+    assert digest_diff(da, da).count() == 0
+
+    b = spark.createDataFrame(
+        rows[:50] + [("SYM50", "STOCK", 9999.0)] + rows[51:] + [("NEW", "STOCK", 1.0)],
+        "symbol string, asset_type string, v double",
+    )
+    db = bucket_digests(b, ["symbol", "asset_type"], payload)
+    diff = {r.bucket: r for r in digest_diff(da, db).collect()}
+    changed_bucket = a.select(
+        (_md5_int60(F.concat_ws("|", F.lit("SYM50"), F.lit("STOCK"))) % 64)
+    ).first()[0]
+    new_bucket = a.select(
+        (_md5_int60(F.concat_ws("|", F.lit("NEW"), F.lit("STOCK"))) % 64)
+    ).first()[0]
+    assert set(diff) == {changed_bucket, new_bucket} or (
+        changed_bucket == new_bucket and set(diff) == {changed_bucket}
+    )
+    assert not diff[changed_bucket].digest_match
+    assert diff[new_bucket].n_new >= diff[new_bucket].n_old
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark):
+    """The 1000-bin sketch estimate must land within one bin width of
+    the exact percentile (the sketch's error bound)."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.queries.analytics import _q_hist_quantiles
+    from conftest import SF_DIR
+    from financial_tracker_etl_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    bin_w = (mx - mn) / 1000.0
+    exact = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for r in _q_hist_quantiles(spark, SF_DIR).collect():
+        e50, e95 = exact[r.l_returnflag]
+        assert abs(r.p50_est - e50) <= bin_w * 1.5, (r.l_returnflag, r.p50_est, e50)
+        assert abs(r.p95_est - e95) <= bin_w * 1.5, (r.l_returnflag, r.p95_est, e95)

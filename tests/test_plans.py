@@ -212,6 +212,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "token_budget_mix",
         "brand_revenue_share",
         "source_vocab_divergence",  # 1-row grand-total broadcast
+        "histogram_quantile_sketch",  # 1-row global-range broadcast
         "embedding_topk_cosine",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
