@@ -655,6 +655,56 @@ def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout plan over (l_orderkey, l_partkey): the
+    16-bit dimensions interleave into one 32-bit curve value; rows
+    sorted/bucketed by it are clustered in BOTH dimensions at once, so
+    a scan filtered on either key prunes most buckets (Delta/Iceberg
+    OPTIMIZE ZORDER economics — this query emits the per-bucket
+    min/max envelopes that ARE the data-skipping index). Pure integer
+    bit arithmetic in both engines: no UDF, exact oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_orderkey").bitwiseAND(F.lit(65535))
+    y = F.col("l_partkey").bitwiseAND(F.lit(65535))
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    b = li.select(
+        F.shiftright(z, 24).cast("int").alias("z_bucket"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    return b.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_order_lo16"),
+        F.max("x").alias("max_order_lo16"),
+        F.min("y").alias("min_part_lo16"),
+        F.max("y").alias("max_part_lo16"),
+    )
+
+
+def _zorder_sql() -> str:
+    terms = " | ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return f"""
+WITH xy AS (
+  SELECT l_orderkey & 65535 AS x, l_partkey & 65535 AS y FROM lineitem
+),
+zed AS (SELECT x, y, ({terms}) AS z FROM xy)
+SELECT CAST(z >> 24 AS INTEGER) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS min_order_lo16, max(x) AS max_order_lo16,
+       min(y) AS min_part_lo16, max(y) AS max_part_lo16
+FROM zed GROUP BY z_bucket
+"""
+
+
 _HIST_QUANTILES_ORACLE = """
 WITH rng AS (
   SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
@@ -908,5 +958,6 @@ QUERIES: dict[str, QuerySpec] = {
     "histogram_quantile_sketch": QuerySpec(
         _q_hist_quantiles, _HIST_QUANTILES_ORACLE
     ),
+    "zorder_layout_stats": QuerySpec(_q_zorder, _zorder_sql()),
     "events_hourly_anomalies": QuerySpec(_q_anomalies, _ANOMALIES_ORACLE),
 }

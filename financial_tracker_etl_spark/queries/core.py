@@ -783,6 +783,87 @@ def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return digest_diff(da, db)
 
 
+def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-asset-type aggregate
+    (count, exact DECIMAL price total) is MAINTAINED from the upsert's
+    key-level deltas — base aggregate + Σ(new − old) per group — never
+    recomputed from the new snapshot. At 100 TB this is the
+    materialized-view economics: the delta join touches O(changed keys)
+    while a rescan touches O(table). The DuckDB oracle computes the
+    aggregate DIRECTLY from the merged snapshot, so a green row is a
+    proof of maintenance ≡ recomputation (the IVM correctness
+    condition), exact because the measures are DECIMAL.
+
+    Same retraction algebra as Flink/Materialize deltas: an update
+    contributes (new − old), an insert (new − 0); count contributions
+    ±1; DECIMAL addition is associative so the fold order never
+    matters."""
+    old = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
+        "symbol", "asset_type", F.col("price").cast("decimal(18,8)").alias("p")
+    )
+    new = _q_upsert(spark, sf_dir).select(
+        "symbol", "asset_type", F.col("price").cast("decimal(18,8)").alias("p")
+    )
+    base = old.groupBy("asset_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p").alias("s")
+    )
+    o = old.alias("o")
+    nw = new.alias("n")
+    delta = (
+        o.join(
+            nw,
+            (F.col("o.symbol") == F.col("n.symbol"))
+            & (F.col("o.asset_type") == F.col("n.asset_type")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("n.asset_type"), F.col("o.asset_type")).alias(
+                "asset_type"
+            ),
+            (
+                F.when(F.col("n.symbol").isNotNull(), 1).otherwise(0)
+                - F.when(F.col("o.symbol").isNotNull(), 1).otherwise(0)
+            ).alias("dn"),
+            (
+                F.coalesce(F.col("n.p"), F.lit(0).cast("decimal(18,8)"))
+                - F.coalesce(F.col("o.p"), F.lit(0).cast("decimal(18,8)"))
+            ).alias("dp"),
+        )
+        .groupBy("asset_type")
+        .agg(F.sum("dn").alias("dn"), F.sum("dp").alias("dp"))
+    )
+    maintained = (
+        base.join(delta, "asset_type", "full_outer")
+        .select(
+            "asset_type",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_rows"
+            ),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,8)"))
+                + F.coalesce(F.col("dp"), F.lit(0).cast("decimal(18,8)"))
+            ).alias("_t"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    total = (F.floor(F.col("_t") * 10000).cast("long").cast("double") / 10000.0)
+    return maintained.select(
+        "asset_type", "n_rows", total.alias("total_price")
+    )
+
+
+_IVM_ORACLE = (
+    fixtures.with_ctes(*_SNAPSHOT_CTES)
+    + """
+SELECT asset_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(floor(sum(CAST(price AS DECIMAL(18,8))) * 10000) AS BIGINT)
+            AS DOUBLE) / 10000.0 AS total_price
+FROM merged
+GROUP BY asset_type
+"""
+)
+
+
 _DIGEST_SQL_BODY = """
   SELECT CAST(concat('0x', substr(md5(concat_ws('|', symbol, asset_type)),
                                   1, 15)) AS BIGINT) % 64 AS bucket,
@@ -932,6 +1013,7 @@ QUERIES: dict[str, QuerySpec] = {
     "p5_payload_envelopes": QuerySpec(_q_p5_envelopes, _P5_ORACLE),
     "cdc_market_changes": QuerySpec(_q_cdc, _CDC_ORACLE),
     "table_diff_buckets": QuerySpec(_q_table_diff, _TABLE_DIFF_ORACLE),
+    "ivm_maintained_agg": QuerySpec(_q_ivm, _IVM_ORACLE),
     "longest_month_gap": QuerySpec(_q_longest_gap, _LONGEST_GAP_ORACLE),
     "udtf_month_spine": QuerySpec(_q_udtf_spine, _UDTF_SPINE_ORACLE),
 }
