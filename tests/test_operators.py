@@ -478,3 +478,60 @@ def test_histogram_quantiles_within_bin_width_of_exact(spark):
         e50, e95 = exact[r.l_returnflag]
         assert abs(r.p50_est - e50) <= bin_w * 1.5, (r.l_returnflag, r.p50_est, e50)
         assert abs(r.p95_est - e95) <= bin_w * 1.5, (r.l_returnflag, r.p95_est, e95)
+
+
+def test_ivm_delta_algebra_handles_insert_update_delete(spark):
+    """The maintained aggregate must equal the direct aggregate of the
+    new snapshot under all three change classes — including deletes,
+    which the corpus upsert never produces but the retraction algebra
+    must still get right (dn=-1, dp=-old)."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+    import financial_tracker_etl_spark.queries.core as qc
+
+    old_rows = [("A", "STOCK", 10.0), ("B", "STOCK", 20.0), ("C", "CRYPTO", 5.0)]
+    new_rows = [("A", "STOCK", 15.0), ("C", "CRYPTO", 5.0), ("D", "FOREX", 7.0)]
+    # B deleted, A updated, D inserted, C unchanged
+    old = spark.createDataFrame(
+        old_rows, "symbol string, asset_type string, price double"
+    )
+    new = spark.createDataFrame(
+        new_rows, "symbol string, asset_type string, price double"
+    )
+    with mock.patch.object(
+        qc.fixtures, "market_data", lambda _df: old
+    ), mock.patch.object(qc, "_q_upsert", lambda s, d: new), mock.patch.object(
+        qc, "load_table", lambda s, d, n: old
+    ):
+        got = {
+            r.asset_type: (r.n_rows, r.total_price)
+            for r in qc._q_ivm(spark, "unused").collect()
+        }
+    direct = {
+        r.asset_type: (r.n, r.t)
+        for r in new.groupBy("asset_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k in direct:
+        assert got[k][0] == direct[k][0], k
+        assert abs(got[k][1] - direct[k][1]) < 1e-9, k
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Data-skipping property: every z-bucket's min/max envelope must be
+    much narrower than the full domain in BOTH interleaved dimensions —
+    that narrowness is exactly what lets a filter on either key prune
+    buckets."""
+    from financial_tracker_etl_spark.queries.analytics import _q_zorder
+    from conftest import SF_DIR
+
+    rows = _q_zorder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # the top 8 z-bits pin 4 high bits of EACH dim, so both
+        # envelopes are bounded by 2^12 = 4096 of the 65536 domain
+        assert r.max_order_lo16 - r.min_order_lo16 <= 4096, r
+        assert r.max_part_lo16 - r.min_part_lo16 <= 4096, r
