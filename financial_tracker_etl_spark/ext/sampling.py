@@ -311,3 +311,27 @@ def pps_systematic_sample(
         F.floor(F.col("cum_w") / F.col("step"))
         > F.floor((F.col("cum_w") - F.col("weight")) / F.col("step"))
     ).select(id_col, "weight", F.col("cum_w").cast("long").alias("cum_w"))
+
+
+def per_stratum_top_n(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    n: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-N uniform sample per stratum ("take 50 docs per
+    language"): rank by the md5 hash coin inside each stratum and keep
+    the first ``n`` — deterministic, order-independent, and exactly N
+    per stratum (or all rows for strata smaller than N), which
+    rate-based sampling cannot promise.
+
+    Scale shape: one shuffle on the stratum key and a per-stratum
+    WindowGroupLimit (top-n pushdown) — Spark stops tracking a
+    partition's rows past rank N instead of sorting whole strata."""
+    h = pct_hash(F.col(id_col), mod=1_000_000_007)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .select(id_col, stratum_col, F.col("_rk").alias("sample_rank"))
+    )

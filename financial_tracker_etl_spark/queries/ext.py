@@ -962,6 +962,25 @@ FROM s
 """
 
 
+def _q_stratum_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import per_stratum_top_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    return per_stratum_top_n(docs)
+
+
+_STRATUM_TOPN_ORACLE = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_PCT_HASH_SQL.format(x='doc_id', m=1_000_000_007)} ASC,
+                    doc_id ASC) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 50
+"""
+
+
 def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 curation composition, end to end: substring-level dedup
     stats gate the corpus (drop docs that are mostly repeated spans),
@@ -2503,6 +2522,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_ann_ivfpq": QuerySpec(_q_ann_ivfpq, _ann_ivfpq_oracle()),
     "pps_weighted_sample": QuerySpec(_q_pps_sample, _PPS_ORACLE),
     "curation_pipeline_v2": QuerySpec(_q_curation_v2, _curation_v2_oracle()),
+    "per_stratum_sample": QuerySpec(_q_stratum_topn, _STRATUM_TOPN_ORACLE),
     "text_stratified_sample": QuerySpec(_q_stratified, _stratified_oracle()),
     "seq_packing_plan": QuerySpec(_q_packing, _PACKING_ORACLE),
     "vocab_top_terms": QuerySpec(_q_vocab, _VOCAB_ORACLE),

@@ -866,3 +866,23 @@ def test_ann_ivfpq_composes_consistently(spark):
     for q, n, a in gated:
         if (q, n) in pq_scores:  # same pair must carry the same ADC score
             assert abs(pq_scores[(q, n)] - a) < 1e-9
+
+
+def test_per_stratum_sample_exact_n_and_pushed_down(spark):
+    """Exactly min(N, stratum size) rows per stratum, deterministic,
+    and planned as a WindowGroupLimit (top-n pushdown), never a full
+    per-stratum sort."""
+    from financial_tracker_etl_spark.ext.sampling import per_stratum_top_n
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = per_stratum_top_n(docs, n=20)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.lang, []).append(r.sample_rank)
+    for lang, size in sizes.items():
+        assert sorted(got[lang]) == list(range(1, min(20, size) + 1)), lang
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    again = {(r.doc_id, r.sample_rank) for r in per_stratum_top_n(docs, n=20).collect()}
+    assert again == {(r.doc_id, r.sample_rank) for r in out.collect()}
