@@ -453,6 +453,73 @@ def pq_codebook(
     return out
 
 
+def _subspace_slices(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nrm_col: str,
+    m: int,
+    dim: int,
+    out_col: str,
+) -> DataFrame:
+    """(id, s, <out_col>) — the unit-normalized vector split into its
+    ``m`` contiguous subspace slices, one row per (row, subspace)."""
+    sub = dim // m
+    u = F.transform(F.col(vec_col), lambda x: x / F.col(nrm_col))
+    parts = [
+        df.select(
+            id_col, F.lit(s).alias("s"), F.slice(u, s * sub + 1, sub).alias(out_col)
+        )
+        for s in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pq_query_lut(
+    queries: DataFrame, codebook: DataFrame, m: int, dim: int
+) -> DataFrame:
+    """Per-query ADC lookup table: dot(q_sub, codeword) for every
+    (subspace, codeword) — m·C rows per query, broadcast downstream."""
+    qsub = _subspace_slices(queries, "query_id", "qv", "qn", m, dim, "qsub")
+    return qsub.join(broadcast(codebook), "s").select(
+        "query_id",
+        "s",
+        F.col("code_id").alias("code"),
+        dot(F.col("qsub"), F.col("cw")).alias("partial"),
+    )
+
+
+def _adc_topk(cand: DataFrame, m: int, k: int) -> DataFrame:
+    """Fold (query_id, vec_id, s, partial) candidate rows into the
+    fixed-order ADC sum p0+p1+...+p{m-1} (literal subspace order, not an
+    unordered float SUM — the cross-engine determinism requirement) and
+    rank top-k per query."""
+    from pyspark.sql import Window
+
+    per_pair = cand.groupBy("query_id", "vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("partial"))).alias(f"p{s}")
+            for s in range(m)
+        ]
+    )
+    adc = per_pair.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sum((F.col(f"p{s}") for s in range(1, m)), F.col("p0")).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc"))
+    )
+
+
 def pq_encode(corpus: DataFrame, codebook: DataFrame, m: int = 4, dim: int = 64) -> DataFrame:
     """Encode every vector as ``m`` small codes: per subspace, the
     nearest codeword by squared L2 (argmin of -2·dot(sub,cw)+dot(cw,cw);
@@ -464,17 +531,7 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, m: int = 4, dim: int = 64)
     codes table is ~m bytes/vector (64 floats → 4 codes here, a 64×
     memory cut), which is what makes the ADC scan below feasible over
     corpora whose raw vectors don't fit storage bandwidth."""
-    sub = dim // m
-    u = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
-    parts = [
-        corpus.select(
-            "vec_id", F.lit(s).alias("s"), F.slice(u, s * sub + 1, sub).alias("subv")
-        )
-        for s in range(m)
-    ]
-    subv = parts[0]
-    for p in parts[1:]:
-        subv = subv.unionByName(p)
+    subv = _subspace_slices(corpus, "vec_id", "v", "nrm", m, dim, "subv")
     scored = subv.join(broadcast(codebook), "s").select(
         "vec_id",
         "s",
@@ -518,54 +575,16 @@ def topk_cosine_pq(
     corpus = _corpus(embeddings)
     codebook = pq_codebook(corpus, m, dim, codeword_mod)
     codes = pq_encode(corpus, codebook, m, dim)
-
-    sub = dim // m
-    uq = F.transform(F.col("qv"), lambda x: x / F.col("qn"))
     queries = corpus.filter((F.col("vec_id") % query_mod) == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    qparts = [
-        queries.select(
-            "query_id", F.lit(s).alias("s"), F.slice(uq, s * sub + 1, sub).alias("qsub")
-        )
-        for s in range(m)
-    ]
-    qsub = qparts[0]
-    for p in qparts[1:]:
-        qsub = qsub.unionByName(p)
-    lut = qsub.join(broadcast(codebook), "s").select(
-        "query_id", "s", F.col("code_id").alias("code"),
-        dot(F.col("qsub"), F.col("cw")).alias("partial"),
-    )
-
+    lut = _pq_query_lut(queries, codebook, m, dim)
     cand = codes.join(broadcast(lut), ["s", "code"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    per_pair = cand.groupBy("query_id", "vec_id").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("partial"))).alias(f"p{s}")
-            for s in range(m)
-        ]
-    )
-    adc = per_pair.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        sum(
-            (F.col(f"p{s}") for s in range(1, m)), F.col("p0")
-        ).alias("adc"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc"))
-    )
+    return _adc_topk(cand, m, k)
 
 
 def topk_cosine_ivfpq(
@@ -622,44 +641,11 @@ def topk_cosine_ivfpq(
         .select("query_id", F.col("centroid_id").alias("cluster_id"))
     )
 
-    sub = dim // m
-    uq = F.transform(F.col("qv"), lambda x: x / F.col("qn"))
-    qparts = [
-        queries.select(
-            "query_id", F.lit(s).alias("s"), F.slice(uq, s * sub + 1, sub).alias("qsub")
-        )
-        for s in range(m)
-    ]
-    qsub = qparts[0]
-    for p in qparts[1:]:
-        qsub = qsub.unionByName(p)
-    lut = qsub.join(broadcast(codebook), "s").select(
-        "query_id", "s", F.col("code_id").alias("code"),
-        dot(F.col("qsub"), F.col("cw")).alias("partial"),
-    )
-
+    lut = _pq_query_lut(queries, codebook, m, dim)
     cand_vecs = assigned.join(broadcast(probes), "cluster_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
     cand = cand_vecs.join(codes, "vec_id").join(
         broadcast(lut), ["query_id", "s", "code"]
     )
-    per_pair = cand.groupBy("query_id", "vec_id").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("partial"))).alias(f"p{s}")
-            for s in range(m)
-        ]
-    )
-    adc = per_pair.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        sum((F.col(f"p{s}") for s in range(1, m)), F.col("p0")).alias("adc"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("adc", 6).alias("adc"))
-    )
+    return _adc_topk(cand, m, k)
