@@ -312,3 +312,83 @@ def test_pps_boundary_count_invariant(spark, weights, n_select):
         r.cum_w // step - (r.cum_w - r.weight) // step for r in got
     )
     assert spanned == total // step
+
+
+_cms_tokens = st.lists(
+    st.sampled_from("aa bb cc dd ee ff".split()), min_size=1, max_size=60
+)
+
+
+@given(tokens=_cms_tokens)
+@settings(**SETTINGS)
+def test_cms_never_undercounts(spark, tokens):
+    """Count-min invariant: for EVERY key, est >= true count (collisions
+    only add), regardless of the data distribution."""
+    from collections import Counter
+
+    from financial_tracker_etl_spark.ext.sketches import cms_estimate, cms_sketch
+
+    items = spark.createDataFrame([(t,) for t in tokens], "token string")
+    sketch = cms_sketch(items)
+    probes = items.distinct()
+    got = {r.k: r.cms_est for r in cms_estimate(sketch, probes).collect()}
+    true = Counter(tokens)
+    for k, n in true.items():
+        assert got[k] >= n, (k, got[k], n)
+
+
+_shard_ids = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True
+)
+
+
+@given(ids=_shard_ids)
+@settings(**SETTINGS)
+def test_shard_assignments_partition_the_input(spark, ids):
+    """Sharding is a partition: every input id appears exactly once
+    across shards, and shard_pos is gapless within each shard."""
+    from financial_tracker_etl_spark.ext.sampling import shard_assignments
+
+    docs = spark.createDataFrame([(i, 1) for i in ids], "doc_id long, n_chars long")
+    rows = shard_assignments(docs, n_shards=4).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def _z_model(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_interleave_matches_python_model(spark, pairs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", z.alias("z")).collect()}
+    for x, y in pairs:
+        assert got[(x, y)] == _z_model(x, y), (x, y)
