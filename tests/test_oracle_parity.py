@@ -33,3 +33,24 @@ def test_contract_shape():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 14
+
+
+def test_registry_and_driver_contract_shape():
+    """Meta-contract: every registry query carries an oracle (the
+    driver's strongest check), queries()/oracle_sql() keys agree
+    exactly, the gate prefix is exactly 50 and duplicate-free, and the
+    bench set stays the stable 14-query headline suite."""
+    import __spark_entry__ as entry
+    from financial_tracker_etl_spark.queries import registry, _CHECK_FIRST
+
+    reg = registry()
+    assert len(reg) >= 104
+    assert all(spec.oracle and "SELECT" in spec.oracle.upper() for spec in reg.values())
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert list(q) == list(reg)
+    assert set(o) == set(q)
+    assert len(_CHECK_FIRST) == 50 == len(set(_CHECK_FIRST))
+    assert list(reg)[:50] == _CHECK_FIRST
+    bench = [n for n, s in reg.items() if s.bench]
+    assert len(bench) == 14, bench
