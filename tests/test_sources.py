@@ -309,3 +309,61 @@ def test_kafka_option_dicts_pin_reference_tuning():
         "kafka.batch.size": "16384",
         "kafka.enable.idempotence": "true",
     }
+
+
+def test_csv_and_jsonl_roundtrip_matches_parquet(spark, tmp_path):
+    """A catalog table exported to CSV and JSON-lines and read back
+    with the pinned parquet-probed schema must be row-identical to the
+    parquet read — format-independence of the ingest surface."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.sources.files import (
+        read_csv_table,
+        read_jsonl_table,
+    )
+
+    src = load_table(spark, SF_DIR, "nation")
+    want = sorted(map(tuple, src.collect()))
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "jsonl")
+    src.coalesce(1).write.option("header", "true").csv(csv_dir)
+    src.coalesce(1).write.json(json_dir)
+    got_csv = sorted(map(tuple, read_csv_table(spark, csv_dir, src.schema).collect()))
+    got_json = sorted(
+        map(tuple, read_jsonl_table(spark, json_dir, src.schema).collect())
+    )
+    assert got_csv == want
+    assert got_json == want
+
+
+def test_corrupt_rows_deadletter_or_failfast(spark, tmp_path):
+    """PERMISSIVE captures a malformed line in _corrupt_record (the
+    ST4 dead-letter shape) while good rows parse; FAILFAST raises on
+    the same input."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from financial_tracker_etl_spark.sources.files import (
+        CORRUPT_COL,
+        read_jsonl_table,
+    )
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"k": 1, "v": "ok"}\n'
+        "{not json at all\n"
+        '{"k": 2, "v": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_jsonl_table(spark, str(p), schema, mode="PERMISSIVE")
+    rows = df.collect()
+    good = {r.k for r in rows if r[CORRUPT_COL] is None}
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert good == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0][CORRUPT_COL]
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_jsonl_table(spark, str(p), schema, mode="FAILFAST").collect()
