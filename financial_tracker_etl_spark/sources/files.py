@@ -71,3 +71,14 @@ def _with_corrupt(schema: T.StructType, mode: str) -> T.StructType:
     return T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout (the warehouse landing shape):
+    one directory level per partition column. At 100 TB this is what
+    turns a date/source filter into directory pruning — the scan never
+    lists, let alone reads, non-matching partitions (PartitionFilters
+    in the plan, asserted by tests/test_sources.py)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)

@@ -367,3 +367,27 @@ def test_corrupt_rows_deadletter_or_failfast(spark, tmp_path):
 
     with pytest.raises(Exception, match="Malformed|FAILFAST"):
         read_jsonl_table(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter — the property that makes
+    date-ranged scans O(matching partitions) at 100 TB."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.sources.files import write_partitioned
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_month", F.date_trunc("month", "o_orderdate").cast("date")
+    )
+    out = str(tmp_path / "orders_by_month")
+    write_partitioned(orders, out, ["o_month"])
+    back = spark.read.parquet(out)
+    month = back.select(F.min("o_month")).first()[0]
+    q = back.filter(F.col("o_month") == F.lit(month)).select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_month" in plan.split("PartitionFilters", 1)[1][:200]
+    want = orders.filter(F.col("o_month") == F.lit(month)).count()
+    assert q.count() == want
