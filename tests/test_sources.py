@@ -391,3 +391,19 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert "PartitionFilters" in plan and "o_month" in plan.split("PartitionFilters", 1)[1][:200]
     want = orders.filter(F.col("o_month") == F.lit(month)).count()
     assert q.count() == want
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC round-trip equality — the third columnar format the ingest
+    surface accepts unchanged (spark.read.orc with the same pinned
+    schema discipline)."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+
+    src = load_table(spark, SF_DIR, "supplier")
+    want = sorted(map(tuple, src.collect()))
+    out = str(tmp_path / "orc")
+    src.coalesce(1).write.orc(out)
+    got = sorted(map(tuple, spark.read.schema(src.schema).orc(out).collect()))
+    assert got == want
