@@ -15,7 +15,7 @@ commit/rollback semantics (fetch_market_index_data.py:99-107, ST2).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Iterator
+from typing import Any, Callable, Iterator
 
 
 def upsert_sql(
