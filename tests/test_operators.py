@@ -535,3 +535,21 @@ def test_zorder_buckets_bound_both_dimensions(spark):
         # envelopes are bounded by 2^12 = 4096 of the 65536 domain
         assert r.max_order_lo16 - r.min_order_lo16 <= 4096, r
         assert r.max_part_lo16 - r.min_part_lo16 <= 4096, r
+
+
+def test_events_query_end_to_end_under_vanilla_session(spark):
+    """Round-2's bug passed catalog-level checks in OUR session and
+    still broke every events query under the driver's. Run a full
+    events query (rollup: group, window, count) under newSession and
+    pin a value-level invariant, so the whole path — read, normalize,
+    aggregate — is proven conf-independent."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.queries import registry
+
+    vanilla = spark.newSession()
+    spec = registry()["events_hourly_rollup"]
+    ours = {tuple(r) for r in spec.fn(spark, SF_DIR).collect()}
+    theirs = {tuple(r) for r in spec.fn(vanilla, SF_DIR).collect()}
+    assert ours == theirs
+    assert ours  # nonempty
