@@ -936,7 +936,220 @@ GROUP BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-safe exact count-distinct: the two-shuffle shape that survives
+# hot keys. A direct groupBy(event_type).agg(countDistinct(user_id))
+# shuffles every raw event onto its event_type partition — at 100 TB a
+# hot event type ("view") lands TBs on one task. Deduplicating on the
+# COMPOSITE key first spreads each hot group across all partitions
+# (the same effect as salting, without a salt column), and the second
+# shuffle only moves one row per (type, user) pair.
+# ---------------------------------------------------------------------------
+
+
+def _q_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    spread = ev.distinct()  # shuffle keyed on BOTH columns: no hot partition
+    return spread.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_users")
+    )
+
+
+_SKEW_DISTINCT_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Binned range join: interval predicate → equi-join. A join whose ON
+# clause is only `lo <= value < hi` has no equi-key, so Spark plans a
+# BroadcastNestedLoopJoin — O(|events| × |bands|) comparisons, the
+# classic range-join scale killer. Discretizing both sides onto a bin
+# grid (bin width = the band step) turns it into an equi-join on bin:
+# each band covers exactly 2 bins, each event hashes to 1, and the
+# residual interval predicate runs only on grid-collided pairs. This
+# is what the range-join binning hint in Databricks/Flink does; here
+# it is expressed with explode + broadcast so stock Catalyst plans a
+# BroadcastHashJoin (the plan guard asserts no BNLJ appears).
+# ---------------------------------------------------------------------------
+
+_BAND_STEP = 25.0  # bin width == band start step; band width 50 → 2 bins/band
+
+
+def _q_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        [(i, _BAND_STEP * i, _BAND_STEP * i + 50.0) for i in range(20)],
+        "band_id int, lo double, hi double",
+    )
+    # a 50-wide band starting on the 25-grid spans exactly bins
+    # [band_id, band_id + 1]
+    binned_bands = bands.withColumn(
+        "bin", F.explode(F.array(F.col("band_id"), F.col("band_id") + 1))
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(F.col("value").isNotNull())
+        .withColumn("bin", F.floor(F.col("value") / _BAND_STEP).cast("int"))
+    )
+    return (
+        ev.join(broadcast(binned_bands), "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+_BINNED_RANGE_ORACLE = """
+WITH bands AS (
+  SELECT CAST(i AS INTEGER) AS band_id, 25.0 * i AS lo, 25.0 * i + 50.0 AS hi
+  FROM range(20) t(i)
+)
+SELECT band_id, lo, hi,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events JOIN bands ON value >= lo AND value < hi
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical time rollup (hypertable continuous-aggregate cascade):
+# hour → day → week, each level re-aggregating the PREVIOUS level's
+# partials instead of rescanning raw events. The raw table is touched
+# once; the day rollup reads |hours| rows, the week rollup |days| —
+# at 100 TB that is the difference between one scan and three. Sums
+# stay exact under re-aggregation because the partial is a DECIMAL
+# (associative); the floor-to-double happens once at the final level.
+# ---------------------------------------------------------------------------
+
+_DAY_ROLL_US = 24 * _HOUR_US
+_WEEK_ROLL_US = 7 * _DAY_ROLL_US
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts_us", "event_type", "value"
+    )
+    hourly = ev.groupBy(
+        (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec(F.col("value"))).alias("_v"),
+    )
+    daily = hourly.groupBy(
+        (F.col("hour_us") - F.col("hour_us") % _DAY_ROLL_US).alias("day_us"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours_active"),
+        F.sum("_v").alias("_v"),
+    )
+    scaled = F.floor(F.sum("_v") * F.lit(10000)).cast("long")
+    return daily.groupBy(
+        (F.col("day_us") - F.col("day_us") % _WEEK_ROLL_US).alias("week_us"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days_active"),
+        F.sum("n_hours_active").alias("n_hours_active"),
+        (scaled.cast("double") / F.lit(10000.0)).alias("total_value"),
+    )
+
+
+_TIME_ROLLUP_ORACLE = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+)
+SELECT (ts_us - ts_us % {_WEEK_ROLL_US}) AS week_us, event_type,
+       count(*) AS n_events,
+       count(DISTINCT ts_us - ts_us % {_DAY_ROLL_US}) AS n_days_active,
+       count(DISTINCT ts_us - ts_us % {_HOUR_US}) AS n_hours_active,
+       {_dsum_sql('value')} AS total_value
+FROM ev
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned anti-join (runtime-filter shape): customers with zero
+# event activity, per market segment. The naive plan shuffles the
+# whole probe side into the anti-join. Building a Bloom filter from
+# the (arbitrarily large, but constant-sketch-size) events side and
+# probing it first routes every "definitely absent" row straight to
+# the output — only Bloom false-positive candidates pay the exact
+# anti-join shuffle. Same md5 bit positions as ext.sketches, so the
+# result is exactly the anti-join (the filter only PRUNES; it never
+# decides membership positively), which is what the oracle states.
+# ---------------------------------------------------------------------------
+
+
+def _q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketches import bloom_position_array
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    bits = (
+        users.select(
+            F.explode(bloom_position_array(F.col("k").cast("string"))).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = (
+        cust.withColumn(
+            "pos",
+            F.explode(bloom_position_array(F.col("c_custkey").cast("string"))),
+        )
+        .join(broadcast(bits), "pos", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("_all_hit"))
+    )
+    definite_absent = probed.filter(F.col("_all_hit") == 0)
+    maybe_present = probed.filter(F.col("_all_hit") == 1)
+    confirmed_absent = maybe_present.join(
+        users, maybe_present.c_custkey == users.k, "left_anti"
+    )
+    return (
+        definite_absent.unionByName(confirmed_absent)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+_BLOOM_ANTI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "skew_safe_count_distinct": QuerySpec(
+        _q_skew_safe_distinct, _SKEW_DISTINCT_ORACLE
+    ),
+    "binned_range_join": QuerySpec(_q_binned_range_join, _BINNED_RANGE_ORACLE),
+    "hierarchical_time_rollup": QuerySpec(_q_time_rollup, _TIME_ROLLUP_ORACLE),
+    "bloom_pruned_anti_join": QuerySpec(_q_bloom_anti_join, _BLOOM_ANTI_ORACLE),
     "events_funnel_stages": QuerySpec(_q_funnel, _FUNNEL_ORACLE),
     "events_weekly_retention": QuerySpec(_q_retention, _RETENTION_ORACLE),
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_ORACLE, bench=True),
