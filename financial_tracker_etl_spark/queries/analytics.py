@@ -1143,7 +1143,93 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the zero-shuffle big-big join. Both sides
+# are written once as 8-bucket tables hashed on the order key; any
+# later join on that key reads matching buckets pairwise and never
+# exchanges — at 100 TB the one-time bucketing write is amortized over
+# every subsequent join/aggregation on the key (the bucketed layout is
+# the batch twin of the streaming state's keyed partitioning). The
+# plan guard asserts the join itself introduces NO Exchange even with
+# broadcast disabled. Tables are staged once per sf under the scratch
+# warehouse and registered in the session catalog; re-runs reuse them.
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+    import re as _re
+    import tempfile
+
+    tag = _re.sub(r"[^0-9a-z]+", "_", os.path.abspath(sf_dir).lower()).strip("_")
+    base = os.path.join(tempfile.gettempdir(), "ftes_bucketed_v1", tag)
+    t_orders, t_items = f"ftes_bkt_orders_{tag}", f"ftes_bkt_items_{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, "orders"))
+            .bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(t_orders)
+        )
+    if not spark.catalog.tableExists(t_items):
+        li = load_table(spark, sf_dir, "lineitem")
+        per_order = li.groupBy("l_orderkey").agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("_rev"),
+            F.count(F.lit(1)).alias("_n_items"),
+        )
+        (
+            per_order.write.mode("overwrite")
+            .option("path", os.path.join(base, "items"))
+            .bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(t_items)
+        )
+    return t_orders, t_items
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw bucket-co-located join (used by the plan guard)."""
+    t_orders, t_items = _bucketed_pair(spark, sf_dir)
+    o, it = spark.table(t_orders), spark.table(t_items)
+    return o.join(it, o.o_orderkey == it.l_orderkey)
+
+
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = bucketed_join(spark, sf_dir)
+    scaled = F.floor(F.sum("_rev") * F.lit(10000)).cast("long")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_n_items").alias("n_lineitems"),
+        (scaled.cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+_BUCKETED_JOIN_ORACLE = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS rev,
+         count(*) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(n_items) AS BIGINT) AS n_lineitems,
+       CAST(CAST(floor(sum(rev) * 10000) AS BIGINT) AS DOUBLE) / 10000.0
+         AS revenue
+FROM orders JOIN per_order ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bucketed_colocated_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
     "skew_safe_count_distinct": QuerySpec(
         _q_skew_safe_distinct, _SKEW_DISTINCT_ORACLE
     ),

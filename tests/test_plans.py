@@ -116,6 +116,50 @@ def test_bucketed_join_has_no_shuffle(spark, reg):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_colocated_query_join_has_no_shuffle(spark, reg):
+    """The registry's bucketed_colocated_join stages both sides as
+    8-bucket tables once per sf; the join itself must then plan with
+    ZERO exchanges even with broadcast disabled — the bucket layout,
+    not a broadcast, is what removes the shuffle."""
+    from financial_tracker_etl_spark.queries.analytics import bucketed_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(bucketed_join(spark, SF_DIR))
+        assert "SortMergeJoin" in plan
+        assert n_ops(plan, "Exchange") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_binned_range_join_avoids_nested_loop(spark, reg):
+    """The interval predicate alone would plan a BNLJ; the bin
+    discretization must turn it into a hash join on the bin key."""
+    plan = plan_of(reg["binned_range_join"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skew_safe_distinct_spreads_first_shuffle(spark, reg):
+    """The first exchange must partition on BOTH (event_type, user_id)
+    — the skew-spreading composite key — never on event_type alone."""
+    plan = plan_of(reg["skew_safe_count_distinct"].fn(spark, SF_DIR))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    # the deepest exchange (first in the detail listing) carries the
+    # composite key; the second only re-keys the deduped pairs
+    assert "event_type" in parts[0] and "user_id" in parts[0], parts
+
+
+def test_time_rollup_scans_events_once(spark, reg):
+    """The hour→day→week cascade re-aggregates partials; the raw
+    events table must appear exactly once in the plan."""
+    plan = plan_of(reg["hierarchical_time_rollup"].fn(spark, SF_DIR))
+    assert plan.count("events.parquet") == 1, plan
+
+
 def test_no_unbounded_global_window_in_any_query(spark, reg):
     """No query may plan an UNPARTITIONED WindowExec over unbounded
     input: `Window.orderBy(...)` without partitioning moves every row
