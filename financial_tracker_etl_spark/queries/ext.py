@@ -2469,7 +2469,43 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# Curriculum difficulty buckets: per-language percent-rank of document
+# length, cut into 4 training stages (curriculum learning orders a
+# corpus easy→hard; length is the standard first-order difficulty
+# proxy). The window partitions by lang — per-partition ranking, never
+# a global sort. At 100 TB per-language partitions can still be huge;
+# the production variant swaps percent_rank for approx-quantile stage
+# boundaries (one pass, mergeable sketches) at the cost of boundary
+# exactness — the oracle pins the exact formulation.
+# ---------------------------------------------------------------------------
+
+
+def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.least(F.lit(3), F.floor(pr * 4)).cast("int").alias("stage"),
+    )
+
+
+_CURRICULUM_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       CAST(least(3, CAST(floor(percent_rank() OVER (
+             PARTITION BY lang ORDER BY n_chars, doc_id) * 4) AS BIGINT))
+         AS INTEGER) AS stage
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curriculum_difficulty_buckets": QuerySpec(_q_curriculum, _CURRICULUM_ORACLE),
     "incremental_dedup_new_docs": QuerySpec(
         _q_incremental_dedup, _incremental_dedup_oracle()
     ),

@@ -28,6 +28,7 @@ from ..streaming.windows import (
     docs_ingest_stream,
     hourly_rollup_stream,
     session_windows_stream,
+    sliding_window_stream,
     stream_dedup_within_watermark,
     stream_static_enrich,
     stream_stream_interval_join,
@@ -129,6 +130,31 @@ HAVING (ts_us - ts_us % {_HOUR_US}) + {_HOUR_US}
 """
 
 
+def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_stream(spark, sf_dir)
+
+
+# each event lands in the two 1h-aligned windows covering it; a window
+# is emitted iff the final watermark passed its end (start + 2h)
+_STREAM_SLIDING_ORACLE = f"""
+WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+mx AS (SELECT max(ts_us) AS max_us FROM ev),
+starts AS (
+  SELECT event_type, value,
+         unnest([ts_us - ts_us % {_HOUR_US},
+                 ts_us - ts_us % {_HOUR_US} - {_HOUR_US}]) AS win_start_us
+  FROM ev
+)
+SELECT win_start_us, event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM starts, mx
+GROUP BY 1, 2
+HAVING win_start_us + 2 * {_HOUR_US} <= max(max_us) - {WATERMARK_DELAY_US}
+"""
+
+
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows_stream(spark, sf_dir)
 
@@ -216,6 +242,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_stream_hourly, _STREAM_HOURLY_ORACLE
     ),
     "stream_session_windows": QuerySpec(_q_stream_sessions, _STREAM_SESSIONS_ORACLE),
+    "stream_sliding_window_counts": QuerySpec(
+        _q_stream_sliding, _STREAM_SLIDING_ORACLE
+    ),
     "stream_stateful_ewma": QuerySpec(_q_stream_ewma, _EWMA_ORACLE),
     "stream_dedup_exact": QuerySpec(
         lambda spark, sf_dir: stream_dedup_within_watermark(spark, sf_dir),

@@ -122,6 +122,36 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "append")
 
 
+def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING windows (2-hour window, 1-hour slide) per
+    event_type, append mode: each event contributes to exactly two
+    overlapping windows, and a window is emitted once the final
+    watermark passes its end. The overlap is the semantic difference
+    from the tumbling hourly rollup — trend metrics smoothed across
+    window boundaries. State is O(open windows × types) — the slide
+    multiplies state by duration/slide (2× here), not by stream size,
+    so the 100 TB story is unchanged from tumbling windows.
+    Counts + min/max only (float-sum is not cross-engine stable)."""
+    ev = events_stream(spark, sf_dir).withWatermark(
+        "event_time", WATERMARK_DELAY
+    )
+    agg = ev.groupBy(
+        F.window("event_time", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    out = agg.select(
+        F.unix_micros(F.col("w.start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "min_value",
+        "max_value",
+    )
+    return _run_to_table(out, spark, "append")
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (X1's unbounded form): the event stream
     doubled (at-least-once delivery simulation), then
