@@ -1228,7 +1228,84 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE-frame rolling window: per-user trailing-7-day activity at every
+# event. ROWS frames (doc_price_indicators) count physical rows; RANGE
+# frames bound the frame by the ORDER-BY VALUE — the correct semantics
+# for irregular event times (a user with 3 events in a week gets a
+# 3-row frame, not a fixed-20-row one). Partitioned per user — never a
+# global sort; Spark evaluates it with one partition-local sort after
+# the hash exchange on user_id.
+# ---------------------------------------------------------------------------
+
+_WEEK_RANGE_US = 7 * 24 * _HOUR_US
+
+
+def _q_rolling_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_WEEK_RANGE_US, 0)
+    )
+    scaled = F.floor(F.sum(_dec(F.col("value"))).over(w) * F.lit(10000)).cast(
+        "long"
+    )
+    return ev.select(
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.min("value").over(w).alias("min_value_7d"),
+        F.max("value").over(w).alias("max_value_7d"),
+        (scaled.cast("double") / F.lit(10000.0)).alias("total_value_7d"),
+    )
+
+
+_ROLLING_WEEK_ORACLE = f"""
+SELECT user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_7d,
+       min(value) OVER w AS min_value_7d,
+       max(value) OVER w AS max_value_7d,
+       CAST(CAST(floor(sum(CAST(value AS DECIMAL(18,8))) OVER w * 10000)
+            AS BIGINT) AS DOUBLE) / 10000.0 AS total_value_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_WEEK_RANGE_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): the inverse of pivot_monthly_by_type, using
+# the native DataFrame.unpivot — one narrow pass, no shuffle at all
+# (each wide row explodes to 5 long rows map-side).
+# ---------------------------------------------------------------------------
+
+_MEASURES = ["price", "change", "percent_change", "high", "low"]
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md = fixtures.market_data(load_table(spark, sf_dir, "lineitem"))
+    return md.unpivot(
+        ["symbol", "asset_type"], _MEASURES, "measure", "value"
+    )
+
+
+_UNPIVOT_ORACLE = (
+    fixtures.with_ctes(fixtures.MARKET_DATA_SQL)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT symbol, asset_type, '{m}' AS measure, {m} AS value"
+        " FROM market_data"
+        for m in _MEASURES
+    )
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rolling_week_user_activity": QuerySpec(_q_rolling_week, _ROLLING_WEEK_ORACLE),
+    "unpivot_market_measures": QuerySpec(_q_unpivot, _UNPIVOT_ORACLE),
     "bucketed_colocated_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
     "skew_safe_count_distinct": QuerySpec(
         _q_skew_safe_distinct, _SKEW_DISTINCT_ORACLE

@@ -2504,8 +2504,76 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# HLL shard-merge: the property that makes sketches the 100 TB
+# distinct-count answer. Each event_type shard builds its own register
+# set independently (any partitioning, any retry count); the GLOBAL
+# estimate is a bucket-wise max over shard registers — no rescan of
+# the raw data, and the merged registers are bit-identical to
+# sketching the union directly (max is associative/commutative/
+# idempotent). The oracle states the merge itself, so a regression in
+# mergeability (not just in the estimate) fails the gate.
+# ---------------------------------------------------------------------------
+
+
+def _q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    shards = hll_registers(ev, F.col("user_id"), ["event_type"])
+    merged = (
+        shards.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .withColumn("scope", F.lit("ALL"))
+    )
+    est = hll_estimate(merged, ["scope"])
+    exact = (
+        ev.agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.count_distinct("event_type").alias("n_shards_merged"),
+        )
+        .withColumn("scope", F.lit("ALL"))
+    )
+    return exact.join(est, "scope")
+
+
+_HLL_MERGE_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM events
+),
+shard_regs AS (
+  SELECT event_type, hh % 256 AS bucket,
+         max(CASE WHEN hh // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(hh // 256)) END) AS register
+  FROM h GROUP BY event_type, bucket
+),
+merged AS (
+  SELECT bucket, max(register) AS register FROM shard_regs GROUP BY bucket
+),
+s AS (
+  SELECT sum(1::BIGINT << (60 - register)) AS present_sum, count(*) AS nb
+  FROM merged
+)
+SELECT 'ALL' AS scope,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+       (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+         AS n_shards_merged,
+       CAST(256 - nb AS BIGINT) AS n_empty_buckets,
+       round((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)
+              * 65536 * 1152921504606846976)
+             / CAST(present_sum
+                    + (256 - nb) * 1152921504606846976::HUGEINT AS DOUBLE),
+             2) AS hll_estimate
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curriculum_difficulty_buckets": QuerySpec(_q_curriculum, _CURRICULUM_ORACLE),
+    "hll_shard_merge": QuerySpec(_q_hll_merge, _HLL_MERGE_ORACLE),
     "incremental_dedup_new_docs": QuerySpec(
         _q_incremental_dedup, _incremental_dedup_oracle()
     ),

@@ -257,6 +257,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "brand_revenue_share",
         "source_vocab_divergence",  # 1-row grand-total broadcast
         "histogram_quantile_sketch",  # 1-row global-range broadcast
+        "hll_shard_merge",  # 1-row exact-count × 1-row merged-sketch
         "embedding_topk_cosine",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
