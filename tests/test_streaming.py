@@ -154,6 +154,80 @@ def test_pipeline_rerun_is_idempotent_end_to_end(spark, tmp_path):
     assert state1 == state2
 
 
+def test_crash_mid_stream_resumes_from_checkpoint(spark, tmp_path):
+    """A foreachBatch failure kills the query AFTER some batches have
+    merged; restarting against the SAME checkpoint must resume from
+    the failed batch (replaying it, since its offsets never committed)
+    and converge to exactly the state a clean single-pass run produces.
+    This is ST2 proven through an actual crash: checkpointed source
+    offsets bound the replay to one batch, and the idempotent keyed
+    merge makes that replay harmless."""
+    from financial_tracker_etl_spark.streaming.jobs import REQUEST_SCHEMA
+    from financial_tracker_etl_spark.streaming.pipeline import (
+        TOPIC_MARKET,
+        staged_request_dir,
+    )
+    from financial_tracker_etl_spark.streaming.state import LogStructuredState
+
+    input_dir = staged_request_dir(
+        spark, SF_DIR, n_files=4, topics=(TOPIC_MARKET,)
+    )
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    state = LogStructuredState(
+        spark,
+        os.path.join(str(tmp_path), "state"),
+        MARKET_JOB.keys,
+        MARKET_JOB.version_cols,
+    )
+    merged_batches: list[int] = []
+
+    def run(crash_at):
+        def handle(batch, bid):
+            if crash_at is not None and bid >= crash_at:
+                raise RuntimeError("injected crash")
+            parsed, _dead = MARKET_JOB.parse(batch)
+            valid, _invalid = MARKET_JOB.split(parsed)
+            state.merge(MARKET_JOB.transform(valid))
+            merged_batches.append(int(bid))
+
+        q = (
+            spark.readStream.schema(REQUEST_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(input_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="injected crash"):
+        run(crash_at=2)
+    assert merged_batches == [0, 1]  # two batches landed before the crash
+    run(crash_at=None)
+    # the resume REPLAYS the uncommitted batch 2, then continues — it
+    # must not start over from batch 0
+    assert merged_batches == [0, 1, 2, 3]
+
+    got = sorted(
+        map(tuple, state.read_merged().drop("_ver_seq").collect())
+    )
+    clean = LogStructuredState(
+        spark,
+        os.path.join(str(tmp_path), "state_clean"),
+        MARKET_JOB.keys,
+        MARKET_JOB.version_cols,
+    )
+    whole = spark.read.schema(REQUEST_SCHEMA).json(input_dir)
+    parsed, _dead = MARKET_JOB.parse(whole)
+    valid, _invalid = MARKET_JOB.split(parsed)
+    clean.merge(MARKET_JOB.transform(valid))
+    want = sorted(
+        map(tuple, clean.read_merged().drop("_ver_seq").collect())
+    )
+    assert got == want
+
+
 def test_st6_scheduled_index_tick(spark):
     """ST6 (reference etl/scheduler.py): one scheduled firing runs the
     index job through the shared AvailableNow pipeline; firing twice is
