@@ -537,6 +537,33 @@ def test_zorder_buckets_bound_both_dimensions(spark):
         assert r.max_part_lo16 - r.min_part_lo16 <= 4096, r
 
 
+def test_new_round3_queries_run_under_vanilla_session(spark):
+    """Same environment-contract guard, swept over the round-3
+    scale-pattern additions: each must execute and return rows under a
+    fresh ``newSession()`` (build-time conf defaults — the driver's
+    world). Catches any new query that quietly depends on a conf or
+    session state our own session happens to carry."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.queries import registry
+
+    vanilla = spark.newSession()
+    reg = registry()
+    for name in [
+        "skew_safe_count_distinct",
+        "binned_range_join",
+        "hierarchical_time_rollup",
+        "bloom_pruned_anti_join",
+        "bucketed_colocated_join",
+        "curriculum_difficulty_buckets",
+        "rolling_week_user_activity",
+        "unpivot_market_measures",
+        "hll_shard_merge",
+        "stream_sliding_window_counts",
+    ]:
+        assert reg[name].fn(vanilla, SF_DIR).count() > 0, name
+
+
 def test_events_query_end_to_end_under_vanilla_session(spark):
     """Round-2's bug passed catalog-level checks in OUR session and
     still broke every events query under the driver's. Run a full
