@@ -392,3 +392,162 @@ def test_zorder_interleave_matches_python_model(spark, pairs):
     got = {(r.x, r.y): r.z for r in df.select("x", "y", z.alias("z")).collect()}
     for x, y in pairs:
         assert got[(x, y)] == _z_model(x, y), (x, y)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 scale-pattern operators: Spark-internal equivalence to their
+# naive formulations (the DuckDB oracles already pin cross-engine
+# values; these pin the REWRITE itself — binning, bloom pruning, shard
+# merging, cascaded rollup — against the direct plan on the same
+# engine, where any rewrite bug shows up independent of oracle SQL).
+# ---------------------------------------------------------------------------
+
+
+def test_binned_range_join_equals_naive_range_join(spark):
+    """Bin-grid discretization + residual filter must select exactly
+    the pairs the raw interval predicate selects."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.queries import registry
+
+    bands = spark.createDataFrame(
+        [(i, 25.0 * i, 25.0 * i + 50.0) for i in range(20)],
+        "band_id int, lo double, hi double",
+    )
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    naive = (
+        ev.join(
+            bands,
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    binned = registry()["binned_range_join"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, binned.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_bloom_pruned_anti_join_equals_plain_anti_join(spark):
+    """The Bloom filter only PRUNES — false positives go through the
+    exact join, absent rows bypass it — so the union must equal the
+    plain left_anti result exactly."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.queries import registry
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    users = load_table(spark, SF_DIR, "events").select("user_id").distinct()
+    plain = (
+        cust.join(users, cust.c_custkey == users.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    pruned = registry()["bloom_pruned_anti_join"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_hll_shard_merge_equals_direct_global_sketch(spark):
+    """Bucket-wise max over per-shard registers must be bit-identical
+    to sketching the union directly (max is associative/commutative/
+    idempotent) — the mergeability contract itself."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.ext.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    merged = (
+        hll_registers(ev, F.col("user_id"), ["event_type"])
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .withColumn("scope", F.lit("ALL"))
+    )
+    direct = hll_registers(
+        ev.withColumn("scope", F.lit("ALL")), F.col("user_id"), ["scope"]
+    )
+    assert sorted(map(tuple, merged.select("bucket", "register").collect())) == sorted(
+        map(tuple, direct.select("bucket", "register").collect())
+    )
+    m_est = hll_estimate(merged, ["scope"]).first()
+    d_est = hll_estimate(direct, ["scope"]).first()
+    assert m_est["hll_estimate"] == d_est["hll_estimate"]
+
+
+def test_hierarchical_rollup_equals_direct_weekly_agg(spark):
+    """The hour→day→week cascade must equal aggregating raw events
+    straight to weeks (counts exactly; the value sum exactly, because
+    the cascade re-aggregates DECIMAL partials)."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.queries import registry
+
+    hour_us = 3_600_000_000
+    week_us = 7 * 24 * hour_us
+    ev = load_table(spark, SF_DIR, "events").select(
+        "ts_us", "event_type", "value"
+    )
+    scaled = F.floor(
+        F.sum(F.col("value").cast("decimal(18,8)")) * F.lit(10000)
+    ).cast("long")
+    direct = ev.groupBy(
+        (F.col("ts_us") - F.col("ts_us") % week_us).alias("week_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(
+            F.col("ts_us") - F.col("ts_us") % (24 * hour_us)
+        ).alias("n_days_active"),
+        F.countDistinct(F.col("ts_us") - F.col("ts_us") % hour_us).alias(
+            "n_hours_active"
+        ),
+        (scaled.cast("double") / F.lit(10000.0)).alias("total_value"),
+    )
+    cascade = registry()["hierarchical_time_rollup"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, cascade.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_curriculum_stage_is_monotone_within_language(spark):
+    """Walking a language's docs in (n_chars, doc_id) order, the
+    assigned stage must never decrease, and all 4 stages must appear
+    for any language with >= 4 docs."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.queries import registry
+
+    rows = (
+        registry()["curriculum_difficulty_buckets"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        stages = [r.stage for r in docs]
+        assert stages == sorted(stages), lang
+        if len(docs) >= 4:
+            assert set(stages) == {0, 1, 2, 3}, (lang, set(stages))
