@@ -991,7 +991,52 @@ GROUP BY symbol
 )
 
 
+# ---------------------------------------------------------------------------
+# Snapshot time travel: the quote traffic committed in 3 deterministic
+# delta batches to a VersionedLogState, then read back AS OF version 1
+# — the historical snapshot is reconstructed exactly (LWW fold over
+# the first two immutable deltas), which is what the oracle states
+# relationally. The Delta/Iceberg VERSION-AS-OF economics at 100 TB:
+# history costs storage, never rewrites; audits/backfills read any
+# past state without a restore.
+# ---------------------------------------------------------------------------
+
+
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.state import VersionedLogState
+
+    typed = _typed_quotes(spark, sf_dir).withColumnRenamed("quote_id", "_ver")
+    state = VersionedLogState(
+        spark,
+        tempfile.mkdtemp(prefix="ftes_timetravel_"),
+        keys=["symbol", "asset_type"],
+        version_cols=["updated_at", "_ver"],
+    )
+    for i in range(3):
+        state.merge(typed.filter(F.col("_ver") % 3 == i))
+    return state.read_as_of(1).drop("_ver")
+
+
+_TIME_TRAVEL_ORACLE = (
+    fixtures.with_ctes(
+        fixtures.QUOTES_RAW_SQL,
+        "typed AS (" + _TYPED_QUOTES_SQL_BODY + ")",
+    )
+    + """
+SELECT symbol, asset_type, price, percent_change, change, high, low, updated_at
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY symbol, asset_type
+                               ORDER BY updated_at DESC, quote_id DESC) AS rn
+  FROM typed WHERE quote_id % 3 < 2
+) WHERE rn = 1
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "state_time_travel": QuerySpec(_q_time_travel, _TIME_TRAVEL_ORACLE),
     "flagship_historical_repair": QuerySpec(_q_flagship, _FLAGSHIP_ORACLE, bench=True),
     "historical_missing_months": QuerySpec(_q_missing_months, _MISSING_ORACLE),
     "historical_fetch_windows": QuerySpec(_q_fetch_windows, _WINDOWS_ORACLE),

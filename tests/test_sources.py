@@ -407,3 +407,91 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     src.coalesce(1).write.orc(out)
     got = sorted(map(tuple, spark.read.schema(src.schema).orc(out).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Custom PySpark DataSource: the quote connectors as a native source
+# ---------------------------------------------------------------------------
+
+
+def test_quote_datasource_reads_batched_and_deterministic(spark):
+    """format('fintrack_quotes'): B1 symbol batching becomes the
+    partition layout (5 symbols / batch_size 2 → 3 partitions), and the
+    fake transport's payloads are pure functions of the symbol — two
+    reads collect identical rows."""
+    from financial_tracker_etl_spark.sources import quote_datasource as qds
+
+    qds.register(spark)
+    reader = (
+        spark.read.format("fintrack_quotes")
+        .option("symbols", "SYM1,SYM2,SYM3,SYM4,SYM5")
+        .option("batch_size", "2")
+    )
+    df = reader.load()
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 5
+    again = sorted(map(tuple, reader.load().collect()))
+    assert rows == again
+    first = dict(zip(df.columns, rows[0]))
+    # reference fixture shape: string decimals + epoch-second stamp
+    assert isinstance(first["close"], str) and float(first["close"]) > 0
+    assert first["asset_type"] == "STOCK"
+    assert 1_704_067_200 <= first["ts"] < 1_704_067_200 + 86_400
+
+
+def test_quote_datasource_pushes_symbol_filters_into_the_scan(spark):
+    """EqualTo/In on symbol prune the fetch batches BEFORE any call —
+    asserted at the reader level (partitions shrink) and end-to-end."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from financial_tracker_etl_spark.sources.quote_datasource import (
+        QuoteBatchReader,
+    )
+
+    r = QuoteBatchReader({"symbols": "A,B,C,D,E", "batch_size": "2"})
+    leftover = list(r.pushFilters([EqualTo(("symbol",), "C"), GreaterThan(("close",), "0")]))
+    # the symbol filter was consumed; the close filter handed back
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+    assert r.symbols == ["C"] and len(r.partitions()) == 1
+
+    r2 = QuoteBatchReader({"symbols": "A,B,C,D,E", "batch_size": "2"})
+    list(r2.pushFilters([In(("symbol",), ("B", "D", "Z"))]))
+    assert r2.symbols == ["B", "D"] and len(r2.partitions()) == 1
+
+    from financial_tracker_etl_spark.sources import quote_datasource as qds
+
+    qds.register(spark)
+    got = (
+        spark.read.format("fintrack_quotes")
+        .option("symbols", "A,B,C,D,E")
+        .load()
+        .filter("symbol = 'C'")
+        .collect()
+    )
+    assert [r["symbol"] for r in got] == ["C"]
+
+
+def test_quote_datasource_asset_type_dispatch(spark):
+    """S6 dispatch at the source: CRYPTO renders the {sym}/USD pair
+    before pricing, so the same symbol prices differently per type —
+    and FOREX splits the pair (F1)."""
+    from financial_tracker_etl_spark.sources import quote_datasource as qds
+
+    qds.register(spark)
+
+    def one(asset_type, symbols):
+        return (
+            spark.read.format("fintrack_quotes")
+            .option("symbols", symbols)
+            .option("asset_type", asset_type)
+            .load()
+            .collect()[0]
+        )
+
+    stock = one("STOCK", "BTC")
+    crypto = one("CRYPTO", "BTC")
+    forex = one("FOREX", "EUR/USD")
+    assert stock["close"] != crypto["close"]
+    assert crypto["asset_type"] == "CRYPTO"
+    assert forex["symbol"] == "EUR/USD" and float(forex["close"]) > 0

@@ -254,3 +254,56 @@ def test_st6_scheduled_index_tick(spark):
     now = dt.datetime(2024, 1, 2, 15, 0, 0)
     assert seconds_until("16:00", now) == 3600.0
     assert seconds_until("14:00", now) == 23 * 3600.0  # tomorrow
+
+
+def test_versioned_state_time_travel_and_change_feed(spark, tmp_path):
+    """VERSION AS OF semantics: snapshot v equals folding exactly the
+    first v+1 deltas; a replayed identical batch commits a new delta
+    but changes no snapshot (LWW max is idempotent); the change feed
+    between versions classifies inserts/updates/unchanged correctly."""
+    from financial_tracker_etl_spark.streaming.state import (
+        KeyedParquetState,
+        VersionedLogState,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "k string, val double, ver long"
+        )
+
+    b0 = df([("a", 1.0, 1), ("b", 2.0, 1)])
+    b1 = df([("b", 9.0, 2), ("c", 3.0, 1)])  # update b, insert c
+    b2 = df([("a", 5.0, 3)])  # update a
+
+    state = VersionedLogState(
+        spark, os.path.join(str(tmp_path), "vstate"), ["k"], ["ver"]
+    )
+    assert state.merge(b0) == 0
+    assert state.merge(b1) == 1
+    assert state.merge(b2) == 2
+
+    def snap(v):
+        return sorted(map(tuple, state.read_as_of(v).collect()))
+
+    assert snap(0) == [("a", 1.0, 1), ("b", 2.0, 1)]
+    assert snap(1) == [("a", 1.0, 1), ("b", 9.0, 2), ("c", 3.0, 1)]
+    assert snap(2) == [("a", 5.0, 3), ("b", 9.0, 2), ("c", 3.0, 1)]
+    assert sorted(map(tuple, state.read_merged().collect())) == snap(2)
+
+    # as-of(v) ≡ a rewrite-state folded with the same prefix of batches
+    ref = KeyedParquetState(
+        spark, os.path.join(str(tmp_path), "ref"), ["k"], ["ver"]
+    )
+    ref.merge(b0)
+    ref.merge(b1)
+    assert sorted(map(tuple, ref.read_merged().collect())) == snap(1)
+
+    # replaying an identical batch: new delta, no snapshot change
+    assert state.merge(b2) == 3
+    assert snap(3) == snap(2)
+
+    feed = {
+        r.k: r.change_type
+        for r in state.change_feed(0, 1).collect()
+    }
+    assert feed == {"a": "unchanged", "b": "updated", "c": "inserted"}
