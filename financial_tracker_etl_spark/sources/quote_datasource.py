@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from .http_quotes import (
@@ -132,9 +133,72 @@ class QuoteBatchReader(DataSourceReader):
             )
 
 
+class QuoteTickStreamReader(SimpleDataSourceStreamReader):
+    """The reference's poll loop (ST1, etl/main.py:124-131) as a native
+    streaming source: each micro-batch is one poll TICK over the symbol
+    universe; the checkpointed offset is the tick counter, so restart
+    resumes at the next un-committed tick (at-least-once, ST2) and
+    ``readBetweenOffsets`` replays any tick deterministically (payloads
+    are pure functions of (symbol, tick)). ``max_ticks`` bounds
+    ``latestOffset`` so ``Trigger.AvailableNow`` drains exactly that
+    many batches in tests — production leaves it unset and polls
+    forever. State is ONE integer, regardless of symbol count."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        raw = options.get("symbols", "")
+        self.symbols = [s.strip() for s in raw.split(",") if s.strip()]
+        if not self.symbols:
+            raise ValueError(
+                "fintrack_quotes stream requires a 'symbols' option"
+            )
+        self.asset_type = options.get("asset_type", "STOCK").upper()
+        self.max_ticks = int(options.get("max_ticks", "0"))  # 0 = unbounded
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"tick": 0}
+
+    def _rows_for_tick(self, tick: int) -> Iterator[tuple]:
+        for sym in self.symbols:
+            data = get_realtime_stock_data(
+                fake_transport, f"{sym}@{tick}"
+            )
+            yield (
+                sym,
+                self.asset_type,
+                data["close"],
+                data["change"],
+                data["percent_change"],
+                data["high"],
+                data["low"],
+                _EPOCH_ANCHOR + tick,
+            )
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        # iter(list), not a generator: the wrapper both advances the
+        # iterator (empty-batch validation) and pickles it into the
+        # prefetch cache — list iterators do both, generators pickle not
+        tick = start["tick"]
+        if self.max_ticks and tick >= self.max_ticks:
+            return iter([]), {"tick": tick}
+        return iter(list(self._rows_for_tick(tick))), {"tick": tick + 1}
+
+    def readBetweenOffsets(  # noqa: N802 (Spark API name)
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        return iter(
+            [
+                row
+                for tick in range(start["tick"], end["tick"])
+                for row in self._rows_for_tick(tick)
+            ]
+        )
+
+
 class QuoteDataSource(DataSource):
     """``spark.dataSource.register(QuoteDataSource)`` then
-    ``spark.read.format("fintrack_quotes").option("symbols", ...)``."""
+    ``spark.read.format("fintrack_quotes").option("symbols", ...)`` or
+    ``spark.readStream.format("fintrack_quotes")`` for the poll-tick
+    stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -145,6 +209,11 @@ class QuoteDataSource(DataSource):
 
     def reader(self, schema) -> QuoteBatchReader:
         return QuoteBatchReader(dict(self.options))
+
+    def simpleStreamReader(  # noqa: N802 (Spark API name)
+        self, schema
+    ) -> QuoteTickStreamReader:
+        return QuoteTickStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

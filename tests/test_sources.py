@@ -495,3 +495,50 @@ def test_quote_datasource_asset_type_dispatch(spark):
     assert stock["close"] != crypto["close"]
     assert crypto["asset_type"] == "CRYPTO"
     assert forex["symbol"] == "EUR/USD" and float(forex["close"]) > 0
+
+
+def test_quote_datasource_stream_polls_ticks(spark, tmp_path):
+    """readStream over the custom source: each AvailableNow run drains
+    the next poll tick and commits its offset (ST1 poll loop + ST2
+    offset persistence — the scheduled-tick shape of ST6): three runs
+    → three ticks, each deterministically stamped and priced; further
+    runs past max_ticks add nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.sources import quote_datasource as qds
+
+    qds.register(spark)
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("fintrack_quotes")
+            .option("symbols", "AAA,BBB")
+            .option("max_ticks", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(3):
+        drain()
+    df = spark.read.parquet(out)
+    assert df.count() == 6  # 2 symbols x 3 ticks
+    ticks = sorted(
+        r[0] for r in df.select("ts").distinct().collect()
+    )
+    assert ticks == [1_704_067_200, 1_704_067_201, 1_704_067_202]
+    per_tick = df.groupBy("ts").count().collect()
+    assert all(r["count"] == 2 for r in per_tick)
+    # distinct payloads per tick (close varies with the tick)
+    assert df.select("close").distinct().count() == 6
+    drain()  # same checkpoint: no new ticks below max_ticks
+    assert spark.read.parquet(out).count() == 6
+    assert df.filter(F.col("symbol").isin("AAA", "BBB")).count() == 6
