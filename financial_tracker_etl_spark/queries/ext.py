@@ -2571,8 +2571,127 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# OOV rate vs a corpus vocabulary: the tokenizer-coverage metric run
+# before committing to a vocab. The vocabulary (top-50 tokens) is
+# vocabulary-sized by construction → broadcast; the corpus side stays
+# a narrow explode + one grouped count. Integer ppm, no float division
+# drift.
+# ---------------------------------------------------------------------------
+
+
+def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import vocab_top_terms
+    from ..ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_top_terms(docs, tokens_col(F.col("text")), k=50).select(
+        F.col("token").alias("_v"), F.lit(1).alias("_in_vocab")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        toks.join(broadcast(vocab), toks.token == vocab._v, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") * 1_000_000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )
+
+
+_OOV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT 50
+  )
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(*) FILTER (token NOT IN (SELECT token FROM vocab)) AS n_oov,
+       CAST(count(*) FILTER (token NOT IN (SELECT token FROM vocab))
+            * 1000000 / count(*) AS BIGINT) AS oov_ppm
+FROM tok
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Phrase search through an inverted bigram index: postings (bigram →
+# doc) joined against the query's leading bigram give CANDIDATES; the
+# full phrase is verified only on those. At 100 TB the postings table
+# is built once and reused per query — the equi-join on the posting
+# key replaces a full-text scan per search (classic inverted-index
+# candidate→verify, same shape as the LSH dedup families).
+# ---------------------------------------------------------------------------
+
+_PHRASE = "value a table"
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..ext.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", normalized_text(F.col("text")).alias("_norm")
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.col("_norm"), " ").alias("_tok")
+    )
+    postings = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_tok) - 2),"
+                " i -> concat(_tok[i], ' ', _tok[i + 1]))"
+            )
+        ).alias("bigram"),
+    ).distinct()
+    lead = " ".join(_PHRASE.split(" ")[:2])
+    query = spark.createDataFrame([(lead,)], "bigram string")
+    candidates = postings.join(broadcast(query), "bigram").select("doc_id")
+    return (
+        docs.join(candidates, "doc_id", "left_semi")
+        .filter(F.instr(F.col("_norm"), _PHRASE) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.instr(F.col("_norm"), _PHRASE).cast("int").alias("first_pos"),
+        )
+    )
+
+
+_PHRASE_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, source,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(strpos(n, '{_PHRASE}') AS INTEGER) AS first_pos
+FROM norm WHERE strpos(n, '{_PHRASE}') > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curriculum_difficulty_buckets": QuerySpec(_q_curriculum, _CURRICULUM_ORACLE),
+    "vocab_oov_rate": QuerySpec(_q_oov_rate, _OOV_ORACLE),
+    "phrase_search_index": QuerySpec(_q_phrase_search, _PHRASE_ORACLE),
     "hll_shard_merge": QuerySpec(_q_hll_merge, _HLL_MERGE_ORACLE),
     "incremental_dedup_new_docs": QuerySpec(
         _q_incremental_dedup, _incremental_dedup_oracle()
