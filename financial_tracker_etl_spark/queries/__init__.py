@@ -117,7 +117,7 @@ _CHECK_FIRST = [
 # curriculum_difficulty_buckets, rolling_week_user_activity,
 # unpivot_market_measures, hll_shard_merge, vocab_oov_rate,
 # phrase_search_index). That is 17 over the
-# 50-row gate: prioritize (1) the 20 never-driver-checked additions,
+# 50-row gate: prioritize (1) the 23 never-driver-checked additions,
 # (2) the 3 twins (r1-only evidence, oldest), (3) the r2-green set,
 # and let the spilled entries be ones whose operator another green
 # query covers (e.g. stream_upsert_index/monthly share S9's merge
