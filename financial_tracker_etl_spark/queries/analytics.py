@@ -1303,7 +1303,113 @@ _UNPIVOT_ORACLE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — scalar subquery + anti-join: "dormant rich"
+# customers (above-average balance, no URGENT order ever — the
+# synthetic orders table covers every customer, so plain zero-orders
+# would be empty) per nation. The
+# global average is ONE broadcast row; the threshold comparison is
+# stated multiplicatively (bal·n > Σbal over exact DECIMALs) so both
+# engines decide every boundary case identically — a divided-out avg
+# would hinge on float rounding. The orders side prunes to one column
+# before the anti-join.
+# ---------------------------------------------------------------------------
+
+
+def _q_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    positive = cust.filter(F.col("c_acctbal") > 0)
+    totals = positive.agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("_sum"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rich = (
+        cust.join(broadcast(totals))
+        .filter(_dec(F.col("c_acctbal")) * F.col("_n") > F.col("_sum"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+_DORMANT_RICH_ORACLE = f"""
+WITH totals AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,8))) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer, totals
+  WHERE CAST(c_acctbal AS DECIMAL(18,8)) * n > s
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       {_dsum_sql('c_acctbal')} AS total_acctbal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — aggregate-of-aggregate: the supplier(s) achieving
+# MAX total revenue in a ship-date quarter. The max is one broadcast
+# row joined back by EQUALITY on the exact floor-derived double (both
+# engines derive it with the same two rounding ops), so ties surface
+# every winner deterministically.
+# ---------------------------------------------------------------------------
+
+
+def _q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.join(broadcast(best), rev.total_revenue == F.col("_max_rev"))
+        .join(broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_TOP_SUPPLIER_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dormant_rich_customers": QuerySpec(_q_dormant_rich, _DORMANT_RICH_ORACLE),
+    "top_supplier_revenue": QuerySpec(_q_top_supplier, _TOP_SUPPLIER_ORACLE),
     "rolling_week_user_activity": QuerySpec(_q_rolling_week, _ROLLING_WEEK_ORACLE),
     "unpivot_market_measures": QuerySpec(_q_unpivot, _UNPIVOT_ORACLE),
     "bucketed_colocated_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_ORACLE),

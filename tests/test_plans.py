@@ -258,6 +258,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "source_vocab_divergence",  # 1-row grand-total broadcast
         "histogram_quantile_sketch",  # 1-row global-range broadcast
         "hll_shard_merge",  # 1-row exact-count × 1-row merged-sketch
+        "dormant_rich_customers",  # 1-row global-average broadcast
         "embedding_topk_cosine",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
