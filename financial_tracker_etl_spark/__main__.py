@@ -4,6 +4,7 @@
     python -m financial_tracker_etl_spark list
     python -m financial_tracker_etl_spark run <query> [--sf-dir DIR] [--limit N]
     python -m financial_tracker_etl_spark explain <query> [--sf-dir DIR]
+    python -m financial_tracker_etl_spark profile <query> [--sf-dir DIR]
     python -m financial_tracker_etl_spark verify [names...] [--sf-dir DIR]
     python -m financial_tracker_etl_spark pipeline [--sf-dir DIR]
 """
@@ -20,8 +21,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("list", help="list registered queries")
 
-    for name in ("run", "explain"):
-        s = sub.add_parser(name)
+    for name in ("run", "explain", "profile"):
+        s = sub.add_parser(
+            name,
+            help="execute and print per-operator runtime SQLMetrics"
+            if name == "profile"
+            else None,
+        )
         s.add_argument("query")
         s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         if name == "run":
@@ -61,13 +67,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from .session import get_spark
 
-    if args.cmd in ("run", "explain"):
+    if args.cmd in ("run", "explain", "profile"):
         if args.query not in reg:
             print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
             return 2
         spark = get_spark(f"cli-{args.cmd}")
         df = reg[args.query].fn(spark, args.sf_dir)
-        if args.cmd == "explain":
+        if args.cmd == "profile":
+            from .profile import collect_metrics, format_profile
+
+            print(format_profile(collect_metrics(df)))
+        elif args.cmd == "explain":
             df.explain("formatted")
         else:
             df.show(args.limit, truncate=False)

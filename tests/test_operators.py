@@ -580,3 +580,30 @@ def test_events_query_end_to_end_under_vanilla_session(spark):
     theirs = {tuple(r) for r in spec.fn(vanilla, SF_DIR).collect()}
     assert ours == theirs
     assert ours  # nonempty
+
+
+def test_profile_reports_runtime_metrics(spark):
+    """The profiler must execute the query's OWN queryExecution and
+    surface real SQLMetrics: the parquet scan reports its actual row
+    count, a filter prunes below it, and the metrics come from the
+    final adaptive plan (post-AQE), not the pre-execution shape."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.profile import (
+        collect_metrics,
+        format_profile,
+    )
+    from financial_tracker_etl_spark.queries import registry
+
+    df = registry()["pricing_summary"].fn(spark, SF_DIR)
+    rows = collect_metrics(df)
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r.name.strip(), r.metrics)
+    scan = next(m for n, m in by_name.items() if n.startswith("Scan parquet"))
+    assert scan["numOutputRows"] > 0
+    assert scan["numFiles"] >= 1
+    flt = by_name["Filter"]
+    assert 0 < flt["numOutputRows"] < scan["numOutputRows"]
+    text = format_profile(rows)
+    assert "Scan parquet" in text and "numOutputRows=" in text
