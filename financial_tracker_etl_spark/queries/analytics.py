@@ -1407,7 +1407,55 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality expectations report: N declarative rules over lineitem,
+# ONE scan, conditional aggregates (operators/expectations.py) — the
+# DLT/Great-Expectations report shape. Adding a rule adds a column to
+# one aggregation, never another pass over the 100 TB table.
+# ---------------------------------------------------------------------------
+
+
+def _q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import expectations_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_in_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_unit_interval": (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 0.1),
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    return expectations_report(li, rules)
+
+
+_DQ_REPORT_ORACLE = """
+WITH t AS (SELECT count(*) AS total FROM lineitem),
+p AS (
+  SELECT
+    count(*) FILTER (l_quantity >= 1 AND l_quantity <= 50) AS qty_in_range,
+    count(*) FILTER (l_extendedprice > 0) AS price_positive,
+    count(*) FILTER (l_discount >= 0 AND l_discount <= 0.1)
+      AS discount_unit_interval,
+    count(*) FILTER (l_shipdate IS NOT NULL) AS shipdate_present,
+    count(*) FILTER (l_returnflag IN ('A','N','R')) AS returnflag_domain
+  FROM lineitem
+)
+SELECT rule, n_pass, total - n_pass AS n_fail,
+       CAST((total - n_pass) * 1000000 / total AS BIGINT) AS fail_ppm
+FROM t, (
+  SELECT 'qty_in_range' AS rule, qty_in_range AS n_pass FROM p
+  UNION ALL SELECT 'price_positive', price_positive FROM p
+  UNION ALL SELECT 'discount_unit_interval', discount_unit_interval FROM p
+  UNION ALL SELECT 'shipdate_present', shipdate_present FROM p
+  UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM p
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_expectations_report": QuerySpec(_q_dq_report, _DQ_REPORT_ORACLE),
     "dormant_rich_customers": QuerySpec(_q_dormant_rich, _DORMANT_RICH_ORACLE),
     "top_supplier_revenue": QuerySpec(_q_top_supplier, _TOP_SUPPLIER_ORACLE),
     "rolling_week_user_activity": QuerySpec(_q_rolling_week, _ROLLING_WEEK_ORACLE),

@@ -607,3 +607,40 @@ def test_profile_reports_runtime_metrics(spark):
     assert 0 < flt["numOutputRows"] < scan["numOutputRows"]
     text = format_profile(rows)
     assert "Scan parquet" in text and "numOutputRows=" in text
+
+
+def test_quarantine_split_tags_failed_rules(spark):
+    """Row-level companion to the expectations report: rows failing
+    ANY rule are quarantined with the exact failed-rule list; clean
+    rows pass through unchanged; null-valued rule inputs count as
+    failures (a null predicate is not a pass)."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.operators.expectations import (
+        expectations_report,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 5, 1.0),
+            ("b", 0, 2.0),     # qty rule fails
+            ("c", 7, -1.0),    # price rule fails
+            ("d", -1, None),   # both fail (null price is a failure)
+        ],
+        "id string, qty int, price double",
+    )
+    rules = {
+        "qty_pos": F.col("qty") > 0,
+        "price_pos": F.col("price") > 0,
+    }
+    clean, quarantined = quarantine_split(df, rules)
+    got = {r.id: sorted(r._failed_rules) for r in quarantined.collect()}
+    assert got == {
+        "b": ["qty_pos"],
+        "c": ["price_pos"],
+        "d": ["price_pos", "qty_pos"],
+    }
+    assert sorted(r.id for r in clean.collect()) == ["a"]
+    rep = {r.rule: (r.n_pass, r.n_fail) for r in expectations_report(df, rules).collect()}
+    assert rep == {"qty_pos": (2, 2), "price_pos": (2, 2)}

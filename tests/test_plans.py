@@ -278,3 +278,29 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         if "BroadcastNestedLoopJoin" in plan and name not in allow_nlj:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_join_strategy_hints_are_honored(spark, reg):
+    """The three physical join strategies are selectable per join via
+    hints — the lever a 100 TB tuning pass actually uses: broadcast
+    for dim tables, shuffle_hash to skip the sort when one side is
+    modest, merge for the big-big default."""
+    from financial_tracker_etl_spark.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cases = {
+            "broadcast": "BroadcastHashJoin",
+            "shuffle_hash": "ShuffledHashJoin",
+            "merge": "SortMergeJoin",
+        }
+        for hint, node in cases.items():
+            plan = plan_of(
+                li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+            )
+            assert node in plan, (hint, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
