@@ -542,3 +542,57 @@ def test_quote_datasource_stream_polls_ticks(spark, tmp_path):
     drain()  # same checkpoint: no new ticks below max_ticks
     assert spark.read.parquet(out).count() == 6
     assert df.filter(F.col("symbol").isin("AAA", "BBB")).count() == 6
+
+
+def test_quote_datasource_to_upsert_end_to_end(spark, tmp_path):
+    """Full source→state slice on the native DataSource: read quotes
+    via format('fintrack_quotes'), apply the P1 guard + P4 casts, merge
+    into keyed state (S9) — then a second read with refreshed ticks
+    upserts over the same keys, leaving exactly one row per symbol."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.operators.validation import (
+        cast_measures,
+        split_valid,
+    )
+    from financial_tracker_etl_spark.sources import quote_datasource as qds
+    from financial_tracker_etl_spark.streaming.state import KeyedParquetState
+
+    qds.register(spark)
+    raw = (
+        spark.read.format("fintrack_quotes")
+        .option("symbols", "SYM1,SYM2,SYM3")
+        .load()
+    )
+    valid, invalid = split_valid(
+        raw, ["close", "change", "percent_change", "high", "low"]
+    )
+    assert invalid.count() == 0
+    typed = cast_measures(
+        valid, {f: "double" for f in ["close", "change", "percent_change", "high", "low"]}
+    ).select(
+        "symbol",
+        "asset_type",
+        F.col("close").alias("price"),
+        F.timestamp_seconds(F.col("ts")).alias("updated_at"),
+    )
+    state = KeyedParquetState(
+        spark,
+        os.path.join(str(tmp_path), "state"),
+        ["symbol", "asset_type"],
+        ["updated_at"],
+    )
+    state.merge(typed)
+    assert state.read_merged().count() == 3
+    # second fetch: same symbols, later stamp — upsert must replace
+    bumped = typed.withColumn(
+        "updated_at", F.col("updated_at") + F.expr("INTERVAL 1 DAY")
+    ).withColumn("price", F.col("price") + 1.0)
+    state.merge(bumped)
+    final = state.read_merged()
+    assert final.count() == 3
+    got = {r.symbol: r.price for r in final.collect()}
+    want = {r.symbol: r.price + 1.0 for r in typed.collect()}
+    assert got == want
