@@ -35,13 +35,10 @@ def expectations_report(
             F.lit(name).alias("rule"),
             F.col(f"__pass_{name}").alias("n_pass"),
             (F.col("__total") - F.col(f"__pass_{name}")).alias("n_fail"),
-            (
-                (F.col("__total") - F.col(f"__pass_{name}"))
-                * 1_000_000
-                / F.col("__total")
-            )
-            .cast("long")
-            .alias("fail_ppm"),
+            # integer div both engines (round-vs-truncate hazard)
+            F.expr(
+                f"((__total - __pass_{name}) * 1000000) div __total"
+            ).alias("fail_ppm"),
         )
         for name in rules
     ]

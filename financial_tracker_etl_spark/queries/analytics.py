@@ -1443,7 +1443,7 @@ p AS (
   FROM lineitem
 )
 SELECT rule, n_pass, total - n_pass AS n_fail,
-       CAST((total - n_pass) * 1000000 / total AS BIGINT) AS fail_ppm
+       CAST(total - n_pass AS BIGINT) * 1000000 // total AS fail_ppm
 FROM t, (
   SELECT 'qty_in_range' AS rule, qty_in_range AS n_pass FROM p
   UNION ALL SELECT 'price_positive', price_positive FROM p
@@ -1454,7 +1454,63 @@ FROM t, (
 """
 
 
+# ---------------------------------------------------------------------------
+# Order-fulfillment latency: days from order date to the LAST lineitem
+# shipment, distributed per priority. Integer date arithmetic (exact
+# cross-engine); the per-order max ships before the join, so the big
+# table collapses first — same partial-agg-below-join shape as
+# top_revenue_customers.
+# ---------------------------------------------------------------------------
+
+
+def _q_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_last_ship")
+    )
+    lat = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("_last_ship").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    # integer `div` on both engines (DuckDB `//`): float-quotient casts
+    # truncate on Spark but round on DuckDB
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("days").alias("min_days"),
+        F.max("days").alias("max_days"),
+        F.expr("(sum(days) * 1000000) div count(*)").alias("avg_days_ppm"),
+    )
+
+
+_FULFILLMENT_ORACLE = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+),
+lat AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(last_ship AS DATE))
+           AS days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       min(days) AS min_days,
+       max(days) AS max_days,
+       CAST(sum(days) AS BIGINT) * 1000000 // count(*) AS avg_days_ppm
+FROM lat
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "order_fulfillment_latency": QuerySpec(_q_fulfillment, _FULFILLMENT_ORACLE),
     "dq_expectations_report": QuerySpec(_q_dq_report, _DQ_REPORT_ORACLE),
     "dormant_rich_customers": QuerySpec(_q_dormant_rich, _DORMANT_RICH_ORACLE),
     "top_supplier_revenue": QuerySpec(_q_top_supplier, _TOP_SUPPLIER_ORACLE),

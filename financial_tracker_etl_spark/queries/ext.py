@@ -2604,9 +2604,8 @@ def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_oov",
-            (F.col("n_oov") * 1_000_000 / F.col("n_tokens"))
-            .cast("long")
-            .alias("oov_ppm"),
+            # integer div both engines (round-vs-truncate hazard)
+            F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
         )
     )
 
@@ -2625,7 +2624,7 @@ SELECT doc_id,
        count(*) AS n_tokens,
        count(*) FILTER (token NOT IN (SELECT token FROM vocab)) AS n_oov,
        CAST(count(*) FILTER (token NOT IN (SELECT token FROM vocab))
-            * 1000000 / count(*) AS BIGINT) AS oov_ppm
+            AS BIGINT) * 1000000 // count(*) AS oov_ppm
 FROM tok
 GROUP BY doc_id
 """
@@ -2688,10 +2687,74 @@ FROM norm WHERE strpos(n, '{_PHRASE}') > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Classifier evaluation as a relation: confusion matrix of the
+# language-ID heuristic against the corpus's ground-truth lang column,
+# plus per-cell share of the true class — model evaluation is itself a
+# one-scan grouped aggregation (the shape any 100 TB eval harness
+# runs), not a driver-side sklearn call.
+# ---------------------------------------------------------------------------
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = with_language_id(docs)
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    class_total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    # integer division on BOTH engines (Spark `div`, DuckDB `//`): a
+    # float quotient cast to int truncates on Spark but ROUNDS on
+    # DuckDB — exact integer ops sidestep the disagreement
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        ((F.col("n_docs") * 1_000_000).cast("long")).alias("_num"),
+        class_total.cast("long").alias("_den"),
+    ).select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.expr("_num div _den").alias("share_ppm"),
+    )
+
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hits_sql(('der', 'die', 'das', 'und', 'ist'))} AS de,
+         {_hits_sql(('the', 'a', 'and', 'of', 'to'))} AS en,
+         {_hits_sql(('el', 'la', 'de', 'y', 'que'))} AS es,
+         {_hits_sql(('le', 'les', 'et', 'des', 'un'))} AS fr
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+              WHEN en >= es AND en >= fr THEN 'en'
+              WHEN es >= fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM h
+),
+cells AS (
+  SELECT lang, lang_pred, count(*) AS n_docs FROM pred GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n_docs,
+       CAST(n_docs AS BIGINT) * 1000000
+         // CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_ppm
+FROM cells
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curriculum_difficulty_buckets": QuerySpec(_q_curriculum, _CURRICULUM_ORACLE),
     "vocab_oov_rate": QuerySpec(_q_oov_rate, _OOV_ORACLE),
     "phrase_search_index": QuerySpec(_q_phrase_search, _PHRASE_ORACLE),
+    "lang_id_confusion_matrix": QuerySpec(_q_lang_confusion, _LANG_CONFUSION_ORACLE),
     "hll_shard_merge": QuerySpec(_q_hll_merge, _HLL_MERGE_ORACLE),
     "incremental_dedup_new_docs": QuerySpec(
         _q_incremental_dedup, _incremental_dedup_oracle()
