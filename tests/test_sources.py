@@ -596,3 +596,22 @@ def test_quote_datasource_to_upsert_end_to_end(spark, tmp_path):
     got = {r.symbol: r.price for r in final.collect()}
     want = {r.symbol: r.price + 1.0 for r in typed.collect()}
     assert got == want
+
+
+def test_quote_datasource_option_validation():
+    """Misconfiguration fails fast at reader construction: no symbols,
+    and the production 'http' transport slot is explicitly
+    unimplemented in this offline environment."""
+    import pytest as _pytest
+
+    from financial_tracker_etl_spark.sources.quote_datasource import (
+        QuoteBatchReader,
+        QuoteTickStreamReader,
+    )
+
+    with _pytest.raises(ValueError, match="symbols"):
+        QuoteBatchReader({})
+    with _pytest.raises(NotImplementedError, match="transport"):
+        QuoteBatchReader({"symbols": "A", "transport": "http"})
+    with _pytest.raises(ValueError, match="symbols"):
+        QuoteTickStreamReader({})
