@@ -938,12 +938,15 @@ GROUP BY cohort_week, week_offset
 
 # ---------------------------------------------------------------------------
 # Skew-safe exact count-distinct: the two-shuffle shape that survives
-# hot keys. A direct groupBy(event_type).agg(countDistinct(user_id))
-# shuffles every raw event onto its event_type partition — at 100 TB a
-# hot event type ("view") lands TBs on one task. Deduplicating on the
-# COMPOSITE key first spreads each hot group across all partitions
-# (the same effect as salting, without a salt column), and the second
-# shuffle only moves one row per (type, user) pair.
+# hot keys — the first shuffle keys on the COMPOSITE (event_type,
+# user_id), spreading a hot event type across all partitions (the
+# salting effect without a salt column); the second only moves one row
+# per (type, user) pair. Catalyst applies this same rewrite to
+# `countDistinct` natively (verified on the physical plan), so this
+# query states the shape EXPLICITLY and the plan guard pins it —
+# protecting against formulations Catalyst can't split this way
+# (collect_set, exact per-group medians, UDAFs), where writing the
+# dedup-then-count manually is what saves the hot partition at 100 TB.
 # ---------------------------------------------------------------------------
 
 
