@@ -1035,8 +1035,91 @@ FROM (
 )
 
 
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas: per-symbol reconciliation of the incoming
+# quote stream against the current state table — the cogroup surface
+# (two grouped relations, one pandas frame PAIR per key, Arrow both
+# ways) that per-key custom alignment code takes at scale. Keys
+# missing on either side arrive as an empty frame (exercised: the
+# state excludes partkey%3==0 symbols). Order-free exact arithmetic
+# (counts, max, one subtraction) so it oracle-checks; the relational
+# twin is a full-outer join of two grouped aggregates.
+# ---------------------------------------------------------------------------
+
+
+def _q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    quotes = _typed_quotes(spark, sf_dir).select("symbol", "price")
+    state = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
+        "symbol", "price"
+    )
+
+    def reconcile(
+        key: tuple, left: pd.DataFrame, right: pd.DataFrame
+    ) -> pd.DataFrame:
+        max_quote = float(left["price"].max()) if len(left) else None
+        state_price = float(right["price"].max()) if len(right) else None
+        drift = (
+            max_quote - state_price
+            if max_quote is not None and state_price is not None
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "n_quotes": [len(left)],
+                "n_state_rows": [len(right)],
+                "max_quote_price": [max_quote],
+                "state_price": [state_price],
+                "price_drift": [drift],
+            }
+        )
+
+    return (
+        quotes.groupBy("symbol")
+        .cogroup(state.groupBy("symbol"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "symbol string, n_quotes long, n_state_rows long, "
+                "max_quote_price double, state_price double, "
+                "price_drift double"
+            ),
+        )
+    )
+
+
+_COGROUP_RECONCILE_ORACLE = (
+    fixtures.with_ctes(
+        fixtures.QUOTES_RAW_SQL,
+        "typed AS (" + _TYPED_QUOTES_SQL_BODY + ")",
+        fixtures.MARKET_DATA_SQL,
+    )
+    + """
+SELECT coalesce(q.symbol, m.symbol) AS symbol,
+       coalesce(q.n_quotes, 0) AS n_quotes,
+       coalesce(m.n_state_rows, 0) AS n_state_rows,
+       q.max_quote_price,
+       m.state_price,
+       q.max_quote_price - m.state_price AS price_drift
+FROM (
+  SELECT symbol, count(*) AS n_quotes, max(price) AS max_quote_price
+  FROM typed GROUP BY symbol
+) q
+FULL OUTER JOIN (
+  SELECT symbol, count(*) AS n_state_rows, max(price) AS state_price
+  FROM market_data GROUP BY symbol
+) m ON q.symbol = m.symbol
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "state_time_travel": QuerySpec(_q_time_travel, _TIME_TRAVEL_ORACLE),
+    "cogroup_state_reconciliation": QuerySpec(
+        _q_cogroup_reconcile, _COGROUP_RECONCILE_ORACLE
+    ),
     "flagship_historical_repair": QuerySpec(_q_flagship, _FLAGSHIP_ORACLE, bench=True),
     "historical_missing_months": QuerySpec(_q_missing_months, _MISSING_ORACLE),
     "historical_fetch_windows": QuerySpec(_q_fetch_windows, _WINDOWS_ORACLE),
