@@ -106,8 +106,8 @@ _CHECK_FIRST = [
     "quantiles_by_returnflag",
 ]
 # Round-4 rotation arithmetic (for the next context): after round 3,
-# 73 entries lack an r3 driver row — the 41 r2-green below, the 3
-# displaced twins, and the 29 round-3 additions registered outside the
+# 74 entries lack an r3 driver row — the 41 r2-green below, the 3
+# displaced twins, and the 30 round-3 additions registered outside the
 # prefix (state_time_travel, cms_token_frequencies, embedding_ann_ivfpq,
 # pps_weighted_sample, curation_pipeline_v2, stream_docs_ingest_dedup,
 # table_diff_buckets, histogram_quantile_sketch, ivm_maintained_agg,
@@ -118,9 +118,9 @@ _CHECK_FIRST = [
 # unpivot_market_measures, hll_shard_merge, vocab_oov_rate,
 # phrase_search_index, dormant_rich_customers, top_supplier_revenue,
 # dq_expectations_report, lang_id_confusion_matrix,
-# order_fulfillment_latency, cogroup_state_reconciliation). That is
-# 23 over the
-# 50-row gate: prioritize (1) the 29 never-driver-checked additions,
+# order_fulfillment_latency, cogroup_state_reconciliation,
+# dedup_impact_by_source). That is 24 over the
+# 50-row gate: prioritize (1) the 30 never-driver-checked additions,
 # (2) the 3 twins (r1-only evidence, oldest), (3) the r2-green set,
 # and let the spilled entries be ones whose operator another green
 # query covers (e.g. stream_upsert_index/monthly share S9's merge

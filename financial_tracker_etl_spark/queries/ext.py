@@ -2750,8 +2750,64 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup impact report: what exact dedup would DELETE, attributed per
+# source — the go/no-go telemetry a curation run reads before
+# committing a dedup pass. Survivor = lowest doc_id per normalized
+# fingerprint (deterministic, matching ext.text.exact_dedup); a doc is
+# "dropped" when another source (or its own) holds the survivor. One
+# shuffle on the fingerprint + one grouped count.
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text(F.col("text"))).alias("_fp"),
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    tagged = docs.withColumn(
+        "_is_survivor", (F.row_number().over(w) == 1).cast("int")
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_is_survivor").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("_is_survivor")).alias("n_dropped"),
+        F.expr(
+            "((count(*) - sum(_is_survivor)) * 1000000) div count(*)"
+        ).alias("drop_ppm"),
+    )
+
+
+_DEDUP_IMPACT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+tagged AS (
+  SELECT source,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY f)
+              THEN 1 ELSE 0 END AS is_survivor
+  FROM fp
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(is_survivor) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(is_survivor) AS BIGINT) AS n_dropped,
+       CAST((count(*) - sum(is_survivor)) AS BIGINT) * 1000000 // count(*)
+         AS drop_ppm
+FROM tagged
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curriculum_difficulty_buckets": QuerySpec(_q_curriculum, _CURRICULUM_ORACLE),
+    "dedup_impact_by_source": QuerySpec(_q_dedup_impact, _DEDUP_IMPACT_ORACLE),
     "vocab_oov_rate": QuerySpec(_q_oov_rate, _OOV_ORACLE),
     "phrase_search_index": QuerySpec(_q_phrase_search, _PHRASE_ORACLE),
     "lang_id_confusion_matrix": QuerySpec(_q_lang_confusion, _LANG_CONFUSION_ORACLE),
