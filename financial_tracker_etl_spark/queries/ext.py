@@ -2805,7 +2805,134 @@ GROUP BY source
 """
 
 
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer pair-count step (ext.tokenizer): corpus
+    compressed to the word-TYPE table, adjacent symbol pairs weighted
+    by type frequency, top-50 by count (deterministic lexicographic
+    tie-break). The full iterative trainer (train_merges) is verified
+    against a pure-Python BPE in tests/test_ext.py — SQL cannot express
+    the data-dependent merge recursion, but this selection step, which
+    dominates the trainer's cost, oracles exactly."""
+    from ..ext.tokenizer import pair_counts, word_symbol_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pc = pair_counts(word_symbol_table(docs))
+    return (
+        pc.orderBy(F.desc("pair_count"), "left", "right")
+        .limit(50)
+        .select(
+            F.col("left").alias("lhs"),
+            F.col("right").alias("rhs"),
+            "pair_count",
+        )
+    )
+
+
+_BPE_PAIRS_ORACLE = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM words WHERE word <> '' GROUP BY word
+), syms AS (
+  SELECT list_append(string_split(word, ''), '</w>') AS s, n FROM wc
+), pairs AS (
+  SELECT s[CAST(i AS INTEGER)] AS lhs, s[CAST(i AS INTEGER) + 1] AS rhs, n
+  FROM syms, unnest(range(1, len(s))) AS t(i)
+  WHERE len(s) >= 2
+)
+SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY lhs, rhs
+ORDER BY pair_count DESC, lhs, rhs
+LIMIT 50
+"""
+
+
+def _q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (the CCNet/DCLM curation shape): a
+    naive-Bayes-style linear scorer TRAINED on the corpus itself —
+    per-token class rates with ``source='src0'`` as the positive
+    class — then applied to every document. Weights are integer
+    ppm-scaled (offset by 1e6 so all arithmetic stays non-negative,
+    dodging the cross-engine integer-division-of-negatives mismatch);
+    a doc is kept when its mean token weight clears the neutral
+    1 000 000 line.
+
+    Scale shape: train = one token-key aggregation (vocabulary-sized
+    shuffle) + a 1-row corpus-total broadcast; score = broadcast hash
+    join of the token stream against the vocab-sized weight table +
+    one doc-key aggregation. No Python UDFs, two shuffles total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    pos = F.col("source") == "src0"
+    ts = toks.groupBy("tok").agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~pos, 1).otherwise(0)).alias("n_neg"),
+    )
+    tot = ts.agg(
+        F.sum("n_pos").alias("total_pos"), F.sum("n_neg").alias("total_neg")
+    )
+    weights = ts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            F.lit(1_000_000)
+            + F.expr("n_pos * 1000000 div total_pos")
+            - F.expr("n_neg * 1000000 div total_neg")
+        ).cast("long").alias("weight_ppm"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "tok")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(weight_ppm) div count(*)").cast("long").alias("score_ppm"))
+    )
+    return scored.select(
+        "doc_id",
+        "score_ppm",
+        F.when(F.col("score_ppm") >= 1_000_000, 1).otherwise(0).alias("keep"),
+    )
+
+
+_NB_QUALITY_ORACLE = r"""
+WITH toks0 AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), t AS (
+  SELECT * FROM toks0 WHERE tok <> ''
+), ts AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM t GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos,
+         CAST(sum(n_neg) AS BIGINT) AS total_neg
+  FROM ts
+), w AS (
+  SELECT tok,
+         CAST(1000000 + (n_pos * 1000000 // total_pos)
+                      - (n_neg * 1000000 // total_neg) AS BIGINT) AS weight_ppm
+  FROM ts, tot
+), scored AS (
+  SELECT t.doc_id,
+         CAST(CAST(sum(w.weight_ppm) AS BIGINT) // count(*) AS BIGINT)
+           AS score_ppm
+  FROM t JOIN w USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, score_ppm,
+       CAST(CASE WHEN score_ppm >= 1000000 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_pair_counts": QuerySpec(_q_bpe_pairs, _BPE_PAIRS_ORACLE),
+    "nb_quality_filter": QuerySpec(_q_nb_quality, _NB_QUALITY_ORACLE),
     "curriculum_difficulty_buckets": QuerySpec(_q_curriculum, _CURRICULUM_ORACLE),
     "dedup_impact_by_source": QuerySpec(_q_dedup_impact, _DEDUP_IMPACT_ORACLE),
     "vocab_oov_rate": QuerySpec(_q_oov_rate, _OOV_ORACLE),

@@ -886,3 +886,111 @@ def test_per_stratum_sample_exact_n_and_pushed_down(spark):
     assert "WindowGroupLimit" in plan
     again = {(r.doc_id, r.sample_rank) for r in per_stratum_top_n(docs, n=20).collect()}
     assert again == {(r.doc_id, r.sample_rank) for r in out.collect()}
+
+
+def _py_bpe_train(word_counts: dict[str, int], n_merges: int):
+    """Reference BPE trainer (textbook formulation, same determinism
+    contract: max count, lexicographic tie-break, </w> terminal)."""
+    import collections
+
+    symtab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pcs = collections.Counter()
+        for syms, c in symtab.items():
+            for a, b in zip(syms, syms[1:]):
+                pcs[(a, b)] += c
+        if not pcs:
+            break
+        (a, b), cnt = min(pcs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        nxt: dict[tuple, int] = {}
+        for syms, c in symtab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            key = tuple(res)
+            nxt[key] = nxt.get(key, 0) + c
+        symtab = nxt
+    return merges, symtab
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer (word-type compression + column-fold
+    merge application + 1-row argmax per iteration) must reproduce the
+    textbook sequential BPE exactly: same merges in the same order with
+    the same counts, and the same per-document token counts after
+    applying the learned merges."""
+    import collections
+    import re
+
+    from financial_tracker_etl_spark.ext.tokenizer import (
+        segment_with_merges,
+        train_merges,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = train_merges(docs, 12)
+
+    texts = [r.text for r in docs.select("text").collect()]
+    wc = collections.Counter(
+        w for t in texts for w in re.split(r"\s+", t.lower().strip()) if w
+    )
+    ref_merges, _ = _py_bpe_train(dict(wc), 12)
+    assert merges == ref_merges
+
+    # applying the learned merges: doc token counts must agree with a
+    # per-word replay of the reference merge list
+    by_word = {}
+    for w in wc:
+        syms = tuple(list(w) + ["</w>"])
+        for a, b, _ in ref_merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = tuple(res)
+        by_word[w] = len(syms)
+    got = {
+        r.doc_id: r.n_bpe_trained_tokens
+        for r in segment_with_merges(docs, merges).select(
+            "doc_id", "n_bpe_trained_tokens"
+        ).collect()
+    }
+    want = {
+        r.doc_id: sum(
+            by_word[w]
+            for w in re.split(r"\s+", r.text.lower().strip())
+            if w
+        )
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_bpe_trainer_plan_stays_bounded(spark):
+    """localCheckpoint between merge iterations keeps the symbol-table
+    plan from accreting one fold per merge (the iterative-lineage
+    lesson): after training, one more pair-count plan must stay small."""
+    from financial_tracker_etl_spark.ext.tokenizer import (
+        pair_counts,
+        word_symbol_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    symtab = word_symbol_table(docs).localCheckpoint(eager=True)
+    plan_len = len(
+        pair_counts(symtab)._jdf.queryExecution().executedPlan().toString()
+    )
+    # a checkpointed table's scan plan is flat; 20k chars is far above
+    # its size but far below what 12 accreted folds would produce
+    assert plan_len < 20_000
