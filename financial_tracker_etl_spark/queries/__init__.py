@@ -119,7 +119,9 @@ _CHECK_FIRST = [
 # phrase_search_index, dormant_rich_customers, top_supplier_revenue,
 # dq_expectations_report, lang_id_confusion_matrix,
 # order_fulfillment_latency, cogroup_state_reconciliation,
-# dedup_impact_by_source, bpe_pair_counts, nb_quality_filter). That is 26 over the
+# dedup_impact_by_source, bpe_pair_counts, nb_quality_filter,
+# ngram_novelty_scores, scd2_part_prices, pit_customer_features).
+# That is 29 over the
 # 50-row gate: prioritize (1) the 30 never-driver-checked additions,
 # (2) the 3 twins (r1-only evidence, oldest), (3) the r2-green set,
 # and let the spilled entries be ones whose operator another green

@@ -1512,7 +1512,129 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: the per-part stream of observed
+    extended prices (lineitem ordered by ship date, deterministic
+    (shipdate, orderkey, linenumber) tie-break) compressed to validity
+    intervals — one row per price CHANGE with valid_from/valid_to and
+    an is_current flag. The warehouse-dimension twin of the CDC
+    operator: history tracking instead of latest-state.
+
+    Scale shape: one hash partition by part key; both window passes
+    (change detection, then interval close) share that partitioning so
+    Catalyst plans a single exchange. No global window, no skew (parts
+    are uniform)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_partkey").orderBy(*order_cols)
+    changes = li.withColumn(
+        "prev_price", F.lag("l_extendedprice").over(w)
+    ).filter(
+        F.col("prev_price").isNull()
+        | (F.col("prev_price") != F.col("l_extendedprice"))
+    )
+    w2 = Window.partitionBy("l_partkey").orderBy(*order_cols)
+    return changes.select(
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_shipdate").alias("valid_from"),
+        F.lead("l_shipdate").over(w2).alias("valid_to"),
+        F.when(F.lead("l_shipdate").over(w2).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT l_partkey, l_extendedprice, l_shipdate, l_orderkey, l_linenumber,
+         lag(l_extendedprice) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+  FROM lineitem
+), changes AS (
+  SELECT * FROM ordered
+  WHERE prev_price IS NULL OR prev_price <> l_extendedprice
+)
+SELECT l_partkey AS part_key,
+       l_extendedprice AS price,
+       l_shipdate AS valid_from,
+       lead(l_shipdate) OVER (
+         PARTITION BY l_partkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS valid_to,
+       CAST(CASE WHEN lead(l_shipdate) OVER (
+         PARTITION BY l_partkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber) IS NULL
+         THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM changes
+"""
+
+
+def _q_pit_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature materialization (the feature-store
+    backfill shape): for every order, the customer's trailing activity
+    STRICTLY BEFORE the order timestamp — no same-instant leakage — as
+    training features. A RANGE window frame over integer event time
+    gives exactly the as-of semantics; money is summed in integer
+    cents so the running sum is order-independent and cross-engine
+    exact (unordered double sums are not).
+
+    Scale shape: one hash partition by customer, one sort within —
+    identical to how a feature store backfills point-in-time features
+    over years of history; no join, no repeated scans."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # ntz→timestamp cast is value-preserving under the pinned UTC
+        # session (the round-2 events-ts lesson: never assume how the
+        # parquet timestamp resolves)
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("n_prior_orders"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("prior_spend_cents"),
+    )
+
+
+_PIT_FEATURES_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_us(o_orderdate) AS d_us,
+         -- floor, not bare CAST: DuckDB CAST rounds-to-nearest where
+         -- Spark's cast truncates; floor of the identical double
+         -- product agrees exactly on both engines
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey AS order_key,
+       o_custkey AS cust_key,
+       CAST(coalesce(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY d_us
+         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS n_prior_orders,
+       CAST(coalesce(sum(cents) OVER (
+         PARTITION BY o_custkey ORDER BY d_us
+         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS prior_spend_cents
+FROM o
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
+    "pit_customer_features": QuerySpec(
+        _q_pit_customer_features, _PIT_FEATURES_ORACLE
+    ),
     "order_fulfillment_latency": QuerySpec(_q_fulfillment, _FULFILLMENT_ORACLE),
     "dq_expectations_report": QuerySpec(_q_dq_report, _DQ_REPORT_ORACLE),
     "dormant_rich_customers": QuerySpec(_q_dormant_rich, _DORMANT_RICH_ORACLE),

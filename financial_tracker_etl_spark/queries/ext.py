@@ -2930,8 +2930,76 @@ FROM scored
 """
 
 
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring — the curation filter that measures how
+    much of a document is FIRST SEEN in that document: the fraction of
+    its distinct 5-token shingles whose earliest occurrence (min
+    doc_id, the corpus arrival order) is the document itself.
+    Duplicate-heavy spam scores near 0, fresh content near 1e6 ppm.
+    Complements exact/near-dedup: a partial-copy document survives
+    dedup but is flagged here.
+
+    Scale shape: shingle explode → one shingle-key aggregation (the
+    first-occurrence index) → shuffle hash join back on shingle → one
+    doc-key aggregation. The shingle join is the same bucketed shape
+    as the LSH candidate joins — never all-pairs."""
+    from ..ext.quality import doc_shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = doc_shingle_sets(docs).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    first = exploded.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        exploded.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_shingles").cast("long").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+_NOVELTY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS shingles
+  FROM t WHERE len(toks) >= 5
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh
+),
+first_seen AS (
+  SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY sh
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM ex e JOIN first_seen f ON e.sh = f.sh
+GROUP BY e.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "bpe_pair_counts": QuerySpec(_q_bpe_pairs, _BPE_PAIRS_ORACLE),
+    "ngram_novelty_scores": QuerySpec(_q_novelty, _NOVELTY_ORACLE),
     "nb_quality_filter": QuerySpec(_q_nb_quality, _NB_QUALITY_ORACLE),
     "curriculum_difficulty_buckets": QuerySpec(_q_curriculum, _CURRICULUM_ORACLE),
     "dedup_impact_by_source": QuerySpec(_q_dedup_impact, _DEDUP_IMPACT_ORACLE),
