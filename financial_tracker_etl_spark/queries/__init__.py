@@ -120,8 +120,8 @@ _CHECK_FIRST = [
 # dq_expectations_report, lang_id_confusion_matrix,
 # order_fulfillment_latency, cogroup_state_reconciliation,
 # dedup_impact_by_source, bpe_pair_counts, nb_quality_filter,
-# ngram_novelty_scores, scd2_part_prices, pit_customer_features).
-# That is 29 over the
+# ngram_novelty_scores, scd2_part_prices, pit_customer_features,
+# target_encoding_loo). That is 30 over the
 # 50-row gate: prioritize (1) the 30 never-driver-checked additions,
 # (2) the 3 twins (r1-only evidence, oldest), (3) the r2-green set,
 # and let the spilled entries be ones whose operator another green

@@ -1630,8 +1630,63 @@ FROM o
 """
 
 
+def _q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature encoder: each order's priority class is encoded as the
+    mean order value of ALL OTHER orders in that class,
+    (class_sum − own) / (class_n − 1), so a row never sees its own
+    target. Money in integer cents, truncating division — exact on
+    both engines. Singleton classes encode NULL (no peers).
+
+    Scale shape: one tiny class aggregate (5 rows) broadcast back over
+    the fact scan — a single shuffle-free pass at any scale; the LOO
+    arithmetic is per-row after the broadcast."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100) as long)").alias("cents"),
+    )
+    cls = orders.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("cls_sum"), F.count(F.lit(1)).alias("cls_n")
+    )
+    return (
+        orders.join(broadcast(cls), "o_orderpriority")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderpriority").alias("priority"),
+            F.when(
+                F.col("cls_n") > 1,
+                F.expr("(cls_sum - cents) div (cls_n - 1)"),
+            )
+            .cast("long")
+            .alias("loo_mean_cents"),
+        )
+    )
+
+
+_TARGET_LOO_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), cls AS (
+  SELECT o_orderpriority,
+         CAST(sum(cents) AS BIGINT) AS cls_sum,
+         CAST(count(*) AS BIGINT) AS cls_n
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey AS order_key,
+       o.o_orderpriority AS priority,
+       CASE WHEN cls.cls_n > 1
+            THEN CAST((cls.cls_sum - o.cents) // (cls.cls_n - 1) AS BIGINT)
+       END AS loo_mean_cents
+FROM o JOIN cls USING (o_orderpriority)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
+    "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
     "pit_customer_features": QuerySpec(
         _q_pit_customer_features, _PIT_FEATURES_ORACLE
     ),
