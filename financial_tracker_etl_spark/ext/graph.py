@@ -1,0 +1,79 @@
+"""[EXT] Iterative graph analytics: PageRank by power iteration.
+
+Complements ``ext.cluster.connected_components`` (label propagation)
+with the other canonical large-graph primitive: damped random-walk
+importance over a weighted directed graph. Entity-importance ranks
+drive data curation the same way they drive search — e.g. rank
+suppliers/customers by purchase-graph centrality, or documents by
+citation/link mass — and at 100 TB the only viable formulation is
+exactly this one: a per-iteration equi-join of the edge list with the
+current rank vector plus a grouped sum, i.e. one shuffle per
+iteration, never an adjacency matrix.
+
+All arithmetic is integer ppm (rank mass scaled by 1e6, damping as an
+exact ppm constant, truncating integer division) so a DuckDB oracle
+that unrolls the same iterations hashes identically — the same
+transcendental-free determinism trade the ext tier makes everywhere.
+
+Scale notes: ``localCheckpoint`` after every iteration truncates the
+lineage (the connected-components lesson: without it the plan grows
+O(iterations) and planning time explodes at scale); the edge list with
+its precomputed out-weights is reused across iterations, so Spark
+keeps one stable shuffle key (src) for the join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """(node, rank_ppm) after ``iters`` power iterations over weighted
+    directed ``edges`` (columns ``src``, ``dst``, ``w``).
+
+    rank'(v) = (1e6 - damping) div N
+             + damping * sum_{(u,v)} (rank(u) * w(u,v) div W(u)) div 1e6
+
+    with W(u) the total out-weight of u. Only nodes appearing as a
+    source participate (callers wanting dangling-node handling should
+    symmetrize their edge list first, as the purchase-graph query
+    does — a symmetric graph has no dangling mass by construction).
+    """
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    ew = edges.join(outw, "src").localCheckpoint(eager=True)
+    teleport_ppm = (1_000_000 - damping_ppm) // n_nodes
+    p = nodes.withColumn(
+        "p", F.lit(1_000_000 // n_nodes).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        inc = (
+            ew.join(p, ew["src"] == p["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("p * w div wout").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        p = (
+            nodes.join(inc, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport_ppm)
+                    + F.expr(f"{damping_ppm} * coalesce(s, 0L) div 1000000")
+                ).cast("long").alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select("node", F.col("p").alias("rank_ppm"))

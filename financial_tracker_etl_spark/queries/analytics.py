@@ -1685,6 +1685,104 @@ FROM o JOIN cls USING (o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the customer↔supplier purchase graph: iterative graph
+# analytics (ext.graph.pagerank) on TPC-H relations. The oracle unrolls
+# the same 5 integer-ppm power iterations as chained CTEs.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ITERS = 5
+_PAGERANK_DAMPING_PPM = 850_000
+
+
+def _q_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance on the bipartite purchase graph: an edge
+    customer↔supplier weighted by their lineitem count (via orders),
+    symmetrized so no node dangles; nodes are disambiguated as
+    2*custkey / 2*suppkey+1. Five damped power iterations in integer
+    ppm (ext/graph.py) — one edge⋈rank shuffle per iteration, lineage
+    cut by localCheckpoint each round."""
+    from ..ext.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    fwd = base.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        "w",
+    )
+    edges = fwd.unionByName(
+        base.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+            "w",
+        )
+    )
+    ranks = pagerank(
+        edges, iters=_PAGERANK_ITERS, damping_ppm=_PAGERANK_DAMPING_PPM
+    )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("entity"),
+        F.expr("node div 2").alias("entity_key"),
+        "rank_ppm",
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration: p0 … p{iters} as chained CTEs, each
+    computing the IDENTICAL integer-ppm update as ext.graph.pagerank
+    (per-edge truncating div by out-weight, damped sum, teleport)."""
+    d = _PAGERANK_DAMPING_PPM
+    its = [
+        f"""
+p{k} AS (
+  SELECT nodes.node,
+         CAST((1000000 - {d}) // nn.n
+              + {d} * COALESCE(inc.s, 0) // 1000000 AS BIGINT) AS p
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(p{k - 1}.p * e.w // o.wout) AS BIGINT) AS s
+    FROM edges e
+    JOIN p{k - 1} ON e.src = p{k - 1}.node
+    JOIN outw o ON e.src = o.src
+    GROUP BY e.dst
+  ) inc ON nodes.node = inc.node
+)"""
+        for k in range(1, _PAGERANK_ITERS + 1)
+    ]
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+  SELECT 2 * c AS src, 2 * s + 1 AS dst, w FROM base
+  UNION ALL
+  SELECT 2 * s + 1 AS src, 2 * c AS dst, w FROM base
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+p0 AS (
+  SELECT node, CAST(1000000 // n AS BIGINT) AS p FROM nodes CROSS JOIN nn
+),{",".join(its)}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       node // 2 AS entity_key,
+       p AS rank_ppm
+FROM p{_PAGERANK_ITERS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Salted skew join: the manual key-space restructuring for joins whose
 # hot keys defeat AQE's shuffle-partition splitting. Oracle = the plain
 # join, proving the salt+replicate rewrite is semantics-preserving.
@@ -1729,6 +1827,7 @@ GROUP BY p_brand
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "purchase_graph_pagerank": QuerySpec(_q_purchase_pagerank, _pagerank_oracle()),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),

@@ -594,3 +594,29 @@ def test_bm25_ranking_is_sorted_and_monotone_in_tf(spark):
     assert keys == sorted(keys)
     assert all(1 <= r.n_terms_matched <= 3 for r in rows)
     assert all(r.score_ppm >= 0 for r in rows)
+
+
+def test_pagerank_mass_and_floor_invariants(spark):
+    """Power-iteration invariants: every node keeps at least the
+    teleport floor, total rank mass stays within truncation slack of
+    1.0 (each integer div loses < 1 ppm per node/edge), and the
+    high-degree side of the bipartite purchase graph (suppliers are
+    ~10x fewer than customers) concentrates more rank per node."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.queries import registry
+
+    rows = registry()["purchase_graph_pagerank"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    teleport = 150_000 // n
+    assert all(r.rank_ppm >= teleport for r in rows)
+    total = sum(r.rank_ppm for r in rows)
+    # mass ≈ 1e6: truncating divs only ever LOSE mass, bounded by a
+    # few ppm per node per iteration
+    assert 700_000 <= total <= 1_000_000
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r.entity, []).append(r.rank_ppm)
+    mean = {k: sum(v) / len(v) for k, v in by_entity.items()}
+    assert mean["supplier"] > mean["customer"]
