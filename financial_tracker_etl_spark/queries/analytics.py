@@ -1685,6 +1685,102 @@ FROM o JOIN cls USING (o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# Per-group least-squares regression via normal equations: the
+# distributed-ML feature primitive (closed-form fit from five exact
+# sufficient statistics — one grouped aggregation, no iteration).
+# ---------------------------------------------------------------------------
+
+
+def _q_brand_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand simple linear regression of line price (cents) on
+    quantity: slope/intercept from the normal equations
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    computed from five exact integer sufficient statistics (n, Sx, Sy,
+    Sxy, Sxx) in ONE map-side-combinable aggregation — the canonical
+    way to fit millions of per-group models at 100 TB (sufficient
+    statistics shuffle; raw rows never do). The quotient is emitted in
+    ppm via sign-split truncating division (|num|*1e6 div den, den > 0
+    by Cauchy-Schwarz, sign reapplied) because Spark's ``div``
+    truncates toward zero while a floor-division engine would round
+    negatives down — splitting the sign makes both engines agree
+    bit-for-bit. Sums are carried as DECIMAL(38,0) before the cross
+    products so n*Sxy stays exact far beyond the int64 range
+    (overflows around TPC-H sf1 otherwise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    stats = (
+        li.join(broadcast(part), "l_partkey")
+        .select(
+            "p_brand",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("y"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+            F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        )
+    )
+    slope = (
+        F.expr("CAST(sign(n_items * sxy - sx * sy) AS BIGINT)")
+        * F.expr(
+            "CAST(abs(n_items * sxy - sx * sy) * 1000000"
+            " div (n_items * sxx - sx * sx) AS BIGINT)"
+        )
+    )
+    t = "sy * 1000000 - slope_ppm * sx"
+    return (
+        stats.withColumn("slope_ppm", slope)
+        .withColumn(
+            "intercept_ppm",
+            F.expr(f"CAST(sign({t}) AS BIGINT)")
+            * F.expr(f"CAST(abs({t}) div n_items AS BIGINT)"),
+        )
+        .select("p_brand", "n_items", "slope_ppm", "intercept_ppm")
+    )
+
+
+_BRAND_REGRESSION_ORACLE = """
+WITH stats AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM (
+    SELECT p_brand,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+  )
+  GROUP BY p_brand
+),
+sloped AS (
+  SELECT p_brand, n_items, sx, sy,
+         CAST(CASE WHEN n_items * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+              * (abs(n_items * sxy - sx * sy) * 1000000
+                 // (n_items * sxx - sx * sx)) AS BIGINT) AS slope_ppm
+  FROM stats
+)
+SELECT p_brand, n_items, slope_ppm,
+       CAST(CASE WHEN sy * 1000000 - slope_ppm * sx < 0 THEN -1 ELSE 1 END
+            * (abs(sy * 1000000 - slope_ppm * sx) // n_items)
+          AS BIGINT) AS intercept_ppm
+FROM sloped
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the customer↔supplier purchase graph: iterative graph
 # analytics (ext.graph.pagerank) on TPC-H relations. The oracle unrolls
 # the same 5 integer-ppm power iterations as chained CTEs.
@@ -1828,6 +1924,9 @@ GROUP BY p_brand
 
 QUERIES: dict[str, QuerySpec] = {
     "purchase_graph_pagerank": QuerySpec(_q_purchase_pagerank, _pagerank_oracle()),
+    "brand_price_regression": QuerySpec(
+        _q_brand_regression, _BRAND_REGRESSION_ORACLE
+    ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),

@@ -620,3 +620,40 @@ def test_pagerank_mass_and_floor_invariants(spark):
         by_entity.setdefault(r.entity, []).append(r.rank_ppm)
     mean = {k: sum(v) / len(v) for k, v in by_entity.items()}
     assert mean["supplier"] > mean["customer"]
+
+
+def test_brand_regression_matches_numpy_lstsq(spark):
+    """The integer-ppm normal-equation fit must agree with an
+    independent float least-squares (numpy polyfit) to ppm-truncation
+    tolerance — guards the FORMULA, which the oracle (same arithmetic)
+    cannot."""
+    import numpy as np
+
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.queries import registry
+
+    got = {
+        r.p_brand: r
+        for r in registry()["brand_price_regression"].fn(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    part = load_table(spark, SF_DIR, "part").selectExpr(
+        "p_partkey AS l_partkey", "p_brand"
+    )
+    pdf = (
+        li.join(part, "l_partkey")
+        .selectExpr(
+            "p_brand",
+            "CAST(l_quantity AS DOUBLE) AS x",
+            "l_extendedprice * 100 AS y_cents",
+        )
+        .toPandas()
+    )
+    for brand, grp in pdf.groupby("p_brand"):
+        slope, intercept = np.polyfit(grp.x, grp.y_cents, 1)
+        assert abs(got[brand].slope_ppm / 1e6 - slope) < max(1e-3 * abs(slope), 0.01), brand
+        assert abs(got[brand].intercept_ppm / 1e6 - intercept) < max(
+            1e-3 * abs(intercept), 0.1
+        ), brand
