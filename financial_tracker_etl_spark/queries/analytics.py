@@ -1685,6 +1685,81 @@ FROM o JOIN cls USING (o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user — the
+# classic islands decomposition (day − row_number is constant within a
+# run of consecutive days), the complement of the gap operators (J3,
+# longest_month_gap) which find the HOLES between islands.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 24 * 3_600_000_000
+
+
+def _q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest consecutive-day streak. Shape: dedup to
+    (user, active day) — one shuffle keyed by user; the islands trick
+    needs only a per-user window (day − row_number groups a run into a
+    constant key), then two partial aggregations. Nothing global: at
+    100 TB every stage stays partitioned by user_id, and the window
+    state is bounded by a user's distinct active days."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    # earliest start among the longest streaks (deterministic tie-break)
+    wmax = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("max_len", F.max("len").over(wmax))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_streaks"),
+            F.max("len").cast("int").alias("longest_streak_days"),
+            F.sum("len").cast("int").alias("active_days"),
+            F.min(
+                F.when(F.col("len") == F.col("max_len"), F.col("start_day"))
+            )
+            .cast("long")
+            .alias("longest_streak_start_day"),
+        )
+    )
+
+
+_ACTIVITY_STREAKS_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_streaks,
+       CAST(max(len) AS INTEGER) AS longest_streak_days,
+       CAST(sum(len) AS INTEGER) AS active_days,
+       CAST(min(CASE WHEN len = max_len THEN start_day END)
+            AS BIGINT) AS longest_streak_start_day
+FROM (
+  SELECT *, max(len) OVER (PARTITION BY user_id) AS max_len FROM streaks
+)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-group least-squares regression via normal equations: the
 # distributed-ML feature primitive (closed-form fit from five exact
 # sufficient statistics — one grouped aggregation, no iteration).
@@ -1926,6 +2001,9 @@ QUERIES: dict[str, QuerySpec] = {
     "purchase_graph_pagerank": QuerySpec(_q_purchase_pagerank, _pagerank_oracle()),
     "brand_price_regression": QuerySpec(
         _q_brand_regression, _BRAND_REGRESSION_ORACLE
+    ),
+    "user_activity_streaks": QuerySpec(
+        _q_activity_streaks, _ACTIVITY_STREAKS_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),

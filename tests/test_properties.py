@@ -657,3 +657,47 @@ def test_brand_regression_matches_numpy_lstsq(spark):
         assert abs(got[brand].intercept_ppm / 1e6 - intercept) < max(
             1e-3 * abs(intercept), 0.1
         ), brand
+
+
+def test_activity_streaks_match_bruteforce(spark):
+    """Islands decomposition vs a pure-Python scan over each user's
+    sorted distinct active days — independent of the day-minus-
+    row_number trick both the query and its oracle share."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.queries import registry
+
+    DAY_US = 24 * 3_600_000_000
+    got = {
+        r.user_id: r
+        for r in registry()["user_activity_streaks"].fn(spark, SF_DIR).collect()
+    }
+    days = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr("user_id", f"ts_us div {DAY_US} AS day")
+        .distinct()
+        .collect()
+    )
+    per_user = {}
+    for r in days:
+        per_user.setdefault(r.user_id, []).append(r.day)
+    assert set(per_user) == set(got)
+    for uid, ds in per_user.items():
+        ds.sort()
+        runs = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                runs.append((prev - start + 1, start))
+                start = prev = d
+        runs.append((prev - start + 1, start))
+        longest = max(L for L, _ in runs)
+        first_start = min(s for L, s in runs if L == longest)
+        row = got[uid]
+        assert row.n_streaks == len(runs), uid
+        assert row.longest_streak_days == longest, uid
+        assert row.active_days == len(ds), uid
+        assert row.longest_streak_start_day == first_start, uid
