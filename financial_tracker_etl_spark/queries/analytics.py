@@ -1685,6 +1685,83 @@ FROM o JOIN cls USING (o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# Frequent-pattern mining: pairwise co-purchase support (the 2-itemset
+# core of market-basket / FP-growth analysis) — support counts for
+# brand pairs appearing in the same order.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_MIN_SUPPORT = 20
+
+
+def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-pair co-occurrence within orders, with support and
+    per-brand lift inputs (pair support, each side's basket count) in
+    integer-exact form. Shape: dedup to (order, brand) FIRST — the
+    self-join fan-out is then bounded by basket-size² per order
+    (TPC-H baskets ≤ 7 items), never |lineitem|²; the equi-join key is
+    the order key, so both sides shuffle-partition identically and
+    the pair aggregation is a second bounded shuffle. min-support
+    filtering happens before output (Apriori's first prune)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    baskets = (
+        li.join(broadcast(part), "l_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= _COPURCHASE_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(n_orders.withColumnRenamed("p_brand", "brand_a")), "brand_a"
+        )
+        .withColumnRenamed("n_baskets", "baskets_a")
+        .join(
+            F.broadcast(n_orders.withColumnRenamed("p_brand", "brand_b")), "brand_b"
+        )
+        .withColumnRenamed("n_baskets", "baskets_b")
+        .select("brand_a", "brand_b", "pair_support", "baskets_a", "baskets_b")
+    )
+
+
+_COPURCHASE_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_baskets
+  FROM baskets GROUP BY p_brand
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS pair_support
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING count(*) >= {_COPURCHASE_MIN_SUPPORT}
+)
+SELECT brand_a, brand_b, pair_support,
+       na.n_baskets AS baskets_a, nbb.n_baskets AS baskets_b
+FROM pairs
+JOIN nb na ON pairs.brand_a = na.p_brand
+JOIN nb nbb ON pairs.brand_b = nbb.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gaps-and-islands: consecutive-day activity streaks per user — the
 # classic islands decomposition (day − row_number is constant within a
 # run of consecutive days), the complement of the gap operators (J3,
@@ -2004,6 +2081,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "user_activity_streaks": QuerySpec(
         _q_activity_streaks, _ACTIVITY_STREAKS_ORACLE
+    ),
+    "copurchase_brand_pairs": QuerySpec(
+        _q_copurchase_pairs, _COPURCHASE_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
