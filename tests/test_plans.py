@@ -260,6 +260,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "hll_shard_merge",  # 1-row exact-count × 1-row merged-sketch
         "dormant_rich_customers",  # 1-row global-average broadcast
         "nb_quality_filter",  # 1-row corpus-total broadcast (train step)
+        "bm25_doc_ranking",  # 1-row (N, total_tokens) corpus-stats broadcast
         "embedding_topk_cosine",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
