@@ -644,3 +644,32 @@ def test_quarantine_split_tags_failed_rules(spark):
     assert sorted(r.id for r in clean.collect()) == ["a"]
     rep = {r.rule: (r.n_pass, r.n_fail) for r in expectations_report(df, rules).collect()}
     assert rep == {"qty_pos": (2, 2), "price_pos": (2, 2)}
+
+
+def test_events_ts_normalization_bigint_nanos_branch(spark, tmp_path):
+    """The OTHER environment shape: events.ts materialized as int64
+    nanoseconds (what TIMESTAMP(NANOS) parquet resolves to under
+    nanosAsLong-style readers). The catalog must branch on the loaded
+    dtype and divide by 1000 — asserted against literal values, so both
+    branches of events_ts_us_col have a pinned semantics test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from financial_tracker_etl_spark.catalog import load_table
+
+    ns = [1_700_000_000_000_000_123, 1_700_000_001_234_567_891]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ns, pa.int64()),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    ev = load_table(spark, str(tmp_path), "events")
+    assert dict(ev.dtypes)["ts_us"] == "bigint"
+    got = sorted(r.ts_us for r in ev.select("ts_us").collect())
+    assert got == [n // 1000 for n in ns]
