@@ -1115,6 +1115,67 @@ FULL OUTER JOIN (
 )
 
 
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDAF: the remaining cell of the UDF surface matrix
+# (scalar transform → built-ins; per-group frame → applyInPandas;
+# two-sided group → cogroup; stateful stream → applyInPandasWithState;
+# custom AGGREGATE → this). Exact median is the canonical aggregate the
+# relational engine has no single built-in exact form for at scale.
+# ---------------------------------------------------------------------------
+
+
+def _q_udaf_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact median of ``value`` via a GROUPED_AGG
+    ``pandas_udf`` (Arrow-batched custom aggregate), plus count and an
+    integer-exact checksum lane. Determinism: pandas ``Series.median``
+    and DuckDB ``median`` both average the two middle doubles for even
+    counts — a single IEEE add+halve, bit-identical. Scale note: a
+    GROUPED_AGG UDAF materializes each group's column in one worker's
+    memory — fine for bounded per-group cardinality (5 event types
+    here; the honest contract is group-size-bounded, same as any holistic
+    aggregate), while the relational twin quantiles_by_returnflag shows
+    the sort-based route when groups are huge."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median_fn(v):
+        return float(v.median())
+
+    def _count_fn(v):
+        return len(v)
+
+    # real (non-string) annotations: this module runs under
+    # ``from __future__ import annotations``, which would stringify an
+    # inline signature and break pandas_udf's GROUPED_AGG inference.
+    # Count is ALSO a pandas aggregate: Spark refuses to mix GROUPED_AGG
+    # UDAFs with built-in aggregates in one agg() (one Arrow exchange
+    # per group serves both).
+    _median_fn.__annotations__ = {"v": pd.Series, "return": float}
+    _count_fn.__annotations__ = {"v": pd.Series, "return": int}
+    exact_median = pandas_udf(_median_fn, "double")
+    group_count = pandas_udf(_count_fn, "long")
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            group_count(F.col("value")).alias("n_values"),
+            exact_median(F.col("value")).alias("median_value"),
+        )
+    )
+
+
+_UDAF_MEDIAN_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_values,
+       median(value) AS median_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "state_time_travel": QuerySpec(_q_time_travel, _TIME_TRAVEL_ORACLE),
     "cogroup_state_reconciliation": QuerySpec(
@@ -1143,5 +1204,8 @@ QUERIES: dict[str, QuerySpec] = {
     "table_diff_buckets": QuerySpec(_q_table_diff, _TABLE_DIFF_ORACLE),
     "ivm_maintained_agg": QuerySpec(_q_ivm, _IVM_ORACLE),
     "longest_month_gap": QuerySpec(_q_longest_gap, _LONGEST_GAP_ORACLE),
+    "udaf_event_value_median": QuerySpec(
+        _q_udaf_value_median, _UDAF_MEDIAN_ORACLE
+    ),
     "udtf_month_spine": QuerySpec(_q_udtf_spine, _UDTF_SPINE_ORACLE),
 }
