@@ -125,7 +125,7 @@ _CHECK_FIRST = [
 # dedup_impact_by_source, bpe_pair_counts, nb_quality_filter,
 # ngram_novelty_scores, scd2_part_prices, pit_customer_features,
 # target_encoding_loo). That is 37 over the
-# 50-row gate: prioritize (1) the 30 never-driver-checked additions,
+# 50-row gate: prioritize (1) the 37 never-driver-checked additions,
 # (2) the 3 twins (r1-only evidence, oldest), (3) the r2-green set,
 # and let the spilled entries be ones whose operator another green
 # query covers (e.g. stream_upsert_index/monthly share S9's merge
