@@ -57,3 +57,39 @@ def snapshot_diff(
         for c in value_cols
     ]
     return joined.select(*out_keys, *out_vals, change.alias("change_type"))
+
+
+def apply_changes(
+    state: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE a ``snapshot_diff`` change feed into ``state``: inserted /
+    updated rows take the feed's values, ``deleted`` keys drop, keys
+    absent from the feed (and ``unchanged`` rows) keep their state
+    values — i.e. ``apply_changes(old, snapshot_diff(old, new), keys)``
+    reproduces ``new`` exactly (the round-trip the
+    ``cdc_apply_roundtrip`` query oracles). This is the DELETE-capable
+    write path the keyed upsert (last-write-wins union) cannot express:
+    one full-outer join on the key — same single-shuffle shape as the
+    diff itself, co-located under the state table's bucketing."""
+    value_cols = [
+        c
+        for c in state.columns
+        if c not in keys and c in set(changes.columns)
+    ]
+    s = state.alias("s")
+    c = changes.alias("c")
+    joined = s.join(c, on=keys, how="full_outer")
+    applied = joined.filter(
+        F.coalesce(F.col("c.change_type") != "deleted", F.lit(True))
+    )
+    return applied.select(
+        *keys,
+        *[
+            F.when(
+                F.col("c.change_type").isNotNull(), F.col(f"c.{v}")
+            )
+            .otherwise(F.col(f"s.{v}"))
+            .alias(v)
+            for v in value_cols
+        ],
+    )

@@ -754,6 +754,37 @@ GROUP BY change_type
 )
 
 
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write side of CDC: ``apply_changes(old, snapshot_diff(old,
+    new'), keys)`` must reproduce ``new'`` bit-for-bit, where ``new'``
+    is the upserted state with a deterministic slice of keys REMOVED
+    (symbols containing '3') so the feed carries real deletes, not just
+    inserts/updates — the DELETE path the last-write-wins upsert can't
+    express. The oracle states the target state directly; equality is
+    the round-trip proof."""
+    from ..operators.cdc import apply_changes, snapshot_diff
+
+    cols = ["symbol", "asset_type", "price", "high", "low"]
+    old = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(*cols)
+    new = (
+        _q_upsert(spark, sf_dir)
+        .select(*cols)
+        .filter(~F.col("symbol").contains("3"))
+    )
+    diff = snapshot_diff(old, new, ["symbol", "asset_type"])
+    return apply_changes(old, diff, ["symbol", "asset_type"])
+
+
+_CDC_APPLY_ORACLE = (
+    fixtures.with_ctes(*_SNAPSHOT_CTES)
+    + """
+SELECT symbol, asset_type, price, high, low
+FROM merged
+WHERE symbol NOT LIKE '%3%'
+"""
+)
+
+
 def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-digest reconciliation of the old vs upserted market
     state (operators/reconcile.py): Merkle-style anti-entropy — each
@@ -1201,6 +1232,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a1_historical_batches": QuerySpec(_q_a1_batches, _A1_ORACLE),
     "p5_payload_envelopes": QuerySpec(_q_p5_envelopes, _P5_ORACLE),
     "cdc_market_changes": QuerySpec(_q_cdc, _CDC_ORACLE),
+    "cdc_apply_roundtrip": QuerySpec(_q_cdc_apply, _CDC_APPLY_ORACLE),
     "table_diff_buckets": QuerySpec(_q_table_diff, _TABLE_DIFF_ORACLE),
     "ivm_maintained_agg": QuerySpec(_q_ivm, _IVM_ORACLE),
     "longest_month_gap": QuerySpec(_q_longest_gap, _LONGEST_GAP_ORACLE),

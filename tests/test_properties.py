@@ -701,3 +701,32 @@ def test_activity_streaks_match_bruteforce(spark):
         assert row.longest_streak_days == longest, uid
         assert row.active_days == len(ds), uid
         assert row.longest_streak_start_day == first_start, uid
+
+
+def test_cdc_apply_roundtrip_reproduces_target_and_exercises_deletes(spark):
+    """apply_changes(old, snapshot_diff(old, new), keys) == new as a
+    direct frame equality, and the feed genuinely contains deletes
+    (else the query only proves the upsert path it already had)."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark import fixtures
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    cols = ["symbol", "asset_type", "price", "high", "low"]
+    old = fixtures.market_data(load_table(spark, SF_DIR, "lineitem")).select(*cols)
+    # drop a deterministic slice AND rescale a value column so the feed
+    # carries all three change classes
+    new = old.filter(~F.col("symbol").contains("3")).withColumn(
+        "price", F.col("price") * 2
+    )
+    diff = snapshot_diff(old, new, ["symbol", "asset_type"])
+    kinds = {r.change_type for r in diff.select("change_type").distinct().collect()}
+    assert "deleted" in kinds and "updated" in kinds
+    applied = apply_changes(old, diff, ["symbol", "asset_type"])
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
