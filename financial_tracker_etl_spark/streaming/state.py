@@ -202,3 +202,41 @@ class VersionedLogState(KeyedParquetState):
         return snapshot_diff(
             self.read_as_of(v_old), self.read_as_of(v_new), self.keys
         )
+
+
+class TombstoneLogState(LogStructuredState):
+    """Log-structured keyed state with DELETE support. A delete is a
+    TOMBSTONE row — full schema, ``_deleted = true`` — competing in the
+    same explicit last-write-wins version order as any update, which
+    preserves every ST2 property: idempotent (replaying a delete
+    changes nothing), batching-invariant (the fold is still max-per-
+    key), and anti-resurrection (an at-least-once REPLAY of an update
+    older than the tombstone cannot bring the key back, because the
+    tombstone out-versions it). ``read_merged`` filters tombstones out
+    of the logical state; ``compact`` deliberately RETAINS them —
+    dropping a tombstone at compaction would let any later replay of an
+    older delta resurrect the key. At 100 TB the retention policy is
+    the table format's tombstone GC horizon (drop tombstones only once
+    older than the replay/retention watermark); this miniature keeps
+    them forever, which is the safe degenerate case."""
+
+    TOMBSTONE = "_deleted"
+
+    def merge(self, updates: DataFrame) -> None:
+        if self.TOMBSTONE not in updates.columns:
+            updates = updates.withColumn(self.TOMBSTONE, F.lit(False))
+        super().merge(updates)
+
+    def merge_deletes(self, rows: DataFrame) -> None:
+        """Fold delete records in: ``rows`` carries the state schema
+        (keys + version columns; value columns may be null) and wins
+        against any lower-versioned update for its key."""
+        self.merge(rows.withColumn(self.TOMBSTONE, F.lit(True)))
+
+    def read_merged(self) -> DataFrame:
+        return (
+            super()
+            .read_merged()
+            .filter(~F.col(self.TOMBSTONE))
+            .drop(self.TOMBSTONE)
+        )

@@ -326,3 +326,48 @@ def test_transform_with_state_api_boundary():
         pytest.skip(
             "protobuf absent: transformWithState runtime unavailable here"
         )
+
+
+def test_tombstone_state_deletes_survive_replay_and_compaction(spark, tmp_path):
+    """Delete semantics on the log-structured state: a tombstone
+    out-versions older updates, so (a) the key leaves the logical
+    state, (b) an at-least-once REPLAY of the older update cannot
+    resurrect it, (c) compaction retains the tombstone so the replay
+    stays harmless afterwards too, and (d) a HIGHER-versioned re-insert
+    brings the key back."""
+    import os
+
+    from financial_tracker_etl_spark.streaming.state import TombstoneLogState
+
+    state = TombstoneLogState(
+        spark,
+        os.path.join(str(tmp_path), "state"),
+        keys=["symbol"],
+        version_cols=["updated_at"],
+        compact_every=100,  # manual compaction below
+    )
+    rows = spark.createDataFrame(
+        [("AAA", 10.0, 1), ("BBB", 20.0, 1)],
+        "symbol string, price double, updated_at long",
+    )
+    state.merge(rows)
+    dels = spark.createDataFrame(
+        [("AAA", None, 2)], "symbol string, price double, updated_at long"
+    )
+    state.merge_deletes(dels)
+    assert [r.symbol for r in state.read_merged().collect()] == ["BBB"]
+    # (b) replay the ORIGINAL batch (older version): key must stay gone
+    state.merge(rows)
+    assert [r.symbol for r in state.read_merged().collect()] == ["BBB"]
+    # (c) compaction keeps the tombstone; replay again afterwards
+    state.compact()
+    state.merge(rows)
+    assert [r.symbol for r in state.read_merged().collect()] == ["BBB"]
+    # (d) higher-versioned re-insert wins over the tombstone
+    state.merge(
+        spark.createDataFrame(
+            [("AAA", 11.0, 3)], "symbol string, price double, updated_at long"
+        )
+    )
+    got = {r.symbol: r.price for r in state.read_merged().collect()}
+    assert got == {"AAA": 11.0, "BBB": 20.0}
