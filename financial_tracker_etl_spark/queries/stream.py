@@ -34,7 +34,7 @@ from ..streaming.windows import (
     stream_stream_interval_join,
 )
 from . import QuerySpec
-from .core import _UPSERT_ORACLE
+from .core import _CDC_APPLY_ORACLE, _UPSERT_ORACLE
 
 # ---------------------------------------------------------------------------
 # §3.1 routed pipeline: final states + completion events
@@ -225,7 +225,101 @@ FROM uniq GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming CDC apply: a change feed (inserts/updates/DELETES) replayed
+# in micro-batches into the tombstone-capable keyed state. The oracle
+# is the batch target state — the streaming fold must land exactly
+# there regardless of how the feed is micro-batched (tombstones carry
+# explicit versions, so the fold stays batching-invariant even with
+# deletes interleaved).
+# ---------------------------------------------------------------------------
+
+_CDC_FEED_STAGE: dict[tuple, str] = {}
+
+
+def _staged_cdc_feed(spark: SparkSession, sf_dir: str) -> str:
+    """snapshot_diff(old, new') materialized ONCE per (app, sf) as a
+    4-file parquet drop directory — the arrival shape of a CDC feed
+    (new' = upserted state minus symbols containing '3', so the feed
+    carries real deletes)."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _CDC_FEED_STAGE:
+        from ..catalog import load_table
+        from ..operators.cdc import snapshot_diff
+        from .core import _q_upsert
+
+        cols = ["symbol", "asset_type", "price", "high", "low"]
+        old = fixtures.market_data(
+            load_table(spark, sf_dir, "lineitem")
+        ).select(*cols)
+        new = (
+            _q_upsert(spark, sf_dir)
+            .select(*cols)
+            .filter(~F.col("symbol").contains("3"))
+        )
+        feed = snapshot_diff(old, new, ["symbol", "asset_type"]).filter(
+            F.col("change_type") != "unchanged"
+        )
+        d = tempfile.mkdtemp(prefix="ftes_cdc_feed_")
+        feed.repartition(4).write.mode("overwrite").parquet(d)
+        _CDC_FEED_STAGE[key] = d
+    return _CDC_FEED_STAGE[key]
+
+
+def _q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed the tombstone state with the old snapshot (version 0), then
+    replay the staged change feed one FILE per micro-batch: updates and
+    inserts merge at version 1, deletes fold as version-1 tombstones.
+    Final logical state must equal the batch ``cdc_apply_roundtrip``
+    target exactly — ST2 extended to the DELETE path."""
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.state import TombstoneLogState
+
+    feed_dir = _staged_cdc_feed(spark, sf_dir)
+    cols = ["symbol", "asset_type", "price", "high", "low"]
+    old = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
+        *cols
+    )
+    work = tempfile.mkdtemp(prefix="ftes_cdc_apply_")
+    state = TombstoneLogState(
+        spark,
+        os.path.join(work, "state"),
+        keys=["symbol", "asset_type"],
+        version_cols=["_ver"],
+    )
+    state.merge(old.withColumn("_ver", F.lit(0)))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        b = batch.withColumn("_ver", F.lit(1))
+        state.merge(
+            b.filter(F.col("change_type") != "deleted").drop("change_type")
+        )
+        state.merge_deletes(
+            b.filter(F.col("change_type") == "deleted").drop("change_type")
+        )
+
+    schema = spark.read.parquet(feed_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state.read_merged().drop("_ver")
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_cdc_apply": QuerySpec(_q_stream_cdc_apply, _CDC_APPLY_ORACLE),
     "stream_docs_ingest_dedup": QuerySpec(
         lambda spark, sf_dir: docs_ingest_stream(spark, sf_dir),
         _DOCS_INGEST_ORACLE,
