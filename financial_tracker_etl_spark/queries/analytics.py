@@ -1685,6 +1685,218 @@ FROM o JOIN cls USING (o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# Ops-monitoring relations: key-skew report, event-sequence transition
+# matrix, and split-half distribution drift. Monitoring a 100 TB
+# pipeline is itself a set of one-scan aggregations; each is
+# integer-exact so the oracle pins it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostics for the shuffle planner: the 20 heaviest
+    lineitem join keys (suppkey) with row count and corpus share in
+    ppm — the relation you consult before choosing broadcast vs salt
+    vs AQE for a key (`operators.joins.salted_join` is the remedy this
+    report indicates). One grouped count + a 1-row total broadcast +
+    TakeOrdered; never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("long").alias("_total"))
+    return (
+        counts.crossJoin(broadcast(total))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.expr("n_rows * 1000000 div _total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_rows"), "l_suppkey")
+        .limit(20)
+    )
+
+
+_KEY_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_rows,
+       CAST(n_rows * 1000000 // (SELECT sum(n_rows) FROM counts) AS BIGINT)
+         AS share_ppm
+FROM counts
+ORDER BY n_rows DESC, l_suppkey
+LIMIT 20
+"""
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    sequence (lag window ordered by the total (ts_us, event_id) order),
+    with the conditional probability in ppm — the sequence-model
+    feature the bigram LM computes for tokens, lifted to event streams.
+    Stays partitioned by user for the lag; the matrix itself is
+    |types|² rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000").alias("_num"),
+        F.sum("n_transitions").over(row_total).cast("long").alias("_den"),
+    ).select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.expr("_num div _den").alias("prob_ppm"),
+    )
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_type,
+         event_type
+  FROM seq
+),
+counts AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_transitions,
+       CAST(n_transitions * 1000000 //
+            (sum(n_transitions) OVER (PARTITION BY prev_type)) AS BIGINT)
+         AS prob_ppm
+FROM counts
+"""
+
+
+_DRIFT_N_BINS = 10
+
+
+def _q_value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half distribution drift per event_type: events are divided
+    at the corpus midpoint timestamp into a reference and a current
+    half, `value` is bucketed on a fixed equal-width grid over the
+    GLOBAL min/max (broadcast 1-row bounds), and each half's per-bin
+    share is reported in ppm together with the per-bin absolute drift —
+    sum(abs_drift_ppm)/2 per type is total-variation distance, the
+    model-monitoring statistic, kept log-free so both engines agree
+    exactly. Shape: two single-row broadcasts + one grouped count —
+    drift monitoring at 100 TB is one scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_us", "value"
+    ).filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.min("ts_us").cast("long").alias("_ts_lo"),
+        F.max("ts_us").cast("long").alias("_ts_hi"),
+        F.min("value").alias("_v_lo"),
+        F.max("value").alias("_v_hi"),
+    )
+    b = _DRIFT_N_BINS
+    binned = (
+        ev.crossJoin(broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(
+                F.col("ts_us") * 2 < F.col("_ts_lo") + F.col("_ts_hi"), "ref"
+            )
+            .otherwise("cur")
+            .alias("half"),
+            F.least(
+                F.lit(b - 1),
+                F.floor(
+                    (F.col("value") - F.col("_v_lo"))
+                    / ((F.col("_v_hi") - F.col("_v_lo")) / b)
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ht = Window.partitionBy("event_type")
+    return binned.select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.expr("n_ref * 1000000").alias("_nr"),
+        F.expr("n_cur * 1000000").alias("_nc"),
+        F.sum("n_ref").over(ht).cast("long").alias("_tr"),
+        F.sum("n_cur").over(ht).cast("long").alias("_tc"),
+    ).select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.expr("_nr div _tr").alias("ref_share_ppm"),
+        F.expr("_nc div _tc").alias("cur_share_ppm"),
+        F.expr("abs(_nr div _tr - _nc div _tc)").alias("abs_drift_ppm"),
+    )
+
+
+_VALUE_DRIFT_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT CAST(min(ts_us) AS BIGINT) AS ts_lo, CAST(max(ts_us) AS BIGINT) AS ts_hi,
+         min(value) AS v_lo, max(value) AS v_hi
+  FROM ev
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN ts_us * 2 < ts_lo + ts_hi THEN 'ref' ELSE 'cur' END AS half,
+         least({_DRIFT_N_BINS - 1},
+               CAST(floor((value - v_lo) / ((v_hi - v_lo) / {_DRIFT_N_BINS}))
+                    AS INTEGER)) AS bin
+  FROM ev CROSS JOIN bounds
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY event_type, bin
+)
+SELECT event_type, bin, n_ref, n_cur,
+       CAST(n_ref * 1000000 // sum(n_ref) OVER (PARTITION BY event_type)
+            AS BIGINT) AS ref_share_ppm,
+       CAST(n_cur * 1000000 // sum(n_cur) OVER (PARTITION BY event_type)
+            AS BIGINT) AS cur_share_ppm,
+       CAST(abs(n_ref * 1000000 // sum(n_ref) OVER (PARTITION BY event_type)
+                - n_cur * 1000000 // sum(n_cur) OVER (PARTITION BY event_type))
+            AS BIGINT) AS abs_drift_ppm
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Frequent-pattern mining: pairwise co-purchase support (the 2-itemset
 # core of market-basket / FP-growth analysis) — support counts for
 # brand pairs appearing in the same order.
@@ -2085,6 +2297,11 @@ QUERIES: dict[str, QuerySpec] = {
     "copurchase_brand_pairs": QuerySpec(
         _q_copurchase_pairs, _COPURCHASE_ORACLE
     ),
+    "key_skew_report": QuerySpec(_q_key_skew_report, _KEY_SKEW_ORACLE),
+    "event_type_transitions": QuerySpec(
+        _q_event_transitions, _EVENT_TRANSITIONS_ORACLE
+    ),
+    "value_drift_report": QuerySpec(_q_value_drift_report, _VALUE_DRIFT_ORACLE),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),

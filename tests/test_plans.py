@@ -261,6 +261,8 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "dormant_rich_customers",  # 1-row global-average broadcast
         "nb_quality_filter",  # 1-row corpus-total broadcast (train step)
         "bm25_doc_ranking",  # 1-row (N, total_tokens) corpus-stats broadcast
+        "key_skew_report",  # 1-row grand-total broadcast
+        "value_drift_report",  # 1-row global ts/value-bounds broadcast
         "embedding_topk_cosine",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
