@@ -1896,14 +1896,143 @@ FROM counts
 """
 
 
+_COPURCHASE_MIN_SUPPORT = 20
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern support (GSP-style): for each ordered event-type
+# bigram, the number of DISTINCT users whose stream contains it as an
+# adjacent step — the user-support metric sequence miners threshold
+# on, distinct from event_type_transitions' raw transition counts.
+# ---------------------------------------------------------------------------
+
+
+def _q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("user_id", "prev_type", "event_type")
+        .distinct()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    return steps.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("user_support"),
+        F.expr(f"count(1) * 1000000 div {n_users}")
+        .cast("long")
+        .alias("support_ppm"),
+    )
+
+
+_SEQUENCE_SUPPORT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+steps AS (
+  SELECT DISTINCT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_type,
+         event_type
+  FROM seq
+)
+SELECT prev_type, event_type,
+       CAST(count(*) AS BIGINT) AS user_support,
+       CAST(count(*) * 1000000 // (SELECT count(DISTINCT user_id) FROM seq)
+            AS BIGINT) AS support_ppm
+FROM steps WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the brand co-purchase graph: the third classic
+# graph primitive after connected components and PageRank — subgraph
+# counting via the ordered two-hop join (a<b<c), the clustering-
+# coefficient numerator at scale.
+# ---------------------------------------------------------------------------
+
+
+def _q_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle participation over co-purchase edges (pairs
+    with support >= the copurchase threshold). Edges are oriented
+    a < b, so each triangle is enumerated exactly once as
+    (a,b) ⋈ (b,c) ⋈ (a,c) — the standard dedup that keeps the two-hop
+    join linear in closed wedges instead of 6x overcounted. Scale
+    shape: both joins are equi-joins on brand keys; the degree-capped
+    orientation trick (orient low→high degree) bounds the wedge
+    explosion on power-law graphs, noted here and unnecessary at 25
+    brands."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    baskets = (
+        li.join(broadcast(part), "l_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("ba"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("bb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("_support"))
+        .filter(F.col("_support") >= _COPURCHASE_MIN_SUPPORT)
+        .select("ba", "bb")
+    )
+    e1 = edges.select(F.col("ba").alias("a"), F.col("bb").alias("b"))
+    e2 = edges.select(F.col("ba").alias("b"), F.col("bb").alias("c"))
+    e3 = edges.select(F.col("ba").alias("a"), F.col("bb").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tris.select(F.col("a").alias("brand"))
+        .unionAll(tris.select(F.col("b").alias("brand")))
+        .unionAll(tris.select(F.col("c").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node
+
+
+_BRAND_TRIANGLES_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+edges AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING count(*) >= {_COPURCHASE_MIN_SUPPORT}
+),
+tris AS (
+  SELECT e1.ba AS a, e1.bb AS b, e2.bb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.bb = e2.ba
+  JOIN edges e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+)
+SELECT brand, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS brand FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+GROUP BY brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # Frequent-pattern mining: pairwise co-purchase support (the 2-itemset
 # core of market-basket / FP-growth analysis) — support counts for
 # brand pairs appearing in the same order.
 # ---------------------------------------------------------------------------
-
-_COPURCHASE_MIN_SUPPORT = 20
-
 
 def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brand-pair co-occurrence within orders, with support and
@@ -2302,6 +2431,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_event_transitions, _EVENT_TRANSITIONS_ORACLE
     ),
     "value_drift_report": QuerySpec(_q_value_drift_report, _VALUE_DRIFT_ORACLE),
+    "sequence_bigram_support": QuerySpec(
+        _q_sequence_support, _SEQUENCE_SUPPORT_ORACLE
+    ),
+    "brand_triangle_counts": QuerySpec(
+        _q_brand_triangles, _BRAND_TRIANGLES_ORACLE
+    ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
