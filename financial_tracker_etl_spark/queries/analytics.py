@@ -886,6 +886,57 @@ LEFT JOIN p ON v.user_id = p.user_id
 """
 
 
+def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for the completed funnel: exact
+    quartiles + p90 of the view→purchase delay (and medians of both
+    stage delays) over converting users, in integer microseconds.
+    Composes the funnel stages with the exact percentile aggregate —
+    the product-analytics follow-up to 'how many convert' ('how fast').
+    Scale: percentile aggregates only over the stage-3 subset, and as
+    a grouped AGGREGATE (ObjectHashAggregate), not a global sort of
+    the events table."""
+    f = _q_funnel(spark, sf_dir).filter(F.col("stage_reached") == 3)
+    lat = f.select(
+        (F.col("first_purchase_us") - F.col("first_view_us")).alias("vp"),
+        (F.col("first_click_us") - F.col("first_view_us")).alias("vc"),
+        (F.col("first_purchase_us") - F.col("first_click_us")).alias("cp"),
+    )
+    q = F.percentile(
+        F.col("vp"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        q.getItem(0).alias("vp_q25_us"),
+        q.getItem(1).alias("vp_median_us"),
+        q.getItem(2).alias("vp_q75_us"),
+        q.getItem(3).alias("vp_p90_us"),
+        F.percentile(F.col("vc"), F.lit(0.5)).alias("vc_median_us"),
+        F.percentile(F.col("cp"), F.lit(0.5)).alias("cp_median_us"),
+    )
+
+
+_FUNNEL_LATENCY_ORACLE = (
+    _FUNNEL_ORACLE.rsplit("SELECT v.user_id", 1)[0].rstrip().rstrip(")")
+    + """),
+lat AS (
+  SELECT first_purchase_us - first_view_us AS vp,
+         first_click_us - first_view_us AS vc,
+         first_purchase_us - first_click_us AS cp
+  FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(vp, 0.25) AS vp_q25_us,
+       quantile_cont(vp, 0.5) AS vp_median_us,
+       quantile_cont(vp, 0.75) AS vp_q75_us,
+       quantile_cont(vp, 0.9) AS vp_p90_us,
+       quantile_cont(vc, 0.5) AS vc_median_us,
+       quantile_cont(cp, 0.5) AS cp_median_us
+FROM lat
+"""
+)
+
+
 def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-activity week,
     counted in each later week they return. Weeks are 7-day epoch
@@ -2436,6 +2487,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "brand_triangle_counts": QuerySpec(
         _q_brand_triangles, _BRAND_TRIANGLES_ORACLE
+    ),
+    "funnel_latency_quantiles": QuerySpec(
+        _q_funnel_latency, _FUNNEL_LATENCY_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
