@@ -749,3 +749,43 @@ def test_bfs_hops_triangle_inequality_and_frontier_sanity(spark):
     for r in rows:
         side_even = r.node % 2 == seeds[0].node % 2
         assert (r.dist % 2 == 0) == side_even, (r.node, r.dist)
+
+
+_cdc_tables = st.tuples(
+    # old state: key -> value
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-5, max_value=5),
+        max_size=8,
+    ),
+    # new state: key -> value (arbitrary overlap with old)
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-5, max_value=5),
+        max_size=8,
+    ),
+)
+
+
+@given(tables=_cdc_tables)
+@settings(**SETTINGS)
+def test_cdc_apply_roundtrip_holds_for_random_tables(spark, tables):
+    """Property form of the CDC round-trip: for ARBITRARY old/new keyed
+    tables (any mix of inserts, updates, deletes, unchanged rows),
+    apply_changes(old, snapshot_diff(old, new)) == new."""
+    from financial_tracker_etl_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old_d, new_d = tables
+    schema = "k long, val long"
+    old = spark.createDataFrame(list(old_d.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    new = spark.createDataFrame(list(new_d.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    applied = apply_changes(old, diff, ["k"])
+    assert sorted(map(tuple, applied.collect())) == sorted(new_d.items())
