@@ -789,3 +789,40 @@ def test_cdc_apply_roundtrip_holds_for_random_tables(spark, tables):
     diff = snapshot_diff(old, new, ["k"])
     applied = apply_changes(old, diff, ["k"])
     assert sorted(map(tuple, applied.collect())) == sorted(new_d.items())
+
+
+@given(
+    large=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    small=st.dictionaries(
+        st.integers(min_value=0, max_value=5),
+        st.text(alphabet="xyz", min_size=1, max_size=3),
+        max_size=6,
+    ),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_salted_join_equivalence_holds_generally(spark, large, small, n_salts):
+    """Property form of the salted-join rewrite: for arbitrary
+    fact/dim contents (including empty sides, missing keys, duplicate
+    fact rows) and any salt count, salted_join == plain inner join as
+    a multiset."""
+    from financial_tracker_etl_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        large or [(None, None)], "k long, payload long"
+    ).filter(F.col("k").isNotNull())
+    dim = spark.createDataFrame(
+        list(small.items()) or [(None, None)], "k long, name string"
+    ).filter(F.col("k").isNotNull())
+    salted = salted_join(big, dim, "k", n_salts=n_salts, salt_from=["payload"])
+    plain = big.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
