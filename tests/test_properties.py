@@ -826,3 +826,55 @@ def test_salted_join_equivalence_holds_generally(spark, large, small, n_salts):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+_tomb_ops = st.dictionaries(
+    st.text(alphabet="AB", min_size=1, max_size=2),  # key
+    st.dictionaries(  # version -> (value, is_delete); versions unique per key
+        st.integers(min_value=0, max_value=6),
+        st.tuples(
+            st.integers(min_value=-9, max_value=9), st.booleans()
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_tomb_ops, cut=st.integers(min_value=0, max_value=10), data=st.data())
+@settings(**SETTINGS)
+def test_tombstone_state_matches_model_under_any_split(
+    spark, tmp_path_factory, ops, cut, data
+):
+    """Model-based check of TombstoneLogState: whatever order the
+    (key, version, value, delete?) records arrive in and wherever the
+    batch boundary falls, the logical state equals max-version-wins
+    with deleted winners removed."""
+    from financial_tracker_etl_spark.streaming.state import TombstoneLogState
+
+    rows = [
+        (k, v, val, is_del)
+        for k, vers in ops.items()
+        for v, (val, is_del) in vers.items()
+    ]
+    rows = data.draw(st.permutations(rows))
+    path = str(tmp_path_factory.mktemp("tomb") / "s")
+    store = TombstoneLogState(spark, path, ["k"], ["ver"], compact_every=100)
+    schema = "k string, ver long, val long, _deleted boolean"
+    c = cut % (len(rows) + 1)
+    for chunk in (rows[:c], rows[c:]):
+        if chunk:
+            store.merge(spark.createDataFrame(chunk, schema))
+    model = {}
+    for k, vers in ops.items():
+        top = max(vers)
+        val, is_del = vers[top]
+        if not is_del:
+            model[k] = (top, val)
+    got = {r.k: (r.ver, r.val) for r in store.read_merged().collect()}
+    assert got == model
+    # compaction preserves the logical state
+    store.compact()
+    assert {r.k: (r.ver, r.val) for r in store.read_merged().collect()} == model
