@@ -878,3 +878,44 @@ def test_tombstone_state_matches_model_under_any_split(
     # compaction preserves the logical state
     store.compact()
     assert {r.k: (r.ver, r.val) for r in store.read_merged().collect()} == model
+
+
+_graph_edges = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+    ),
+    st.integers(min_value=1, max_value=4),  # weight
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(edges=_graph_edges)
+@settings(**SETTINGS)
+def test_pagerank_matches_pure_python_model(spark, edges):
+    """ext.graph.pagerank vs an independent pure-Python replay of the
+    integer-ppm power iteration on random weighted digraphs — pins the
+    distributed implementation (joins, grouping, checkpoint plumbing)
+    against the arithmetic spec with none of Spark involved."""
+    from financial_tracker_etl_spark.ext.graph import pagerank
+
+    rows = [(a, b, w) for (a, b), w in edges.items()]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.node: r.rank_ppm for r in pagerank(df, iters=3).collect()}
+
+    nodes = sorted({a for a, _, _ in rows})
+    wout = {}
+    for a, _, w in rows:
+        wout[a] = wout.get(a, 0) + w
+    n = len(nodes)
+    p = {u: 1_000_000 // n for u in nodes}
+    for _ in range(3):
+        inc = {}
+        for a, b, w in rows:
+            inc[b] = inc.get(b, 0) + p[a] * w // wout[a]
+        p = {
+            u: (1_000_000 - 850_000) // n + 850_000 * inc.get(u, 0) // 1_000_000
+            for u in nodes
+        }
+    assert got == p
