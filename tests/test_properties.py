@@ -919,3 +919,30 @@ def test_pagerank_matches_pure_python_model(spark, edges):
             for u in nodes
         }
     assert got == p
+
+
+@given(edges=_graph_edges, hops=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_bfs_hops_matches_pure_python_model(spark, edges, hops):
+    """ext.graph.bfs_hops vs a pure-Python bounded BFS from the
+    smallest source node on random digraphs."""
+    from financial_tracker_etl_spark.ext.graph import bfs_hops
+
+    rows = [(a, b) for (a, b) in edges.keys()]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    seed = min(a for a, _ in rows)
+    seeds = spark.createDataFrame([(seed,)], "node long")
+    got = {r.node: r.dist for r in bfs_hops(df, seeds, max_hops=hops).collect()}
+
+    dist = {seed: 0}
+    frontier = {seed}
+    for d in range(1, hops + 1):
+        nxt = {
+            b
+            for a, b in rows
+            if a in frontier and (b not in dist or dist[b] > d)
+        }
+        for b in nxt:
+            dist.setdefault(b, d)
+        frontier = nxt
+    assert got == dist
