@@ -585,6 +585,98 @@ GROUP BY l_returnflag
 """
 
 
+def _q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) per-group statistics: l_quantity clamped to
+    its group's exact DISCRETE p10/p90 (the element at rank
+    ceil(q*n) under a total order — integral, no interpolation), then
+    an integer-exact clamped mean in ppm. Outliers stop dominating the
+    mean without discarding rows — the robust-aggregation shape.
+    Determinism: the rank order totalizes ties via (value, orderkey,
+    linenumber); thresholds are data elements (integers), the clamped
+    sum is integral, and the final mean_ppm is one integer division.
+    Scale note: same sort-per-group cost class as the exact percentile
+    aggregate; histogram_quantile_sketch is the constant-memory path
+    when groups are huge."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "x", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "x",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("_n"),
+    )
+    thresholds = (
+        ranked.filter(
+            (F.col("_rn") == F.expr("CAST(ceil(_n * 0.1) AS BIGINT)"))
+            | (F.col("_rn") == F.expr("CAST(ceil(_n * 0.9) AS BIGINT)"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("x").cast("long").alias("p10"),
+            F.max("x").cast("long").alias("p90"),
+        )
+    )
+    return (
+        li.join(broadcast(thresholds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("p10").alias("p10"),
+            F.first("p90").alias("p90"),
+            F.sum(F.expr("least(greatest(x, p10), p90)"))
+            .cast("long")
+            .alias("_s"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "p10",
+            "p90",
+            F.expr("_s * 1000000 div n").alias("winsorized_mean_ppm"),
+        )
+    )
+
+
+_WINSORIZED_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, x,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY x, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM li
+),
+thresholds AS (
+  SELECT l_returnflag,
+         CAST(min(x) AS BIGINT) AS p10, CAST(max(x) AS BIGINT) AS p90
+  FROM ranked
+  WHERE rn = CAST(ceil(n * 0.1) AS BIGINT) OR rn = CAST(ceil(n * 0.9) AS BIGINT)
+  GROUP BY l_returnflag
+)
+SELECT li.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(p10) AS BIGINT) AS p10,
+       CAST(min(p90) AS BIGINT) AS p90,
+       CAST(sum(least(greatest(x, p10), p90)) * 1000000 // count(*) AS BIGINT)
+         AS winsorized_mean_ppm
+FROM li JOIN thresholds ON li.l_returnflag = thresholds.l_returnflag
+GROUP BY li.l_returnflag
+"""
+
+
 def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles: p50/p95 of l_extendedprice per
     returnflag estimated from a 1000-bin equi-width histogram — the
@@ -2568,6 +2660,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_funnel_latency, _FUNNEL_LATENCY_ORACLE
     ),
     "purchase_graph_bfs_hops": QuerySpec(_q_purchase_bfs, _bfs_oracle()),
+    "winsorized_quantity_stats": QuerySpec(
+        _q_winsorized_stats, _WINSORIZED_ORACLE
+    ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
