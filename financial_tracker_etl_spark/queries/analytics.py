@@ -899,6 +899,95 @@ WHERE n > CAST(s1 AS DOUBLE) / n_hours
 
 
 # ---------------------------------------------------------------------------
+# Interval-overlap join via grid bucketing: sessions × anomalous hours.
+# The interval×interval overlap join discretized onto the hour grid so
+# it becomes an EQUI-join (the binned_range_join pattern lifted from
+# point-in-range to range-overlaps-range) — sessions expand to their
+# covered hour buckets (bounded by session length / bucket width), the
+# anomalous-hour set broadcasts, and overlap is hash-joinable.
+# ---------------------------------------------------------------------------
+
+
+def _q_sessions_anomalous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = _q_sessions(spark, sf_dir).drop("session_value")
+    anom = (
+        _q_anomalies(spark, sf_dir)
+        .select(F.expr(f"hour_us div {_HOUR_US}").alias("hour_bucket"))
+        .distinct()
+    )
+    expanded = sessions.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "session_start_us",
+        "session_end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"session_start_us div {_HOUR_US}"),
+                F.expr(f"session_end_us div {_HOUR_US}"),
+            )
+        ).alias("hour_bucket"),
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        expanded.join(_bc(anom), "hour_bucket")
+        .groupBy(
+            "user_id",
+            "session_id",
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+        )
+        .agg(
+            F.countDistinct("hour_bucket").cast("long").alias("n_anomalous_hours")
+        )
+    )
+
+
+_SESSIONS_ANOMALOUS_ORACLE = (
+    _SESSIONS_ORACLE.rsplit("SELECT user_id", 1)[0].rstrip().rstrip(")")
+    + f"""),
+sess AS (
+  SELECT user_id, session_id,
+         count(*) AS n_events,
+         min(ts_us) AS session_start_us,
+         max(ts_us) AS session_end_us
+  FROM sessions
+  GROUP BY user_id, session_id
+),
+hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n_hours, sum(n) AS s1, sum(n * n) AS s2
+  FROM hourly GROUP BY event_type
+),
+anom AS (
+  SELECT DISTINCT hour_us // {_HOUR_US} AS hour_bucket
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+  WHERE n > CAST(s1 AS DOUBLE) / n_hours
+            + 2 * sqrt(CAST(s2 AS DOUBLE) / n_hours
+                       - (CAST(s1 AS DOUBLE) / n_hours)
+                         * (CAST(s1 AS DOUBLE) / n_hours))
+),
+expanded AS (
+  SELECT user_id, session_id, n_events, session_start_us, session_end_us,
+         unnest(generate_series(session_start_us // {_HOUR_US},
+                                session_end_us // {_HOUR_US})) AS hour_bucket
+  FROM sess
+)
+SELECT user_id, session_id, n_events, session_start_us, session_end_us,
+       CAST(count(DISTINCT e.hour_bucket) AS BIGINT) AS n_anomalous_hours
+FROM expanded e JOIN anom a ON e.hour_bucket = a.hour_bucket
+GROUP BY user_id, session_id, n_events, session_start_us, session_end_us
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Ordered funnel + cohort retention over events (engine breadth:
 # event-analytics operators a product team runs beside the ETL)
 # ---------------------------------------------------------------------------
@@ -2662,6 +2751,9 @@ QUERIES: dict[str, QuerySpec] = {
     "purchase_graph_bfs_hops": QuerySpec(_q_purchase_bfs, _bfs_oracle()),
     "winsorized_quantity_stats": QuerySpec(
         _q_winsorized_stats, _WINSORIZED_ORACLE
+    ),
+    "sessions_in_anomalous_hours": QuerySpec(
+        _q_sessions_anomalous, _SESSIONS_ANOMALOUS_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
