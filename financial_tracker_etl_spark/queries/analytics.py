@@ -898,6 +898,54 @@ WHERE n > CAST(s1 AS DOUBLE) / n_hours
 """
 
 
+def _q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode aggregate with a deterministic tie-break: each user's most
+    frequent event type (ties → lexicographically smallest type), plus
+    its count and share in ppm. Two grouped aggregations — the holistic
+    'mode' computed scalably as count-then-argmax, with the tie
+    totalized so no engine/partition ordering can leak through
+    (max_by on the (count, reversed-type) struct)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("user_id")
+    ranked = counts.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("n"), F.asc("event_type")
+            )
+        ),
+    ).withColumn("_total", F.sum("n").over(tot).cast("long"))
+    return ranked.filter(F.col("_rk") == 1).select(
+        "user_id",
+        F.col("event_type").alias("modal_type"),
+        F.col("n").alias("n_modal"),
+        F.expr("n * 1000000 div _total").alias("modal_share_ppm"),
+    )
+
+
+_MODAL_TYPE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rk,
+         sum(n) OVER (PARTITION BY user_id) AS total
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, n AS n_modal,
+       CAST(n * 1000000 // total AS BIGINT) AS modal_share_ppm
+FROM ranked WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval-overlap join via grid bucketing: sessions × anomalous hours.
 # The interval×interval overlap join discretized onto the hour grid so
@@ -2754,6 +2802,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sessions_in_anomalous_hours": QuerySpec(
         _q_sessions_anomalous, _SESSIONS_ANOMALOUS_ORACLE
+    ),
+    "user_modal_event_type": QuerySpec(
+        _q_modal_event_type, _MODAL_TYPE_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
