@@ -898,6 +898,61 @@ WHERE n > CAST(s1 AS DOUBLE) / n_hours
 """
 
 
+def _q_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration (Herfindahl–Hirschman) index per brand:
+    each supplier's share of the brand's lineitem volume in ppm, HHI =
+    Σ share² — the market-structure aggregate, integer-exact
+    (shares truncated to ppm before squaring on BOTH engines, so the
+    oracle hashes bit-for-bit; a float-share HHI would diverge in the
+    last ulp). Two grouped counts + one broadcast of per-brand totals;
+    squares of ≤1e6 sums of ≤|suppliers| terms stay far inside int64."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    vol = (
+        li.join(broadcast(part), "l_partkey")
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("p_brand")
+    shares = vol.select(
+        "p_brand",
+        F.expr("n * 1000000").alias("_num"),
+        F.sum("n").over(tot).cast("long").alias("_den"),
+    ).select("p_brand", F.expr("_num div _den").alias("_share_ppm"))
+    return shares.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("_share_ppm").cast("long").alias("top_share_ppm"),
+        F.sum(F.expr("_share_ppm * _share_ppm div 1000000"))
+        .cast("long")
+        .alias("hhi_ppm"),
+    )
+
+
+_BRAND_CONCENTRATION_ORACLE = """
+WITH vol AS (
+  SELECT p_brand, l_suppkey, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_suppkey
+),
+shares AS (
+  SELECT p_brand,
+         CAST(n * 1000000 // sum(n) OVER (PARTITION BY p_brand) AS BIGINT)
+           AS share_ppm
+  FROM vol
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+       CAST(sum(share_ppm * share_ppm // 1000000) AS BIGINT) AS hhi_ppm
+FROM shares
+GROUP BY p_brand
+"""
+
+
 def _q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode aggregate with a deterministic tie-break: each user's most
     frequent event type (ties → lexicographically smallest type), plus
@@ -2805,6 +2860,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "user_modal_event_type": QuerySpec(
         _q_modal_event_type, _MODAL_TYPE_ORACLE
+    ),
+    "brand_supplier_concentration": QuerySpec(
+        _q_brand_concentration, _BRAND_CONCENTRATION_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
