@@ -2998,6 +2998,68 @@ GROUP BY e.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus-diversity inequality: Gini coefficient of document lengths per
+# source — the curation dashboard's answer to "is this source a few
+# giant documents or many uniform ones". Rank-weighted integer form so
+# the oracle is exact.
+# ---------------------------------------------------------------------------
+
+
+def _q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient (ppm) of n_chars per source via the sorted
+    rank-weighted formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, with ranks
+    totalized by (n_chars, doc_id) and each of the two terms truncated
+    to ppm by ONE integer division — the same agreed-truncation
+    convention every ppm metric here uses, so both engines produce the
+    identical integer. One per-source rank window + one grouped sum."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = docs.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("x").cast("long").alias("total_chars"),
+            F.sum(F.expr("_rk * x")).cast("long").alias("_s1"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.expr(
+                "2 * _s1 * 1000000 div (n_docs * total_chars)"
+                " - (n_docs + 1) * 1000000 div n_docs"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+_SOURCE_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS total_chars,
+         CAST(sum(rk * x) AS BIGINT) AS s1
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       CAST(2 * s1 * 1000000 // (n_docs * total_chars)
+            - (n_docs + 1) * 1000000 // n_docs AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # BM25 ranked retrieval: the classic search-relevance scorer as a batch
 # relation — the ranking stage of retrieval-based corpus curation
 # (select the documents most relevant to a probe query), complementing
@@ -3128,6 +3190,7 @@ LIMIT {_BM25_TOP_K}
 
 QUERIES: dict[str, QuerySpec] = {
     "bm25_doc_ranking": QuerySpec(_q_bm25_ranking, _BM25_ORACLE),
+    "source_length_gini": QuerySpec(_q_source_length_gini, _SOURCE_GINI_ORACLE),
     "bpe_pair_counts": QuerySpec(_q_bpe_pairs, _BPE_PAIRS_ORACLE),
     "ngram_novelty_scores": QuerySpec(_q_novelty, _NOVELTY_ORACLE),
     "nb_quality_filter": QuerySpec(_q_nb_quality, _NB_QUALITY_ORACLE),
