@@ -898,6 +898,77 @@ WHERE n > CAST(s1 AS DOUBLE) / n_hours
 """
 
 
+def _q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: for
+    each FK relationship, the child row count, the distinct FK values,
+    and the orphan rows (left_anti against the parent key set) — the
+    cross-TABLE complement of dq_expectations_report's per-row rules.
+    Each relationship is one anti-join (broadcast where the parent key
+    set is small); the report is a tall union of one-row aggregates.
+    On healthy TPC-H-shaped data every orphan count is 0 — the audit's
+    value is that the oracle PINS the zeros, so any generator or
+    ingestion regression surfaces as a diff."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def audit(name, child, fk, parent, pk):
+        parent_keys = parent.select(F.col(pk).alias(fk)).distinct()
+        orphans = child.select(fk).join(
+            F.broadcast(parent_keys), fk, "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.countDistinct(fk).cast("long").alias("n_fk_values"),
+        ).crossJoin(
+            F.broadcast(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            )
+        )
+
+    reports = [
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        audit("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        audit("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        audit("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        audit("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+        audit("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ref_integrity_oracle() -> str:
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = [
+        f"""
+SELECT '{name}' AS relationship,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows,
+       CAST((SELECT count(DISTINCT {fk}) FROM {child}) AS BIGINT) AS n_fk_values,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS BIGINT) AS n_orphans"""
+        for name, child, fk, parent, pk in rels
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-concentration (Herfindahl–Hirschman) index per brand:
     each supplier's share of the brand's lineitem volume in ppm, HHI =
@@ -2863,6 +2934,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "brand_supplier_concentration": QuerySpec(
         _q_brand_concentration, _BRAND_CONCENTRATION_ORACLE
+    ),
+    "referential_integrity_audit": QuerySpec(
+        _q_ref_integrity, _ref_integrity_oracle()
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),

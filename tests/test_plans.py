@@ -262,6 +262,7 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "nb_quality_filter",  # 1-row corpus-total broadcast (train step)
         "bm25_doc_ranking",  # 1-row (N, total_tokens) corpus-stats broadcast
         "key_skew_report",  # 1-row grand-total broadcast
+        "referential_integrity_audit",  # 1-row x 1-row report assembly
         "value_drift_report",  # 1-row global ts/value-bounds broadcast
         "embedding_topk_cosine",
         "embedding_ann_lsh",
