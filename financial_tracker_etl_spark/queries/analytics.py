@@ -192,6 +192,55 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy shares: each nation's count share of
+    its REGION (not the grand total — the rollup variant dashboards
+    drill with). Customer counts are integers, the parent total is a
+    per-region window over the 25-row nation aggregate, and the share
+    is one ppm division — the child aggregate shuffles once; the
+    percent-of-parent pass runs on the tiny rollup, not the fact
+    table."""
+    from pyspark.sql import Window
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
+    )
+    parent = Window.partitionBy("r_name")
+    return base.select(
+        "r_name",
+        "n_name",
+        "customers",
+        F.sum("customers").over(parent).cast("long").alias("region_customers"),
+        F.expr(
+            "customers * 1000000 div sum(customers) OVER (PARTITION BY r_name)"
+        ).alias("share_of_region_ppm"),
+    )
+
+
+_NATION_SHARE_ORACLE = """
+WITH base AS (
+  SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS customers
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, customers,
+       CAST(sum(customers) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_customers,
+       CAST(customers * 1000000 //
+            sum(customers) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_of_region_ppm
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # Order-priority count via EXISTS-style semi join (Q4 shape).
 # ---------------------------------------------------------------------------
@@ -2937,6 +2986,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "referential_integrity_audit": QuerySpec(
         _q_ref_integrity, _ref_integrity_oracle()
+    ),
+    "nation_share_of_region": QuerySpec(
+        _q_nation_share_of_region, _NATION_SHARE_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
