@@ -192,6 +192,51 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by lineitem count INCLUDING ties —
+    ``rank() <= k`` semantics, the tie-preserving variant of the
+    row_number top-k the WindowGroupLimit plan tests pin (Spark pushes
+    a group-limit for rank exactly as for row_number, so ties cost no
+    extra shuffle). Deterministic output without arbitrary tie drops:
+    every part tied into the top 3 appears."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    counts = (
+        li.join(broadcast(part), "l_partkey")
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n_items"))
+    return (
+        counts.withColumn("part_rank", F.rank().over(w))
+        .filter(F.col("part_rank") <= 3)
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("p_partkey"),
+            "n_items",
+            F.col("part_rank").cast("int").alias("part_rank"),
+        )
+    )
+
+
+_TOP_PARTS_TIES_ORACLE = """
+WITH counts AS (
+  SELECT p_brand, p_partkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, n_items,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY n_items DESC)
+            AS INTEGER) AS part_rank
+FROM counts
+QUALIFY part_rank <= 3
+"""
+
+
 def _q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent hierarchy shares: each nation's count share of
     its REGION (not the grand total — the rollup variant dashboards
@@ -2989,6 +3034,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "nation_share_of_region": QuerySpec(
         _q_nation_share_of_region, _NATION_SHARE_ORACLE
+    ),
+    "top_parts_per_brand_with_ties": QuerySpec(
+        _q_top_parts_with_ties, _TOP_PARTS_TIES_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
