@@ -192,6 +192,89 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_mad_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group, fully integer: the robust
+    dispersion estimate (breakdown point 50%, vs 0% for stddev).
+    Both medians are DISCRETE rank selections (element at
+    ceil(n/2) under a totalized order), so every intermediate is a
+    data element and the oracle hashes bit-for-bit — no interpolation,
+    no float accumulation. Two rank windows over the same per-group
+    partitioning (one sort each); the winsorized-mean caveat applies:
+    histogram sketches are the constant-memory path for huge groups."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w1 = Window.partitionBy("l_returnflag").orderBy(
+        "x", "l_orderkey", "l_linenumber"
+    )
+    n1 = Window.partitionBy("l_returnflag")
+    med = (
+        li.withColumn("_rn", F.row_number().over(w1))
+        .withColumn("_n", F.count(F.lit(1)).over(n1))
+        .filter(F.col("_rn") == F.expr("CAST(ceil(_n / 2) AS BIGINT)"))
+        .select("l_returnflag", F.col("x").alias("med"))
+    )
+    dev = li.join(broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.expr("abs(x - med)").alias("d"),
+        "med",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    )
+    return (
+        dev.withColumn("_rn", F.row_number().over(w2))
+        .withColumn("_n", F.count(F.lit(1)).over(n1))
+        .filter(F.col("_rn") == F.expr("CAST(ceil(_n / 2) AS BIGINT)"))
+        .select(
+            "l_returnflag",
+            F.col("_n").cast("long").alias("n"),
+            F.col("med").cast("long").alias("median_qty"),
+            F.col("d").cast("long").alias("mad_qty"),
+        )
+    )
+
+
+_MAD_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag, x AS med FROM (
+    SELECT l_returnflag, x,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY x, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM li
+  ) WHERE rn = CAST(ceil(n / 2) AS BIGINT)
+),
+dev AS (
+  SELECT li.l_returnflag, abs(x - med) AS d, med, l_orderkey, l_linenumber
+  FROM li JOIN med ON li.l_returnflag = med.l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(med AS BIGINT) AS median_qty,
+       CAST(d AS BIGINT) AS mad_qty
+FROM (
+  SELECT l_returnflag, d, med,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY d, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM dev
+) WHERE rn = CAST(ceil(n / 2) AS BIGINT)
+"""
+
+
 def _q_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand by lineitem count INCLUDING ties —
     ``rank() <= k`` semantics, the tie-preserving variant of the
@@ -3038,6 +3121,7 @@ QUERIES: dict[str, QuerySpec] = {
     "top_parts_per_brand_with_ties": QuerySpec(
         _q_top_parts_with_ties, _TOP_PARTS_TIES_ORACLE
     ),
+    "mad_quantity_by_flag": QuerySpec(_q_mad_quantity, _MAD_ORACLE),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
