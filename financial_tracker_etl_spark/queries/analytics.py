@@ -56,6 +56,10 @@ def _dsum_sql(expr: str) -> str:
 _CUTOFF = "1998-09-02"
 
 
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp_ntz")
@@ -189,6 +193,54 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+"""
+
+
+def _q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour-of-day activity matrix per event type with each
+    cell's share of the type's total in ppm — the dashboard heatmap as
+    one grouped count plus a per-type window over the ≤168-cell
+    matrix. Calendar arithmetic is pure integer epoch math (day 0 =
+    Thursday, so dow = (epoch_day + 4) mod 7 with 0 = Sunday):
+    timezone-free, hence bit-identical across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts_us")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr(f"CAST((ts_us div {_DAY_US} + 4) % 7 AS INT)").alias("dow"),
+        F.expr(
+            f"CAST((ts_us % {_DAY_US}) div {_HOUR_US} AS INT)"
+        ).alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    t = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "dow",
+        "hour_of_day",
+        "n_events",
+        F.expr(
+            "n_events * 1000000 div sum(n_events)"
+            " OVER (PARTITION BY event_type)"
+        ).alias("share_ppm"),
+    )
+
+
+_ACTIVITY_HEATMAP_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {_DAY_US} + 4) % 7 AS INTEGER) AS dow,
+         CAST((epoch_us(ts) % {_DAY_US}) // {_HOUR_US} AS INTEGER)
+           AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hour_of_day, n_events,
+       CAST(n_events * 1000000 //
+            sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm
+FROM cells
 """
 
 
@@ -450,7 +502,6 @@ FROM rev
 # ---------------------------------------------------------------------------
 
 
-_HOUR_US = 3_600_000_000
 
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,7 +1394,6 @@ GROUP BY user_id, session_id, n_events, session_start_us, session_end_us
 # event-analytics operators a product team runs beside the ETL)
 # ---------------------------------------------------------------------------
 
-_DAY_US = 86_400_000_000
 
 
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3122,6 +3172,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_top_parts_with_ties, _TOP_PARTS_TIES_ORACLE
     ),
     "mad_quantity_by_flag": QuerySpec(_q_mad_quantity, _MAD_ORACLE),
+    "activity_heatmap_cells": QuerySpec(
+        _q_activity_heatmap, _ACTIVITY_HEATMAP_ORACLE
+    ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
