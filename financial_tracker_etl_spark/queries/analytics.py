@@ -196,6 +196,128 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-Simpson effective diversity per user: 1/Σpᵢ² expressed
+    log-free in ppm (effective_types_ppm = 1e12 div Σ share_ppm²) —
+    'how many event types does this user EFFECTIVELY use', the
+    log-free twin of Shannon entropy and the reciprocal of the HHI
+    concentration index. One grouped count + a per-user window over
+    ≤|types| rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("user_id")
+    shares = counts.select(
+        "user_id",
+        F.expr(
+            "n * 1000000 div sum(n) OVER (PARTITION BY user_id)"
+        ).alias("_share_ppm"),
+    )
+    return shares.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+        F.expr(
+            "CAST(1000000000000 div sum(_share_ppm * _share_ppm) AS BIGINT)"
+        ).alias("effective_types_ppm"),
+    )
+
+
+_USER_DIVERSITY_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+shares AS (
+  SELECT user_id,
+         CAST(n * 1000000 // sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+           AS share_ppm
+  FROM counts
+)
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_types,
+       CAST(1000000000000 // sum(share_ppm * share_ppm) AS BIGINT)
+         AS effective_types_ppm
+FROM shares
+GROUP BY user_id
+"""
+
+
+def _q_pareto_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per brand: the volume share held by the
+    top decile of its suppliers (ceil(n/10) heaviest by rank) in ppm —
+    the '80/20' dashboard number, computed from the supplier rollup
+    with one rank window and a conditional sum, all integer."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    vol = (
+        li.join(broadcast(part), "l_partkey")
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), "l_suppkey")
+    tot = Window.partitionBy("p_brand")
+    ranked = vol.select(
+        "p_brand",
+        "n",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(tot).alias("_nsup"),
+        F.sum("n").over(tot).cast("long").alias("_total"),
+    )
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.first("_nsup").cast("long").alias("n_suppliers"),
+            F.first("_total").alias("total_items"),
+            F.sum(
+                F.when(
+                    F.expr("_rk <= CAST(ceil(_nsup / 10) AS BIGINT)"), F.col("n")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_top"),
+        )
+        .select(
+            "p_brand",
+            "n_suppliers",
+            "total_items",
+            F.expr("_top * 1000000 div total_items").alias(
+                "top_decile_share_ppm"
+            ),
+        )
+    )
+
+
+_PARETO_ORACLE = """
+WITH vol AS (
+  SELECT p_brand, l_suppkey, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_suppkey
+),
+ranked AS (
+  SELECT p_brand, n,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY n DESC, l_suppkey) AS rk,
+         count(*) OVER (PARTITION BY p_brand) AS nsup,
+         sum(n) OVER (PARTITION BY p_brand) AS total
+  FROM vol
+)
+SELECT p_brand,
+       CAST(min(nsup) AS BIGINT) AS n_suppliers,
+       CAST(min(total) AS BIGINT) AS total_items,
+       CAST(sum(CASE WHEN rk <= CAST(ceil(nsup / 10) AS BIGINT)
+                     THEN n ELSE 0 END) * 1000000 // min(total) AS BIGINT)
+         AS top_decile_share_ppm
+FROM ranked
+GROUP BY p_brand
+"""
+
+
 def _q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday × hour-of-day activity matrix per event type with each
     cell's share of the type's total in ppm — the dashboard heatmap as
@@ -3174,6 +3296,12 @@ QUERIES: dict[str, QuerySpec] = {
     "mad_quantity_by_flag": QuerySpec(_q_mad_quantity, _MAD_ORACLE),
     "activity_heatmap_cells": QuerySpec(
         _q_activity_heatmap, _ACTIVITY_HEATMAP_ORACLE
+    ),
+    "user_type_diversity": QuerySpec(
+        _q_user_type_diversity, _USER_DIVERSITY_ORACLE
+    ),
+    "pareto_top_decile_share": QuerySpec(
+        _q_pareto_top_decile, _PARETO_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
