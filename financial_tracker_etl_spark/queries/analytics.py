@@ -196,6 +196,89 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules a→b from the co-purchase pairs:
+    confidence = support(a,b)/baskets(a) and lift =
+    confidence/P(b) — the Apriori rule-generation step on top of the
+    2-itemset supports, emitted BOTH directions per pair. Integer ppm
+    with agreed truncation order (confidence first, then lift over the
+    global basket count), so the oracle pins every division. Rule
+    generation runs on the |brands|²-bounded pair table, never the
+    fact table."""
+    pairs = _q_copurchase_pairs(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    n_orders = li.distinct().count()
+    fwd = pairs.select(
+        F.col("brand_a").alias("antecedent"),
+        F.col("brand_b").alias("consequent"),
+        "pair_support",
+        F.col("baskets_a").alias("antecedent_baskets"),
+        F.col("baskets_b").alias("consequent_baskets"),
+    )
+    rev = pairs.select(
+        F.col("brand_b").alias("antecedent"),
+        F.col("brand_a").alias("consequent"),
+        "pair_support",
+        F.col("baskets_b").alias("antecedent_baskets"),
+        F.col("baskets_a").alias("consequent_baskets"),
+    )
+    rules = fwd.unionByName(rev)
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "pair_support",
+        F.expr("pair_support * 1000000 div antecedent_baskets").alias(
+            "confidence_ppm"
+        ),
+        F.expr(
+            "(pair_support * 1000000 div antecedent_baskets)"
+            f" * {n_orders} div consequent_baskets"
+        ).alias("lift_ppm"),
+    )
+
+
+def _association_rules_oracle() -> str:
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_baskets
+  FROM baskets GROUP BY p_brand
+),
+no AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS pair_support
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING count(*) >= {_COPURCHASE_MIN_SUPPORT}
+),
+rules AS (
+  SELECT brand_a AS antecedent, brand_b AS consequent, pair_support,
+         na.n_baskets AS antecedent_baskets, nbb.n_baskets AS consequent_baskets
+  FROM pairs JOIN nb na ON pairs.brand_a = na.p_brand
+             JOIN nb nbb ON pairs.brand_b = nbb.p_brand
+  UNION ALL
+  SELECT brand_b, brand_a, pair_support,
+         nbb.n_baskets, na.n_baskets
+  FROM pairs JOIN nb na ON pairs.brand_a = na.p_brand
+             JOIN nb nbb ON pairs.brand_b = nbb.p_brand
+)
+SELECT antecedent, consequent, pair_support,
+       CAST(pair_support * 1000000 // antecedent_baskets AS BIGINT)
+         AS confidence_ppm,
+       CAST((pair_support * 1000000 // antecedent_baskets)
+            * (SELECT n_orders FROM no) // consequent_baskets AS BIGINT)
+         AS lift_ppm
+FROM rules
+"""
+
+
 def _q_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-Simpson effective diversity per user: 1/Σpᵢ² expressed
     log-free in ppm (effective_types_ppm = 1e12 div Σ share_ppm²) —
@@ -3302,6 +3385,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pareto_top_decile_share": QuerySpec(
         _q_pareto_top_decile, _PARETO_ORACLE
+    ),
+    "brand_association_rules": QuerySpec(
+        _q_association_rules, _association_rules_oracle()
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
