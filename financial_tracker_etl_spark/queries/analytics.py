@@ -196,6 +196,52 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness per epoch week: the DAU/WAU ratio in ppm,
+    computed exactly as Σ(daily distinct actives over the week) * 1e6
+    div (7 * weekly distinct actives) — 'how many of the week's users
+    show up on an average day'. Two distinct-aggregates sharing the
+    (user, day) dedup scan; integer epoch buckets."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    days = ev.select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("day"),
+    ).distinct()
+    with_week = days.withColumn("week", F.expr("day div 7"))
+    dau_sum = with_week.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("user_days")
+    )
+    wau = with_week.select("week", "user_id").distinct().groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return dau_sum.join(wau, "week").select(
+        "week",
+        "user_days",
+        "wau",
+        F.expr("user_days * 1000000 div (7 * wau)").alias("stickiness_ppm"),
+    )
+
+
+_STICKINESS_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+ww AS (
+  SELECT user_id, day, day // 7 AS week FROM days
+),
+dau AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS user_days FROM ww GROUP BY week
+),
+wau AS (
+  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM ww GROUP BY week
+)
+SELECT week, user_days, wau,
+       CAST(user_days * 1000000 // (7 * wau) AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau USING (week)
+"""
+
+
 def _q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly new-vs-returning active-user mix: per 7-day epoch bucket,
     users active that week split by whether it is their FIRST active
@@ -3450,6 +3496,7 @@ QUERIES: dict[str, QuerySpec] = {
     "weekly_new_vs_returning": QuerySpec(
         _q_new_vs_returning, _NEW_VS_RETURNING_ORACLE
     ),
+    "weekly_stickiness": QuerySpec(_q_stickiness, _STICKINESS_ORACLE),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
