@@ -196,6 +196,68 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel completion by acquisition cohort: users bucketed by
+    first-activity epoch week, each cohort's funnel-entrant count
+    (reached stage 1 = viewed) and completion share in ppm — the
+    composition marketing asks of the funnel ('are newer cohorts
+    converting better'). Reuses the funnel stages and joins them to a
+    per-user first-week aggregate; the rollup is |weeks| rows."""
+    f = _q_funnel(spark, sf_dir).select("user_id", "stage_reached")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    cohort = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) div {_DAY_US} div 7").alias("cohort_week")
+    )
+    return (
+        f.join(cohort, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("funnel_entrants"),
+            F.sum(F.when(F.col("stage_reached") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("completed"),
+        )
+        .select(
+            "cohort_week",
+            "funnel_entrants",
+            "completed",
+            F.expr("completed * 1000000 div funnel_entrants").alias(
+                "completion_ppm"
+            ),
+        )
+    )
+
+
+def _cohort_conversion_oracle() -> str:
+    # deferred: _FUNNEL_ORACLE is defined later in the module
+    return (
+        _FUNNEL_ORACLE.rsplit("SELECT v.user_id", 1)[0].rstrip().rstrip(")")
+        + f"""),
+funnel AS (
+  SELECT v.user_id,
+         1 + CASE WHEN first_click_us IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN first_purchase_us IS NULL THEN 0 ELSE 1 END
+           AS stage_reached
+  FROM v
+  LEFT JOIN c ON v.user_id = c.user_id
+  LEFT JOIN p ON v.user_id = p.user_id
+),
+cohort AS (
+  SELECT user_id, min(epoch_us(ts)) // {_DAY_US} // 7 AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(count(*) AS BIGINT) AS funnel_entrants,
+       CAST(sum(CASE WHEN stage_reached = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS completed,
+       CAST(sum(CASE WHEN stage_reached = 3 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS completion_ppm
+FROM funnel JOIN cohort USING (user_id)
+GROUP BY cohort_week
+"""
+    )
+
+
 def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement stickiness per epoch week: the DAU/WAU ratio in ppm,
     computed exactly as Σ(daily distinct actives over the week) * 1e6
@@ -3497,6 +3559,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_new_vs_returning, _NEW_VS_RETURNING_ORACLE
     ),
     "weekly_stickiness": QuerySpec(_q_stickiness, _STICKINESS_ORACLE),
+    "cohort_funnel_conversion": QuerySpec(
+        _q_cohort_conversion, _cohort_conversion_oracle()
+    ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
     "target_encoding_loo": QuerySpec(_q_target_encoding_loo, _TARGET_LOO_ORACLE),
