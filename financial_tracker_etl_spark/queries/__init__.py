@@ -106,13 +106,13 @@ _CHECK_FIRST = [
     "quantiles_by_returnflag",
 ]
 # Round-4 rotation arithmetic (for the next context): after round 3,
-# 106 entries lack an r3 driver row — the 41 r2-green below, the 3
-# displaced twins, and the 62 round-3 additions registered outside the
+# 107 entries lack an r3 driver row — the 41 r2-green below, the 3
+# displaced twins, and the 63 round-3 additions registered outside the
 # prefix (bm25_doc_ranking, salted_skew_join_revenue,
 # purchase_graph_pagerank, brand_price_regression, user_activity_streaks,
 # copurchase_brand_pairs, udaf_event_value_median, cdc_apply_roundtrip, stream_cdc_apply,
 # key_skew_report, event_type_transitions, value_drift_report,
-# sequence_bigram_support, brand_triangle_counts, funnel_latency_quantiles, purchase_graph_bfs_hops, winsorized_quantity_stats, sessions_in_anomalous_hours, user_modal_event_type, brand_supplier_concentration, source_length_gini, referential_integrity_audit, nation_share_of_region, top_parts_per_brand_with_ties, mad_quantity_by_flag, activity_heatmap_cells, user_type_diversity, pareto_top_decile_share, brand_association_rules, weekly_new_vs_returning, weekly_stickiness, cohort_funnel_conversion,
+# sequence_bigram_support, brand_triangle_counts, funnel_latency_quantiles, purchase_graph_bfs_hops, winsorized_quantity_stats, sessions_in_anomalous_hours, user_modal_event_type, brand_supplier_concentration, source_length_gini, referential_integrity_audit, nation_share_of_region, top_parts_per_brand_with_ties, mad_quantity_by_flag, activity_heatmap_cells, user_type_diversity, pareto_top_decile_share, brand_association_rules, weekly_new_vs_returning, weekly_stickiness, cohort_funnel_conversion, weekly_growth_accounting,
 # state_time_travel, cms_token_frequencies, embedding_ann_ivfpq,
 # pps_weighted_sample, curation_pipeline_v2, stream_docs_ingest_dedup,
 # table_diff_buckets, histogram_quantile_sketch, ivm_maintained_agg,
@@ -126,8 +126,8 @@ _CHECK_FIRST = [
 # order_fulfillment_latency, cogroup_state_reconciliation,
 # dedup_impact_by_source, bpe_pair_counts, nb_quality_filter,
 # ngram_novelty_scores, scd2_part_prices, pit_customer_features,
-# target_encoding_loo). That is 62 over the
-# 50-row gate: prioritize (1) the 62 never-driver-checked additions,
+# target_encoding_loo). That is 63 over the
+# 50-row gate: prioritize (1) the 63 never-driver-checked additions,
 # (2) the 3 twins (r1-only evidence, oldest), (3) the r2-green set,
 # and let the spilled entries be ones whose operator another green
 # query covers (e.g. stream_upsert_index/monthly share S9's merge

@@ -196,6 +196,64 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting's third class: per epoch week, active users
+    split into new (first week), current (active the previous week)
+    and RESURRECTED (returning after ≥2 dormant weeks) — the lag-over-
+    active-weeks classification, per-user windows only, with each
+    class's ppm share of the week's actives."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    weeks = ev.select(
+        "user_id", F.expr(f"(ts_us div {_DAY_US}) div 7").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    classed = weeks.withColumn("_prev", F.lag("week").over(w)).select(
+        "week",
+        F.when(F.col("_prev").isNull(), "new")
+        .when(F.col("week") - F.col("_prev") == 1, "current")
+        .otherwise("resurrected")
+        .alias("user_class"),
+    )
+    tot = Window.partitionBy("week")
+    return (
+        classed.groupBy("week", "user_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "n_users * 1000000 div sum(n_users) OVER (PARTITION BY week)"
+            ),
+        )
+    )
+
+
+_RESURRECTED_ORACLE = f"""
+WITH weeks AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // {_DAY_US}) // 7 AS week
+  FROM events
+),
+classed AS (
+  SELECT week,
+         CASE WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week) IS NULL
+                THEN 'new'
+              WHEN week - lag(week) OVER (PARTITION BY user_id ORDER BY week) = 1
+                THEN 'current'
+              ELSE 'resurrected' END AS user_class
+  FROM weeks
+),
+counts AS (
+  SELECT week, user_class, CAST(count(*) AS BIGINT) AS n_users
+  FROM classed GROUP BY week, user_class
+)
+SELECT week, user_class, n_users,
+       CAST(n_users * 1000000 // sum(n_users) OVER (PARTITION BY week)
+            AS BIGINT) AS share_ppm
+FROM counts
+"""
+
+
 def _q_cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel completion by acquisition cohort: users bucketed by
     first-activity epoch week, each cohort's funnel-entrant count
@@ -3561,6 +3619,9 @@ QUERIES: dict[str, QuerySpec] = {
     "weekly_stickiness": QuerySpec(_q_stickiness, _STICKINESS_ORACLE),
     "cohort_funnel_conversion": QuerySpec(
         _q_cohort_conversion, _cohort_conversion_oracle()
+    ),
+    "weekly_growth_accounting": QuerySpec(
+        _q_resurrected_users, _RESURRECTED_ORACLE
     ),
     "salted_skew_join_revenue": QuerySpec(_q_salted_skew_join, _SALTED_JOIN_ORACLE),
     "scd2_part_prices": QuerySpec(_q_scd2_part_prices, _SCD2_ORACLE),
