@@ -52,8 +52,16 @@ def snapshot_diff(
     out_keys = [
         F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
     ]
+    # Values come from the NEW side verbatim for inserted/updated/
+    # unchanged rows and from the OLD side only for deletes. A
+    # coalesce here would be wrong: an update that sets a value column
+    # to NULL must carry NULL so apply_changes reproduces `new` exactly
+    # (the cdc_apply_roundtrip contract) — coalesce would smuggle the
+    # old value back in.
     out_vals = [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        F.when(new_key_null, F.col(f"o.{c}"))
+        .otherwise(F.col(f"n.{c}"))
+        .alias(c)
         for c in value_cols
     ]
     return joined.select(*out_keys, *out_vals, change.alias("change_type"))

@@ -88,8 +88,22 @@ def salted_join(
     AQE splits oversized SHUFFLE partitions of a sort-merge join, but a
     single key that exceeds one partition on the BUILD side of a
     broadcast-hash join, or a skewed aggregation feeding the join, is
-    out of its reach — salting restructures the key space itself."""
-    salt_cols = [F.col(c) for c in (salt_from or [key])]
+    out of its reach — salting restructures the key space itself.
+
+    ``salt_from`` is REQUIRED and must vary within a key: a salt hashed
+    from the join key alone is a pure function of the key, so every row
+    of a hot key draws the same salt and still lands on one reducer —
+    silently defeating the operator's purpose (results stay correct,
+    skew does not move). Pass columns that differ across the hot key's
+    rows (an id, a timestamp, a line number)."""
+    if not salt_from or list(salt_from) == [key]:
+        raise ValueError(
+            "salted_join: salt_from must name columns that vary within "
+            f"a join key; got {salt_from!r}, which is a pure function "
+            f"of the key {key!r} — every row of a hot key would draw "
+            "the same salt and the skew would not move"
+        )
+    salt_cols = [F.col(c) for c in salt_from]
     salted_large = large.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
     )

@@ -3169,9 +3169,10 @@ JOIN nb nbb ON pairs.brand_b = nbb.p_brand
 # classic islands decomposition (day − row_number is constant within a
 # run of consecutive days), the complement of the gap operators (J3,
 # longest_month_gap) which find the HOLES between islands.
+# (Uses the module-top _DAY_US constant — a second local definition
+# here once risked silent desynchronization of every bucketing query
+# below it.)
 # ---------------------------------------------------------------------------
-
-_DAY_US = 24 * 3_600_000_000
 
 
 def _q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3030,8 +3030,15 @@ def _q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_chars",
+            # _s1 = Σ rank·x grows ~n²·x̄, and the denominator
+            # n_docs·total_chars ~n²·x̄ too — both clear int64 around
+            # 1e6 docs/source at 1e4 chars, so the ppm products run in
+            # DECIMAL(38,0) (HUGEINT on the oracle side), the same
+            # widening brand_price_regression uses. The quotient is a
+            # small ppm value, so `div`'s BIGINT result is exact.
             F.expr(
-                "2 * _s1 * 1000000 div (n_docs * total_chars)"
+                "2 * CAST(_s1 AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * total_chars)"
                 " - (n_docs + 1) * 1000000 div n_docs"
             ).alias("gini_ppm"),
         )
@@ -3053,7 +3060,8 @@ agg AS (
   FROM ranked GROUP BY source
 )
 SELECT source, n_docs, total_chars,
-       CAST(2 * s1 * 1000000 // (n_docs * total_chars)
+       CAST(2 * CAST(s1 AS HUGEINT) * 1000000
+              // (CAST(n_docs AS HUGEINT) * total_chars)
             - (n_docs + 1) * 1000000 // n_docs AS BIGINT) AS gini_ppm
 FROM agg
 """
@@ -3123,16 +3131,26 @@ def _q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "(2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)"
             ).alias("_idf_ppm"),
+            # total_tokens·tf·1e6 clears int64 around 1e13 corpus
+            # tokens — run the saturation ratio in DECIMAL(38,0)
+            # (HUGEINT in the oracle), the brand_price_regression
+            # widening convention. Quotients are ppm-sized, so div's
+            # BIGINT result stays exact.
             F.expr(
-                "22 * total_tokens * tf * 1000000"
-                " div (10 * total_tokens * tf + 3 * total_tokens"
-                "      + 9 * dl * n_docs)"
+                "22 * CAST(total_tokens AS DECIMAL(38,0)) * tf * 1000000"
+                " div (10 * CAST(total_tokens AS DECIMAL(38,0)) * tf"
+                "      + 3 * total_tokens + 9 * dl * n_docs)"
             ).alias("_tf_sat_ppm"),
         )
         .select(
             "doc_id",
             "tf",
-            F.expr("_idf_ppm * _tf_sat_ppm div 1000000").alias("_contrib_ppm"),
+            # idf_ppm alone can reach ~2e15 (rare term in a 1e9-doc
+            # corpus); times a ~2.2e6-ppm saturation it clears int64,
+            # so the product also widens before the final div.
+            F.expr(
+                "CAST(_idf_ppm AS DECIMAL(38,0)) * _tf_sat_ppm div 1000000"
+            ).alias("_contrib_ppm"),
         )
     )
     return (
@@ -3170,10 +3188,11 @@ dfs AS (
 scored AS (
   SELECT h.doc_id, h.tf,
          CAST((2 * (c.n_docs - f.df) + 1) * 1000000 // (2 * f.df + 1)
-              AS BIGINT)
-           * CAST(22 * c.total_tokens * h.tf * 1000000
-                  // (10 * c.total_tokens * h.tf + 3 * c.total_tokens
-                      + 9 * h.dl * c.n_docs) AS BIGINT)
+              AS HUGEINT)
+           * CAST(22 * CAST(c.total_tokens AS HUGEINT) * h.tf * 1000000
+                  // (10 * CAST(c.total_tokens AS HUGEINT) * h.tf
+                      + 3 * c.total_tokens
+                      + 9 * h.dl * c.n_docs) AS HUGEINT)
            // 1000000 AS contrib_ppm
   FROM hits h JOIN dfs f ON h.term = f.term CROSS JOIN corpus c
 )

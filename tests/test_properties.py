@@ -580,6 +580,21 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.count() == plain.count()
 
 
+def test_salted_join_rejects_key_only_salt(spark):
+    """A salt hashed from the join key alone is a pure function of the
+    key — every row of a hot key draws the same salt and the skew does
+    not move. The operator must refuse that silent no-op."""
+    import pytest
+
+    from financial_tracker_etl_spark.operators.joins import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="salt_from"):
+        salted_join(df, df, "k", salt_from=None)
+    with pytest.raises(ValueError, match="pure function"):
+        salted_join(df, df, "k", salt_from=["k"])
+
+
 def test_bm25_ranking_is_sorted_and_monotone_in_tf(spark):
     """Top-k BM25 output is ordered (score desc, doc_id asc) and the
     per-term saturation is monotone: among docs matching the same
@@ -752,16 +767,18 @@ def test_bfs_hops_triangle_inequality_and_frontier_sanity(spark):
 
 
 _cdc_tables = st.tuples(
-    # old state: key -> value
+    # old state: key -> value (values NULLABLE: an update that sets a
+    # column to NULL must survive the round-trip — the coalesce bug
+    # class this strategy exists to catch)
     st.dictionaries(
         st.integers(min_value=0, max_value=9),
-        st.integers(min_value=-5, max_value=5),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
         max_size=8,
     ),
     # new state: key -> value (arbitrary overlap with old)
     st.dictionaries(
         st.integers(min_value=0, max_value=9),
-        st.integers(min_value=-5, max_value=5),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
         max_size=8,
     ),
 )
@@ -788,7 +805,11 @@ def test_cdc_apply_roundtrip_holds_for_random_tables(spark, tables):
     )
     diff = snapshot_diff(old, new, ["k"])
     applied = apply_changes(old, diff, ["k"])
-    assert sorted(map(tuple, applied.collect())) == sorted(new_d.items())
+    # keys are unique per dict, so sorting on k alone totalizes the
+    # order without ever comparing a None value against an int
+    got = sorted(map(tuple, applied.collect()), key=lambda t: t[0])
+    want = sorted(new_d.items(), key=lambda t: t[0])
+    assert got == want
 
 
 @given(
