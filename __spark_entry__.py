@@ -2,7 +2,8 @@
 
 Thin view over ``financial_tracker_etl_spark.queries.registry()``:
 - ``entry(spark)`` runs the flagship historical-gap-repair pipeline at
-  sf0.001 (SURVEY.md §3.2),
+  sf0.1 — bench scale, so the flagship's headline claim demonstrates
+  itself (SURVEY.md §3.2),
 - ``queries()`` exposes one callable per implemented SURVEY.md §2
   operator,
 - ``oracle_sql()`` gives each one's DuckDB twin (omitted only for
@@ -23,10 +24,11 @@ from financial_tracker_etl_spark.queries import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.1 (bench scale); driver
+    checks rows>0 and a stable schema."""
     from financial_tracker_etl_spark.plans.historical_repair import repaired_table
 
-    return repaired_table(spark, "/root/testdata/sf0.001")
+    return repaired_table(spark, "/root/testdata/sf0.1")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

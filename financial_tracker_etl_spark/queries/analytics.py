@@ -3555,7 +3555,9 @@ GROUP BY p_brand
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "purchase_graph_pagerank": QuerySpec(_q_purchase_pagerank, _pagerank_oracle()),
+    "purchase_graph_pagerank": QuerySpec(
+        _q_purchase_pagerank, _pagerank_oracle(), bench_tail=True
+    ),
     "brand_price_regression": QuerySpec(
         _q_brand_regression, _BRAND_REGRESSION_ORACLE
     ),
@@ -3581,7 +3583,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "purchase_graph_bfs_hops": QuerySpec(_q_purchase_bfs, _bfs_oracle()),
     "winsorized_quantity_stats": QuerySpec(
-        _q_winsorized_stats, _WINSORIZED_ORACLE
+        _q_winsorized_stats, _WINSORIZED_ORACLE, bench_tail=True
     ),
     "sessions_in_anomalous_hours": QuerySpec(
         _q_sessions_anomalous, _SESSIONS_ANOMALOUS_ORACLE

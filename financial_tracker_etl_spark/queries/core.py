@@ -1232,7 +1232,9 @@ QUERIES: dict[str, QuerySpec] = {
     "a1_historical_batches": QuerySpec(_q_a1_batches, _A1_ORACLE),
     "p5_payload_envelopes": QuerySpec(_q_p5_envelopes, _P5_ORACLE),
     "cdc_market_changes": QuerySpec(_q_cdc, _CDC_ORACLE),
-    "cdc_apply_roundtrip": QuerySpec(_q_cdc_apply, _CDC_APPLY_ORACLE),
+    "cdc_apply_roundtrip": QuerySpec(
+        _q_cdc_apply, _CDC_APPLY_ORACLE, bench_tail=True
+    ),
     "table_diff_buckets": QuerySpec(_q_table_diff, _TABLE_DIFF_ORACLE),
     "ivm_maintained_agg": QuerySpec(_q_ivm, _IVM_ORACLE),
     "longest_month_gap": QuerySpec(_q_longest_gap, _LONGEST_GAP_ORACLE),

@@ -38,9 +38,7 @@ from ..ext.text import (
     with_fingerprint,
     with_language_id,
     with_quality_score,
-    with_regex_token_stats,
     with_token_stats,
-    with_winnow_fingerprint,
 )
 from . import QuerySpec
 
@@ -195,74 +193,6 @@ WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.4
 """
 
 
-def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance verification layered on the shingle-Jaccard
-    candidates: levenshtein over normalized 80-char prefixes — the
-    character-level near-dup modality. Never run over all pairs: the
-    O(len²) DP only touches LSH/Jaccard candidates (the 100 TB
-    contract shared by every near-dup verifier here)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
-    pref = docs.select(
-        "doc_id",
-        F.substring(normalized_text(F.col("text")), 1, 80).alias("pref"),
-    )
-    a = pref.alias("pa")
-    b = pref.alias("pb")
-    return (
-        pairs.join(a, F.col("doc1") == F.col("pa.doc_id"))
-        .join(b, F.col("doc2") == F.col("pb.doc_id"))
-        .select(
-            "doc1",
-            "doc2",
-            F.round("jaccard", 6).alias("jaccard"),
-            F.levenshtein(F.col("pa.pref"), F.col("pb.pref")).alias(
-                "prefix_edit_distance"
-            ),
-        )
-    )
-
-
-_EDIT_DISTANCE_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(
-           CASE WHEN len(t) >= 3
-                THEN list_transform(range(1, len(t) - 1),
-                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                ELSE [] END)) AS shingle
-  FROM toks
-),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-cand AS (
-  SELECT doc1, doc2,
-         round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
-  FROM pairs
-  JOIN counts ca ON doc1 = ca.doc_id
-  JOIN counts cb ON doc2 = cb.doc_id
-  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.4
-),
-pref AS (
-  SELECT doc_id,
-         substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 80) AS p
-  FROM documents
-)
-SELECT doc1, doc2, jaccard,
-       CAST(levenshtein(pa.p, pb.p) AS INTEGER) AS prefix_edit_distance
-FROM cand
-JOIN pref pa ON doc1 = pa.doc_id
-JOIN pref pb ON doc2 = pb.doc_id
-"""
-
-
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(docs)
@@ -411,47 +341,6 @@ SELECT a.doc_id AS doc1, b.doc_id AS doc2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-"""
-
-
-def _q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return with_regex_token_stats(docs).select(
-        "doc_id", "n_bpe_tokens", "n_unique_bpe_tokens"
-    )
-
-
-_REGEX_TOKENS_ORACLE = r"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-            AS INTEGER) AS n_bpe_tokens,
-       CAST(len(list_distinct(
-            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
-            AS INTEGER) AS n_unique_bpe_tokens
-FROM documents
-"""
-
-
-def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
-
-
-_WINNOW_ORACLE = r"""
-WITH t AS (
-  SELECT doc_id,
-         list_transform(
-           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ''),
-           c -> CAST(ascii(c) AS BIGINT)) AS chars
-  FROM documents
-)
-SELECT doc_id,
-       CASE WHEN len(chars) >= 16 THEN
-         list_min(list_transform(range(1, len(chars) - 14), i ->
-           list_reduce(list_transform(range(i, i + 16), j -> chars[j]),
-                       (a, b) -> (a * 31 + b) % 2147483647)))
-       END AS winnow_fp
-FROM t
 """
 
 
@@ -3208,7 +3097,7 @@ LIMIT {_BM25_TOP_K}
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "bm25_doc_ranking": QuerySpec(_q_bm25_ranking, _BM25_ORACLE),
+    "bm25_doc_ranking": QuerySpec(_q_bm25_ranking, _BM25_ORACLE, bench_tail=True),
     "source_length_gini": QuerySpec(_q_source_length_gini, _SOURCE_GINI_ORACLE),
     "bpe_pair_counts": QuerySpec(_q_bpe_pairs, _BPE_PAIRS_ORACLE),
     "ngram_novelty_scores": QuerySpec(_q_novelty, _NOVELTY_ORACLE),
@@ -3254,18 +3143,17 @@ QUERIES: dict[str, QuerySpec] = {
     "x1_exact_dedup": QuerySpec(_q_exact_dedup, _DEDUP_ORACLE, bench=True),
     "ngram_jaccard_near_dups": QuerySpec(_q_jaccard, _JACCARD_ORACLE),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _CLUSTERS_ORACLE),
-    "near_dup_edit_distance": QuerySpec(_q_edit_distance, _EDIT_DISTANCE_ORACLE),
     "minhash_lsh_near_dups": QuerySpec(_q_minhash, _minhash_oracle(), bench=True),
     "simhash_fingerprints": QuerySpec(_q_simhash, _simhash_oracle()),
     "simhash_near_dup_pairs": QuerySpec(_q_simhash_pairs, _simhash_pairs_oracle()),
-    "text_regex_token_stats": QuerySpec(_q_regex_tokens, _REGEX_TOKENS_ORACLE),
-    "text_winnow_fingerprints": QuerySpec(_q_winnow, _WINNOW_ORACLE),
     "embedding_topk_cosine": QuerySpec(_q_topk_cosine, _TOPK_ORACLE, bench=True),
     "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _cosine_pairs_oracle()),
     "embedding_ann_lsh": QuerySpec(_q_ann_lsh, _ann_lsh_oracle()),
     "embedding_ann_ivf": QuerySpec(_q_ann_ivf, _ann_ivf_oracle()),
     "embedding_ann_pq": QuerySpec(_q_ann_pq, _ann_pq_oracle()),
-    "duplicate_span_stats": QuerySpec(_q_dup_spans, _dup_spans_oracle()),
+    "duplicate_span_stats": QuerySpec(
+        _q_dup_spans, _dup_spans_oracle(), bench_tail=True
+    ),
     "training_shard_plan": QuerySpec(_q_shards, _SHARDS_ORACLE),
     "cms_token_frequencies": QuerySpec(_q_cms, _CMS_ORACLE),
     "embedding_ann_ivfpq": QuerySpec(_q_ann_ivfpq, _ann_ivfpq_oracle()),

@@ -45,30 +45,6 @@ def _q_stream_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_pipeline(spark, sf_dir).state_df(TOPIC_MARKET)
 
 
-def _q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shared_pipeline(spark, sf_dir).state_df(TOPIC_INDEX)
-
-
-_INDEX_STATE_ORACLE = (
-    fixtures.with_ctes(fixtures.MARKET_INDEX_DATA_SQL)
-    + """
-SELECT symbol, price, price_change, percent_change, price_high, price_low,
-       updated_at
-FROM market_index_data
-"""
-)
-
-
-def _q_stream_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shared_pipeline(spark, sf_dir).state_df(TOPIC_HISTORICAL)
-
-
-_MONTHLY_STATE_ORACLE = (
-    fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
-    + "\nSELECT symbol, price, date, asset_type FROM market_data_monthly"
-)
-
-
 def _q_stream_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5 completion events, summed per topic (batch split is an
     execution detail; totals are the invariant the reference also
@@ -324,11 +300,16 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: docs_ingest_stream(spark, sf_dir),
         _DOCS_INGEST_ORACLE,
     ),
+    # S10/S11 (index / monthly states) retired from the registry in
+    # round 4: they observed the SAME shared-pipeline run and merge
+    # machinery as stream_upsert_market_data through a different topic
+    # key, so their oracle rows certified nothing the market twin plus
+    # stream_pipeline_completions (which pins all three topics' record
+    # totals) does not. Their state≡fixture equality lives on as the
+    # unit test test_index_and_monthly_states_equal_batch_fixtures.
     "stream_upsert_market_data": QuerySpec(
         _q_stream_market, _UPSERT_ORACLE, bench=True
     ),
-    "stream_upsert_index_data": QuerySpec(_q_stream_index, _INDEX_STATE_ORACLE),
-    "stream_upsert_monthly": QuerySpec(_q_stream_monthly, _MONTHLY_STATE_ORACLE),
     "stream_pipeline_completions": QuerySpec(
         _q_stream_completions, _COMPLETIONS_ORACLE
     ),

@@ -38,31 +38,137 @@ def _ewma_fn(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
-    pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
     ewma, n = state.get if state.exists else (None, 0)
-    for v in pdf["value"]:
-        v = float(v)
-        ewma = v if ewma is None else (1.0 - EWMA_ALPHA) * ewma + EWMA_ALPHA * v
-        n += 1
+    ewma, n = _fold_ewma(pd.concat(list(pdfs)), ewma, n)
     state.update((ewma, n))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]}
     )
 
 
-def ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fold_ewma(
+    pdf: pd.DataFrame, ewma: float | None, n: int
+) -> tuple[float | None, int]:
+    """The shared per-batch fold both stateful APIs drive: values in
+    (ts_us, event_id) order through ewma = (1-α)·ewma + α·v."""
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    for v in pdf["value"]:
+        v = float(v)
+        ewma = v if ewma is None else (1.0 - EWMA_ALPHA) * ewma + EWMA_ALPHA * v
+        n += 1
+    return ewma, n
+
+
+_EWMA_OUT_SCHEMA = "user_id long, n_events long, ewma_value double"
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` (the ``applyInPandasWithState``
+    successor — deprecated upstream) imports fine on this PySpark, but
+    its runtime speaks protobuf to a driver-side state server; without
+    ``google.protobuf`` only the legacy API can execute. Capability
+    probe, not a version check, so the day the environment grows
+    protobuf the engine switches with zero code change
+    (tests/test_streaming.py pins this boundary)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        # find_spec raises (not returns None) when the parent package
+        # is itself absent
+        return False
+
+
+class _EwmaProcessor:
+    """``StatefulProcessor`` twin of :func:`_ewma_fn` for the
+    ``transformWithStateInPandas`` API: same (ewma, n) value state,
+    same fold, same one-row-per-key update output. Defined lazily (the
+    base class import is safe without protobuf, but subclassing at
+    module import keeps the coupling explicit in one place)."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+        )
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        class Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState(
+                    "ewmaState",
+                    StructType(
+                        [
+                            StructField("ewma", DoubleType()),
+                            StructField("n", LongType()),
+                        ]
+                    ),
+                )
+
+            def handleInputRows(
+                self, key, rows, timerValues
+            ) -> Iterable[pd.DataFrame]:
+                ewma, n = (
+                    self._state.get() if self._state.exists() else (None, 0)
+                )
+                # concat BEFORE the fold: the (ts_us, event_id) total
+                # order must span all Arrow chunks of the batch, not
+                # hold merely within each chunk
+                ewma, n = _fold_ewma(pd.concat(list(rows)), ewma, n)
+                self._state.update((ewma, n))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "ewma_value": [ewma],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return Impl()
+
+
+def ewma_stream(
+    spark: SparkSession, sf_dir: str, api: str = "auto"
+) -> DataFrame:
     """Run the stateful EWMA over the replayed events stream and return
-    the final per-user values."""
+    the final per-user values.
+
+    ``api``: ``"auto"`` picks ``transformWithState`` when its protobuf
+    runtime exists and the deprecated ``applyInPandasWithState``
+    otherwise; ``"transformWithState"`` / ``"applyInPandasWithState"``
+    force a path (tests pin both against the same oracle)."""
     ev = events_stream(spark, sf_dir).select(
         "user_id", "ts_us", "event_id", "value"
     )
-    updated = ev.groupBy("user_id").applyInPandasWithState(
-        _ewma_fn,
-        outputStructType="user_id long, n_events long, ewma_value double",
-        stateStructType="ewma double, n long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    if api == "auto":
+        api = (
+            "transformWithState"
+            if transform_with_state_available()
+            else "applyInPandasWithState"
+        )
+    if api == "transformWithState":
+        updated = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_EwmaProcessor(),
+            outputStructType=_EWMA_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        updated = ev.groupBy("user_id").applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType="ewma double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     out_dir = tempfile.mkdtemp(prefix="ftes_ewma_")
     sink, ckpt = os.path.join(out_dir, "sink"), os.path.join(out_dir, "ckpt")
 

@@ -19,6 +19,24 @@ from financial_tracker_etl_spark.ext.similarity import (
 )
 
 
+def test_regex_token_stats_known_answers(spark):
+    """X3 BPE-ish token counting (its registry twin retired in round 4
+    — subsumed by text_token_stats per COVERAGE.md — so the known
+    answers live here): letter runs, digit runs and single punctuation
+    marks each count as one token."""
+    from financial_tracker_etl_spark.ext.text import with_regex_token_stats
+
+    df = spark.createDataFrame(
+        [("a", "hello world42!"), ("b", "x, x, x")], "doc_id string, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_bpe_tokens, r.n_unique_bpe_tokens)
+        for r in with_regex_token_stats(df).collect()
+    }
+    # hello | world | 42 | !  /  x | , | x | , | x
+    assert rows == {"a": (4, 4), "b": (5, 2)}
+
+
 def test_minhash_recall_vs_exact(spark):
     docs = load_table(spark, SF_DIR, "documents")
     exact = {

@@ -154,6 +154,38 @@ def test_pipeline_rerun_is_idempotent_end_to_end(spark, tmp_path):
     assert state1 == state2
 
 
+def test_index_and_monthly_states_equal_batch_fixtures(spark):
+    """S10/S11's registry twins (stream_upsert_index_data /
+    stream_upsert_monthly) were retired in round 4 — they observed the
+    same shared-pipeline run and keyed merge as the market topic. The
+    state ≡ batch-fixture equality their oracles certified lives here
+    instead, against the same shared run the remaining stream queries
+    observe."""
+    from financial_tracker_etl_spark import fixtures
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.queries.stream import shared_pipeline
+    from financial_tracker_etl_spark.streaming.jobs import (
+        TOPIC_HISTORICAL,
+        TOPIC_INDEX,
+    )
+
+    pipe = shared_pipeline(spark, SF_DIR)
+    idx = pipe.state_df(TOPIC_INDEX)
+    want_idx = fixtures.market_index_data(
+        load_table(spark, SF_DIR, "supplier")
+    ).select(*idx.columns)
+    assert sorted(map(tuple, idx.collect())) == sorted(
+        map(tuple, want_idx.collect())
+    )
+    mon = pipe.state_df(TOPIC_HISTORICAL)
+    want_mon = fixtures.market_data_monthly(
+        load_table(spark, SF_DIR, "lineitem")
+    ).select(*mon.columns)
+    assert sorted(map(tuple, mon.collect())) == sorted(
+        map(tuple, want_mon.collect())
+    )
+
+
 def test_crash_mid_stream_resumes_from_checkpoint(spark, tmp_path):
     """A foreachBatch failure kills the query AFTER some batches have
     merged; restarting against the SAME checkpoint must resume from
@@ -309,23 +341,40 @@ def test_versioned_state_time_travel_and_change_feed(spark, tmp_path):
     assert feed == {"a": "unchanged", "b": "updated", "c": "inserted"}
 
 
-def test_transform_with_state_api_boundary():
+def test_transform_with_state_api_boundary(spark):
     """``transformWithStateInPandas`` (the applyInPandasWithState
-    successor) exists on this PySpark, but its runtime speaks protobuf
-    to a driver-side state server and this container has no
-    google.protobuf — pin the boundary explicitly (same pattern as the
-    Kafka classpath pin) so a future environment with protobuf turns
-    this skip into a prompt to port the EWMA onto the new API."""
-    import importlib.util
-
+    successor — the old API is deprecated upstream) is fully ported:
+    ``streaming.stateful`` implements the EWMA on BOTH APIs over one
+    shared fold, and ``ewma_stream(api="auto")`` picks by capability
+    probe. Its runtime speaks protobuf to a driver-side state server;
+    in a container without google.protobuf only the legacy path can
+    execute, so the equivalence half of this test skips (same pattern
+    as the Kafka classpath pin) — the day the environment grows
+    protobuf it runs with zero code change."""
     from pyspark.sql.pandas.group_ops import PandasGroupedOpsMixin
+
+    from financial_tracker_etl_spark.streaming.stateful import (
+        _EwmaProcessor,
+        ewma_stream,
+        transform_with_state_available,
+    )
 
     assert hasattr(PandasGroupedOpsMixin, "transformWithStateInPandas")
     assert hasattr(PandasGroupedOpsMixin, "applyInPandasWithState")
-    if importlib.util.find_spec("google") is None:
+    # the processor twin constructs without protobuf (only the
+    # streaming runtime needs it) and exposes the StatefulProcessor
+    # surface the new API drives
+    proc = _EwmaProcessor()
+    assert callable(proc.init) and callable(proc.handleInputRows)
+    if not transform_with_state_available():
         pytest.skip(
             "protobuf absent: transformWithState runtime unavailable here"
         )
+    new = ewma_stream(spark, SF_DIR, api="transformWithState")
+    old = ewma_stream(spark, SF_DIR, api="applyInPandasWithState")
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
 
 
 def test_tombstone_state_deletes_survive_replay_and_compaction(spark, tmp_path):
