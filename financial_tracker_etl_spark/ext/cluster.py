@@ -41,10 +41,23 @@ def connected_components(
     overshoot rounds: a fixpoint reached between probes costs at most
     ``probe_every - 1`` extra no-op propagation rounds before the next
     probe exits the loop."""
+    # The symmetrized edge list is consumed once per round: persist it
+    # pre-partitioned + pre-sorted on the join key, so (a) the
+    # upstream edge generation (often an expensive near-dup pair join)
+    # runs ONCE instead of once per round, and (b) each round's
+    # edge⋈label sort-merge join moves only the O(nodes) label side —
+    # a cached InMemoryRelation keeps outputPartitioning/ordering
+    # where a checkpoint's LogicalRDD would not (same staging as
+    # ext.graph.pagerank).
+    from pyspark.storagelevel import StorageLevel
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("b")
+        .sortWithinPartitions("b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -75,6 +88,9 @@ def connected_components(
         if it % probe_every == 0 or it == max_iter:
             if labels.where("_changed").isEmpty():
                 break
+    # labels is a materialized checkpoint — the cached edge blocks are
+    # no longer needed by the returned frame
+    sym.unpersist(blocking=False)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

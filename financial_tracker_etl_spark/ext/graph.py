@@ -16,15 +16,22 @@ that unrolls the same iterations hashes identically — the same
 transcendental-free determinism trade the ext tier makes everywhere.
 
 Scale notes: ``localCheckpoint`` after every iteration truncates the
-lineage (the connected-components lesson: without it the plan grows
-O(iterations) and planning time explodes at scale); the edge list with
-its precomputed out-weights is reused across iterations, so Spark
-keeps one stable shuffle key (src) for the join side.
+rank vector's lineage (the connected-components lesson: without it the
+plan grows O(iterations) and planning time explodes at scale). The
+edge-with-out-weight side is instead ``persist``-ed pre-partitioned
+and pre-sorted on ``src``: a cached ``InMemoryRelation`` KEEPS its
+outputPartitioning/ordering (a ``localCheckpoint`` ``LogicalRDD`` does
+not — measured: every iteration re-exchanged and re-sorted the full
+edge list), so each iteration's edge⋈rank sort-merge join moves only
+the O(|nodes|) rank vector, never the O(|edges|) big side. That is
+the "pay one shuffle, reuse the partitioning every iteration" shape a
+100 TB power iteration needs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def pagerank(
@@ -43,19 +50,32 @@ def pagerank(
     symmetrize their edge list first, as the purchase-graph query
     does — a symmetric graph has no dangling mass by construction).
     """
-    # Materialize the edge list ONCE: outw, nodes and ew all derive
-    # from it, and without this the (potentially expensive) upstream
-    # edge construction re-runs for every eager checkpoint below —
-    # measured 3x the whole setup cost on the purchase graph.
+    # Materialize the edge list ONCE (the upstream edge construction
+    # must not re-run per materialization below — measured 3x the
+    # whole setup cost on the purchase graph), then stage the
+    # edge-with-out-weight side partitioned AND sorted on the join
+    # key: the out-weight comes from a whole-partition window over
+    # the same partitioning (one shuffle; the old groupBy+join paid
+    # a second), and persist() keeps partitioning + ordering visible
+    # to every iteration's join, unlike a checkpoint.
     edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    ew = (
+        edges.repartition("src")
+        .withColumn(
+            "wout",
+            F.sum("w").over(Window.partitionBy("src")).cast("long"),
+        )
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # same partitioning: the distinct collapses within partitions,
+    # and the persisted result stays clustered on the final-join key
     nodes = (
-        edges.select(F.col("src").alias("node"))
+        ew.select(F.col("src").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()
-    ew = edges.join(outw, "src").localCheckpoint(eager=True)
     teleport_ppm = (1_000_000 - damping_ppm) // n_nodes
     p = nodes.withColumn(
         "p", F.lit(1_000_000 // n_nodes).cast("long")
@@ -81,6 +101,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # the final p is a materialized checkpoint — the cached build-side
+    # blocks are no longer needed by the returned frame
+    ew.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
     return p.select("node", F.col("p").alias("rank_ppm"))
 
 
@@ -96,10 +120,19 @@ def bfs_hops(
 
     Each round is one edge⋈distance equi-join + a min-aggregation
     (same single-shuffle shape as the PageRank iteration), with
-    ``localCheckpoint`` cutting the lineage per round. Relaxation is
-    monotone (min over a growing candidate set), so arbitrary replays
-    or batch splits converge to the same distances."""
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    ``localCheckpoint`` cutting the frontier's lineage per round and
+    the static edge side persisted pre-partitioned + pre-sorted on
+    ``src`` (as in :func:`pagerank`) so each round's join moves only
+    the frontier, never the edge list. Relaxation is monotone (min
+    over a growing candidate set), so arbitrary replays or batch
+    splits converge to the same distances."""
+    edges = (
+        edges.select("src", "dst")
+        .localCheckpoint(eager=True)
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dist = (
         seeds.select("node")
         .distinct()
@@ -120,4 +153,7 @@ def bfs_hops(
             .agg(F.min("dist").cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
+    # the final dist is a materialized checkpoint — the cached edge
+    # blocks are no longer needed by the returned frame
+    edges.unpersist(blocking=False)
     return dist
