@@ -35,9 +35,13 @@ def expectations_report(
             F.lit(name).alias("rule"),
             F.col(f"__pass_{name}").alias("n_pass"),
             (F.col("__total") - F.col(f"__pass_{name}")).alias("n_fail"),
-            # integer div both engines (round-vs-truncate hazard)
+            # integer div both engines (round-vs-truncate hazard);
+            # n_fail approaches the full table count when a rule is
+            # badly broken, so the ppm product widens to DECIMAL(38,0)
+            # (int64 dies near 9.2e12 failing rows)
             F.expr(
-                f"((__total - __pass_{name}) * 1000000) div __total"
+                f"CAST(__total - __pass_{name} AS DECIMAL(38,0))"
+                f" * 1000000 div __total"
             ).alias("fail_ppm"),
         )
         for name in rules

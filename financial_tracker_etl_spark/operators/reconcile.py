@@ -8,10 +8,12 @@ and full-outer-join the two tiny digest tables — mismatched buckets
 localize the diff, and only THOSE buckets ever need the row-level join.
 
 Cross-engine determinism: the per-row digest is the engine's md5
-hash-coin (60-bit int) reduced mod 2^31-1 so a plain BIGINT ``SUM``
-cannot overflow at any realistic bucket size (2^31 · rows < 2^63 up to
-~4e9 rows/bucket); integer addition is order-independent, so the digest
-is partition-layout-proof. Floats in the digested payload are scaled to
+hash-coin (60-bit int) reduced mod 2^31-1, and the bucket digest is the
+SUM widened to DECIMAL(38,0) then reduced mod 2^31-1 again — modular
+addition is still order-independent, so the digest stays
+partition-layout-proof while the widened accumulator removes the old
+~4e9-rows-per-bucket int64 bound (a 100 TB snapshot over 64 buckets
+exceeds it). Floats in the digested payload are scaled to
 integers first — float→string rendering is NOT cross-engine-stable.
 """
 
@@ -43,7 +45,14 @@ def bucket_digests(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("_d").alias("digest_sum"),
+            # the cast sits INSIDE the sum: Spark's sum over BIGINT
+            # wraps silently, so widening the already-wrapped result
+            # would be too late (DuckDB's sum promotes to HUGEINT on
+            # its own)
+            F.expr(
+                f"CAST(sum(CAST(_d AS DECIMAL(38,0))) % {DIGEST_MOD}"
+                " AS BIGINT)"
+            ).alias("digest_sum"),
         )
     )
 

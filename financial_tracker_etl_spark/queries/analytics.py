@@ -1298,7 +1298,12 @@ def _q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "p10",
             "p90",
-            F.expr("_s * 1000000 div n").alias("winsorized_mean_ppm"),
+            # _s sums clamped quantities over a 3-group partition of
+            # the whole table — ~1e13 at 100 TB, so the ppm product
+            # widens to DECIMAL(38,0)/HUGEINT before the division
+            F.expr(
+                "CAST(_s AS DECIMAL(38,0)) * 1000000 div n"
+            ).alias("winsorized_mean_ppm"),
         )
     )
 
@@ -1327,7 +1332,8 @@ SELECT li.l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
        CAST(min(p10) AS BIGINT) AS p10,
        CAST(min(p90) AS BIGINT) AS p90,
-       CAST(sum(least(greatest(x, p10), p90)) * 1000000 // count(*) AS BIGINT)
+       CAST(CAST(sum(least(greatest(x, p10), p90)) AS HUGEINT) * 1000000
+            // count(*) AS BIGINT)
          AS winsorized_mean_ppm
 FROM li JOIN thresholds ON li.l_returnflag = thresholds.l_returnflag
 GROUP BY li.l_returnflag
@@ -2508,7 +2514,8 @@ p AS (
   FROM lineitem
 )
 SELECT rule, n_pass, total - n_pass AS n_fail,
-       CAST(total - n_pass AS BIGINT) * 1000000 // total AS fail_ppm
+       CAST(CAST(total - n_pass AS HUGEINT) * 1000000 // total AS BIGINT)
+         AS fail_ppm
 FROM t, (
   SELECT 'qty_in_range' AS rule, qty_in_range AS n_pass FROM p
   UNION ALL SELECT 'price_positive', price_positive FROM p
@@ -2550,7 +2557,11 @@ def _q_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.min("days").alias("min_days"),
         F.max("days").alias("max_days"),
-        F.expr("(sum(days) * 1000000) div count(*)").alias("avg_days_ppm"),
+        # sum(days) spans ~1/5 of all orders per priority group —
+        # widen before the ppm product (int64 dies near 1e13 order-days)
+        F.expr(
+            "CAST(sum(days) AS DECIMAL(38,0)) * 1000000 div count(*)"
+        ).alias("avg_days_ppm"),
     )
 
 
@@ -2568,7 +2579,8 @@ SELECT o_orderpriority,
        count(*) AS n_orders,
        min(days) AS min_days,
        max(days) AS max_days,
-       CAST(sum(days) AS BIGINT) * 1000000 // count(*) AS avg_days_ppm
+       CAST(CAST(sum(days) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         AS avg_days_ppm
 FROM lat
 GROUP BY o_orderpriority
 """
@@ -2771,7 +2783,10 @@ def _q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_suppkey",
             "n_rows",
-            F.expr("n_rows * 1000000 div _total").alias("share_ppm"),
+            # a hot key can own a near-table-count n_rows — widen
+            F.expr(
+                "CAST(n_rows AS DECIMAL(38,0)) * 1000000 div _total"
+            ).alias("share_ppm"),
         )
         .orderBy(F.desc("n_rows"), "l_suppkey")
         .limit(20)
@@ -2784,7 +2799,8 @@ WITH counts AS (
   FROM lineitem GROUP BY l_suppkey
 )
 SELECT l_suppkey, n_rows,
-       CAST(n_rows * 1000000 // (SELECT sum(n_rows) FROM counts) AS BIGINT)
+       CAST(CAST(n_rows AS HUGEINT) * 1000000
+            // (SELECT sum(n_rows) FROM counts) AS BIGINT)
          AS share_ppm
 FROM counts
 ORDER BY n_rows DESC, l_suppkey
@@ -3280,10 +3296,14 @@ def _q_brand_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("x").cast("decimal(38,0)").alias("sx"),
-            F.sum("y").cast("decimal(38,0)").alias("sy"),
-            F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
-            F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+            # widen INSIDE the sums: Spark's BIGINT sum wraps
+            # before an outer cast could help (x*y ~5e8 per row times
+            # ~1e11 rows/brand at 100 TB clears int64; DuckDB's sum
+            # auto-promotes to HUGEINT)
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+            F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
+            F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
         )
     )
     slope = (

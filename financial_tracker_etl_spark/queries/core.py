@@ -912,10 +912,14 @@ _TABLE_DIFF_ORACLE = (
         "rowsa AS (" + _DIGEST_SQL_BODY.format(src="market_data") + ")",
         "rowsb AS (" + _DIGEST_SQL_BODY.format(src="merged") + ")",
         """
-da AS (SELECT bucket, count(*) AS n_rows, sum(d) AS ds FROM rowsa GROUP BY bucket)
+da AS (SELECT bucket, count(*) AS n_rows,
+              CAST(CAST(sum(d) AS HUGEINT) % 2147483647 AS BIGINT) AS ds
+       FROM rowsa GROUP BY bucket)
 """,
         """
-db AS (SELECT bucket, count(*) AS n_rows, sum(d) AS ds FROM rowsb GROUP BY bucket)
+db AS (SELECT bucket, count(*) AS n_rows,
+              CAST(CAST(sum(d) AS HUGEINT) % 2147483647 AS BIGINT) AS ds
+       FROM rowsb GROUP BY bucket)
 """,
     )
     + """

@@ -1593,8 +1593,15 @@ def _q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cg), "term")
         .crossJoin(F.broadcast(tg))
         .withColumn(
+            # cnt_s * tot_g * 1e6 multiplies two corpus-scale counts —
+            # int64 dies around 1e6-doc corpora; DECIMAL(38,0)/HUGEINT
+            # widening (the brand_price_regression convention), final
+            # quotient is ppm-sized so the BIGINT result is exact
             "over_rep_ppm",
-            F.expr("cnt_s * tot_g * 1000000 div (tot_s * cnt_g)").cast("long"),
+            F.expr(
+                "CAST(cnt_s AS DECIMAL(38,0)) * tot_g * 1000000"
+                " div (CAST(tot_s AS DECIMAL(38,0)) * cnt_g)"
+            ).cast("long"),
         )
     )
     w = Window.partitionBy("source").orderBy(
@@ -1617,7 +1624,8 @@ cg AS (SELECT term, CAST(sum(cnt_s) AS BIGINT) AS cnt_g FROM st GROUP BY term),
 tg AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS tot_g FROM st),
 j AS (
   SELECT st.source, st.term, cnt_s,
-         CAST(cnt_s * tot_g * 1000000 // (tot_s * cnt_g) AS BIGINT) AS over_rep_ppm
+         CAST(CAST(cnt_s AS HUGEINT) * tot_g * 1000000
+              // (CAST(tot_s AS HUGEINT) * cnt_g) AS BIGINT) AS over_rep_ppm
   FROM st JOIN tot_s USING (source) JOIN cg USING (term) CROSS JOIN tg
 ),
 r AS (
@@ -2913,7 +2921,9 @@ def _q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("x").cast("long").alias("total_chars"),
-            F.sum(F.expr("_rk * x")).cast("long").alias("_s1"),
+            # widen INSIDE the sum: Spark's BIGINT sum wraps before
+            # any outer cast could help (DuckDB's sum auto-promotes)
+            F.sum(F.expr("CAST(_rk * x AS DECIMAL(38,0))")).alias("_s1"),
         )
         .select(
             "source",
@@ -2926,7 +2936,7 @@ def _q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             # widening brand_price_regression uses. The quotient is a
             # small ppm value, so `div`'s BIGINT result is exact.
             F.expr(
-                "2 * CAST(_s1 AS DECIMAL(38,0)) * 1000000"
+                "2 * _s1 * 1000000"
                 " div (CAST(n_docs AS DECIMAL(38,0)) * total_chars)"
                 " - (n_docs + 1) * 1000000 div n_docs"
             ).alias("gini_ppm"),

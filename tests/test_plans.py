@@ -309,3 +309,66 @@ def test_join_strategy_hints_are_honored(spark, reg):
             assert node in plan, (hint, plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_persisted_staging_preserves_partitioning_for_iteration_joins(spark):
+    """The iterative-graph operators (ext.graph.pagerank / bfs_hops,
+    ext.cluster.connected_components) stage their static edge side as
+    persist(repartition(key).sortWithinPartitions(key)) so every
+    round's sort-merge join moves only the small evolving vector. That
+    rests on two Spark behaviors this test pins:
+
+    - a cached InMemoryRelation KEEPS outputPartitioning/ordering, so
+      the staged side joins with NO Exchange and NO Sort;
+    - a localCheckpoint LogicalRDD does NOT (it must re-exchange) —
+      the trap the round-4 rework removed.
+    """
+    from pyspark.sql import functions as F
+
+    def live_plan(df) -> str:
+        """Simple-mode plan with every InMemoryRelation SUBTREE removed
+        (the cached build plan is printed inline and contains its own
+        one-time Exchange, which is not part of what runs per join)."""
+        lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+        out, skip_indent = [], None
+        for ln in lines:
+            indent = len(ln) - len(ln.lstrip(" :+-*("))
+            if skip_indent is not None and indent > skip_indent:
+                continue
+            skip_indent = None
+            if "InMemoryRelation" in ln:
+                skip_indent = indent
+                continue
+            out.append(ln)
+        return "\n".join(out)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(10_000).select(
+            (F.col("id") % 500).alias("src"), F.col("id").alias("dst")
+        )
+        vec = spark.range(500).withColumnRenamed("id", "node")
+
+        staged = (
+            edges.repartition("src").sortWithinPartitions("src").persist()
+        )
+        staged.count()
+        plan = live_plan(staged.join(vec, staged["src"] == vec["node"]))
+        # exactly ONE exchange/sort pair: the vec side; the staged side
+        # reads straight from cache
+        assert "InMemoryTableScan" in plan
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Sort ") == 1, plan
+        staged.unpersist(blocking=False)
+
+        ckpt = (
+            edges.repartition("src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=True)
+        )
+        plan = live_plan(ckpt.join(vec, ckpt["src"] == vec["node"]))
+        # the checkpointed side loses its layout: both sides exchange
+        assert plan.count("Exchange") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
