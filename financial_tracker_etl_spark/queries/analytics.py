@@ -1518,7 +1518,9 @@ def _q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
         F.sum("n").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        # n^2 per hour-bucket clears int64 near 1e9 events/hour; widen
+        # inside the sum (DuckDB's sum auto-promotes, Spark's wraps)
+        F.sum(F.expr("CAST(n * n AS DECIMAL(38,0))")).alias("s2"),
     )
     joined = hourly.join(broadcast(stats), "event_type")
     mean = F.col("s1").cast("double") / F.col("n_hours")
@@ -1654,9 +1656,11 @@ def _q_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = Window.partitionBy("p_brand")
     shares = vol.select(
         "p_brand",
-        F.expr("n * 1000000").alias("_num"),
+        # a hot (brand, supplier) pair can own ~table-count rows;
+        # the ppm numerator widens before the product
+        F.expr("CAST(n AS DECIMAL(38,0)) * 1000000").alias("_num"),
         F.sum("n").over(tot).cast("long").alias("_den"),
-    ).select("p_brand", F.expr("_num div _den").alias("_share_ppm"))
+    ).select("p_brand", F.expr("CAST(_num div _den AS BIGINT)").alias("_share_ppm"))
     return shares.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         F.max("_share_ppm").cast("long").alias("top_share_ppm"),
@@ -1674,7 +1678,8 @@ WITH vol AS (
 ),
 shares AS (
   SELECT p_brand,
-         CAST(n * 1000000 // sum(n) OVER (PARTITION BY p_brand) AS BIGINT)
+         CAST(CAST(n AS HUGEINT) * 1000000
+              // sum(n) OVER (PARTITION BY p_brand) AS BIGINT)
            AS share_ppm
   FROM vol
 )
