@@ -2955,11 +2955,11 @@ agg AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(x) AS BIGINT) AS total_chars,
-         CAST(sum(rk * x) AS BIGINT) AS s1
+         CAST(sum(rk * x) AS HUGEINT) AS s1
   FROM ranked GROUP BY source
 )
 SELECT source, n_docs, total_chars,
-       CAST(2 * CAST(s1 AS HUGEINT) * 1000000
+       CAST(2 * s1 * 1000000
               // (CAST(n_docs AS HUGEINT) * total_chars)
             - (n_docs + 1) * 1000000 // n_docs AS BIGINT) AS gini_ppm
 FROM agg
