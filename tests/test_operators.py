@@ -673,3 +673,55 @@ def test_events_ts_normalization_bigint_nanos_branch(spark, tmp_path):
     assert dict(ev.dtypes)["ts_us"] == "bigint"
     got = sorted(r.ts_us for r in ev.select("ts_us").collect())
     assert got == [n // 1000 for n in ns]
+
+
+def test_bucket_digest_is_partition_layout_proof(spark):
+    """The docstring claims the digest is order- and layout-independent
+    (modular addition commutes); pin it: the same rows under wildly
+    different partitionings — 1 partition, 40 hash partitions on a
+    non-key column, round-robin — produce identical digest tables."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.operators.reconcile import (
+        bucket_digests,
+    )
+
+    rows = [(f"SYM{i}", "STOCK", float(i % 97)) for i in range(500)]
+    base = spark.createDataFrame(
+        rows, "symbol string, asset_type string, v double"
+    )
+    payload = F.col("v").cast("long").cast("string")
+
+    def digests(df):
+        return sorted(
+            map(
+                tuple,
+                bucket_digests(df, ["symbol", "asset_type"], payload).collect(),
+            )
+        )
+
+    want = digests(base.coalesce(1))
+    assert digests(base.repartition(40, "v")) == want
+    assert digests(base.repartition(7)) == want
+
+
+def test_connected_components_probe_cadence_is_result_invariant(spark):
+    """probe_every trades convergence-probe jobs for idempotent
+    overshoot rounds; the RESULT must not depend on it. A path graph
+    (worst case: diameter rounds) under probe_every in {1, 2, 5} and a
+    max_iter hitting the bound exactly all agree."""
+    from financial_tracker_etl_spark.ext.cluster import connected_components
+
+    n = 17
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long"
+    )
+    want = {i: 0 for i in range(n)}
+    for probe in (1, 2, 5):
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(
+                edges, max_iter=40, probe_every=probe
+            ).collect()
+        }
+        assert got == want, probe
