@@ -362,64 +362,6 @@ FROM dau JOIN wau USING (week)
 """
 
 
-def _q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly new-vs-returning active-user mix: per 7-day epoch bucket,
-    users active that week split by whether it is their FIRST active
-    week, with the new-user share in ppm — the growth dashboard's
-    companion to cohort retention. Two user-keyed aggregates (distinct
-    active weeks, first week) + one tiny weekly rollup; integer epoch
-    weeks, no calendar semantics."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
-    weekly = ev.select(
-        "user_id", F.expr(f"(ts_us div {_DAY_US}) div 7").alias("week")
-    ).distinct()
-    first = weekly.groupBy("user_id").agg(F.min("week").alias("first_week"))
-    return (
-        weekly.join(first, "user_id")
-        .groupBy("week")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("active_users"),
-            F.sum(
-                F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("new_users"),
-        )
-        .select(
-            "week",
-            "active_users",
-            "new_users",
-            (F.col("active_users") - F.col("new_users")).alias(
-                "returning_users"
-            ),
-            F.expr("new_users * 1000000 div active_users").alias(
-                "new_share_ppm"
-            ),
-        )
-    )
-
-
-_NEW_VS_RETURNING_ORACLE = f"""
-WITH weekly AS (
-  SELECT DISTINCT user_id, (epoch_us(ts) // {_DAY_US}) // 7 AS week
-  FROM events
-),
-first AS (
-  SELECT user_id, min(week) AS first_week FROM weekly GROUP BY user_id
-)
-SELECT week,
-       CAST(count(*) AS BIGINT) AS active_users,
-       CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
-         AS new_users,
-       CAST(count(*) - sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
-            AS BIGINT) AS returning_users,
-       CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) * 1000000
-            // count(*) AS BIGINT) AS new_share_ppm
-FROM weekly JOIN first USING (user_id)
-GROUP BY week
-"""
-
-
 def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules a→b from the co-purchase pairs:
     confidence = support(a,b)/baskets(a) and lift =
@@ -3640,9 +3582,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "brand_association_rules": QuerySpec(
         _q_association_rules, _association_rules_oracle()
-    ),
-    "weekly_new_vs_returning": QuerySpec(
-        _q_new_vs_returning, _NEW_VS_RETURNING_ORACLE
     ),
     "weekly_stickiness": QuerySpec(_q_stickiness, _STICKINESS_ORACLE),
     "cohort_funnel_conversion": QuerySpec(

@@ -18,19 +18,12 @@ from ..catalog import load_table
 from ..ext.dedup import (
     minhash_near_dups,
     shingle_jaccard_pairs,
-    simhash_fingerprints,
 )
-from ..ext.multimodal import (
-    documents_as_media,
-    extract_features,
-    resize_plan,
-    sample_frames,
-)
+from ..ext.multimodal import documents_as_media, extract_features
 from ..ext.similarity import (
     cosine_near_dup_pairs,
     topk_cosine_bruteforce,
     topk_cosine_ivf,
-    topk_cosine_lsh,
 )
 from ..ext.text import (
     exact_dedup,
@@ -271,11 +264,6 @@ WHERE round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) >= {threshold}
 """
 
 
-def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs)
-
-
 def _simhash_oracle() -> str:
     """DuckDB twin of ext.dedup.simhash_fingerprints: same md5-top-60-
     bits token hash (CAST('0x'||hex AS BIGINT) == Spark conv(hex,16,10)),
@@ -485,35 +473,6 @@ FROM (
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10
-"""
-
-
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return topk_cosine_lsh(emb)
-
-
-def _ann_lsh_oracle(query_mod: int = 97, k: int = 10) -> str:
-    b0, b1 = _bucket_sql()
-    return f"""
-WITH {_CORPUS_CTE.strip()},
-b AS (SELECT vec_id, v, nrm, {b0} AS b0, {b1} AS b1 FROM corpus),
-q AS (
-  SELECT vec_id AS query_id, v AS qv, nrm AS qn, b0 AS qb0, b1 AS qb1
-  FROM b WHERE vec_id % {query_mod} = 0
-),
-scored AS (
-  SELECT query_id, b.vec_id AS neighbor_id,
-         list_dot_product(qv, b.v) / (qn * b.nrm) AS cosine
-  FROM b JOIN q ON b.vec_id <> q.query_id
-                AND (b.b0 = q.qb0 OR b.b1 = q.qb1)
-)
-SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {k}
 """
 
 
@@ -1078,31 +1037,6 @@ FROM o
 """
 
 
-def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary head: top-100 tokens by frequency
-    (ext.sampling.vocab_top_terms; TakeOrderedAndProject top-k)."""
-    from ..ext.sampling import vocab_top_terms
-    from ..ext.text import tokens_col
-
-    docs = load_table(spark, sf_dir, "documents")
-    return vocab_top_terms(docs, tokens_col(F.col("text")), k=100)
-
-
-_VOCAB_ORACLE = f"""
-WITH tok AS (
-  SELECT unnest({_TOKS}) AS token FROM documents
-),
-counts AS (
-  SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token
-)
-SELECT token, n_occurrences,
-       row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
-FROM counts
-ORDER BY n_occurrences DESC, token ASC
-LIMIT 100
-"""
-
-
 def _q_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: the split coin is
     flipped per near-dup CLUSTER (ext.cluster.connected_components over
@@ -1158,50 +1092,6 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_width,
        CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS fake_height
 FROM documents
-"""
-
-
-def _q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return resize_plan(documents_as_media(docs))
-
-
-_RESIZE_ORACLE = """
-WITH d AS (
-  SELECT doc_id,
-         CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_width,
-         CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS fake_height
-  FROM documents
-)
-SELECT doc_id, fake_width, fake_height,
-       CAST(CASE WHEN greatest(fake_width, fake_height) <= 32 THEN fake_width
-            ELSE greatest(1, fake_width * 32 // greatest(fake_width, fake_height))
-            END AS INTEGER) AS out_width,
-       CAST(CASE WHEN greatest(fake_width, fake_height) <= 32 THEN fake_height
-            ELSE greatest(1, fake_height * 32 // greatest(fake_width, fake_height))
-            END AS INTEGER) AS out_height
-FROM d
-"""
-
-
-def _q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(documents_as_media(docs)).select(
-        "doc_id", "frame_idx", "frame_offset", "n_frame_bytes"
-    )
-
-
-_FRAMES_ORACLE = """
-WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-idx AS (
-  SELECT doc_id, n, unnest(range(0, CAST((n + 255) // 256 AS INTEGER), 4)) AS i
-  FROM d
-)
-SELECT doc_id,
-       CAST(i AS INTEGER) AS frame_idx,
-       CAST(i * 256 AS BIGINT) AS frame_offset,
-       CAST(least(256, n - i * 256) AS INTEGER) AS n_frame_bytes
-FROM idx
 """
 
 
@@ -1635,64 +1525,6 @@ r AS (
 )
 SELECT source, term, cnt_s, over_rep_ppm, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 3
-"""
-
-
-def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram LM count table: (w1, w2, pair count, w1 count,
-    integer-exact conditional probability ppm) over the corpus — the
-    count-collection step of n-gram LM training / LM-based quality
-    filtering. One corpus explode + one (w1, w2) aggregation; the
-    unigram totals re-aggregate the bigram table (vocabulary-sized)
-    and join back broadcast."""
-    from ..ext.text import tokens_col
-    from pyspark.sql import Window  # noqa: F401  (plan parity with peers)
-
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
-    t = F.col("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.struct(
-            F.element_at(t, i.cast("int")).alias("w1"),
-            F.element_at(t, (i + 1).cast("int")).alias("w2"),
-        ),
-    )
-    pairs = (
-        toked.filter(F.size(t) >= 2)
-        .select(F.explode(grams).alias("g"))
-        .select("g.w1", "g.w2")
-    )
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    w1c = bc.groupBy("w1").agg(F.sum("pair_count").alias("w1_count"))
-    return bc.join(F.broadcast(w1c), "w1").select(
-        "w1",
-        "w2",
-        "pair_count",
-        "w1_count",
-        F.expr("pair_count * 1000000 div w1_count").cast("long").alias("cond_ppm"),
-    )
-
-
-_BIGRAM_LM_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
-),
-pairs AS (
-  SELECT unnest(list_transform(range(1, len(toks)),
-                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS g
-  FROM t WHERE len(toks) >= 2
-),
-bc AS (
-  SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS pair_count
-  FROM pairs GROUP BY g.w1, g.w2
-),
-w1c AS (
-  SELECT w1, CAST(sum(pair_count) AS BIGINT) AS w1_count FROM bc GROUP BY w1
-)
-SELECT bc.w1, bc.w2, pair_count, w1_count,
-       CAST(pair_count * 1000000 // w1_count AS BIGINT) AS cond_ppm
-FROM bc JOIN w1c ON bc.w1 = w1c.w1
 """
 
 
@@ -2145,56 +1977,6 @@ FROM (
   FROM fresh
 )
 WHERE rn = 1
-"""
-
-
-def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplicate overlap matrix: for every source pair,
-    how many content fingerprints appear in BOTH (the curation
-    diagnostic that tells you which crawl feeds are mirrors of each
-    other). Key = md5 of the normalized 60-char prefix — the repo's
-    exact-dedup key (x1), which actually collides across sources at
-    every SF (full-text md5 has zero cross-source hits at sf0.01, so
-    it would make this gate row vacuous). Dedup to distinct
-    (source, fingerprint) first, then a fingerprint-keyed self-join —
-    candidates bounded by shared content, never |A|x|B|.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    fp = (
-        docs.select(
-            "source",
-            F.md5(
-                F.substring(normalized_text(F.col("text")), 1, 60)
-            ).alias("fingerprint"),
-        )
-        .distinct()
-    )
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
-    )
-
-
-_SOURCE_OVERLAP_ORACLE = """
-WITH fp AS (
-  SELECT DISTINCT source,
-         md5(substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 60)) AS fingerprint
-  FROM documents
-)
-SELECT a.source AS source_a, b.source AS source_b,
-       CAST(count(*) AS BIGINT) AS n_shared_fingerprints
-FROM fp a JOIN fp b
-  ON a.fingerprint = b.fingerprint AND a.source < b.source
-GROUP BY a.source, b.source
 """
 
 
@@ -3121,7 +2903,6 @@ QUERIES: dict[str, QuerySpec] = {
     "incremental_dedup_new_docs": QuerySpec(
         _q_incremental_dedup, _incremental_dedup_oracle()
     ),
-    "cross_source_overlap": QuerySpec(_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "bloom_source_overlap": QuerySpec(_q_bloom_overlap, _BLOOM_OVERLAP_ORACLE),
     "embedding_int8_quantize": QuerySpec(
         _q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE
@@ -3129,7 +2910,6 @@ QUERIES: dict[str, QuerySpec] = {
     "semantic_dedup_pairs": QuerySpec(_q_semantic_dedup, _semantic_dedup_oracle()),
     "hll_distinct_users": QuerySpec(_q_hll, _HLL_ORACLE),
     "length_outlier_filter": QuerySpec(_q_length_filter, _LENGTH_FILTER_ORACLE),
-    "bigram_lm_counts": QuerySpec(_q_bigram_lm, _BIGRAM_LM_ORACLE),
     "doc_lm_perplexity": QuerySpec(_q_doc_perplexity, _DOC_PERPLEXITY_ORACLE),
     "corpus_curation_summary": QuerySpec(_q_curation, _curation_oracle()),
     "source_vocab_divergence": QuerySpec(
@@ -3154,11 +2934,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_jaccard_near_dups": QuerySpec(_q_jaccard, _JACCARD_ORACLE),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _CLUSTERS_ORACLE),
     "minhash_lsh_near_dups": QuerySpec(_q_minhash, _minhash_oracle(), bench=True),
-    "simhash_fingerprints": QuerySpec(_q_simhash, _simhash_oracle()),
     "simhash_near_dup_pairs": QuerySpec(_q_simhash_pairs, _simhash_pairs_oracle()),
     "embedding_topk_cosine": QuerySpec(_q_topk_cosine, _TOPK_ORACLE, bench=True),
     "embedding_cosine_near_dups": QuerySpec(_q_cosine_pairs, _cosine_pairs_oracle()),
-    "embedding_ann_lsh": QuerySpec(_q_ann_lsh, _ann_lsh_oracle()),
     "embedding_ann_ivf": QuerySpec(_q_ann_ivf, _ann_ivf_oracle()),
     "embedding_ann_pq": QuerySpec(_q_ann_pq, _ann_pq_oracle()),
     "duplicate_span_stats": QuerySpec(
@@ -3172,9 +2950,6 @@ QUERIES: dict[str, QuerySpec] = {
     "per_stratum_sample": QuerySpec(_q_stratum_topn, _STRATUM_TOPN_ORACLE),
     "text_stratified_sample": QuerySpec(_q_stratified, _stratified_oracle()),
     "seq_packing_plan": QuerySpec(_q_packing, _PACKING_ORACLE),
-    "vocab_top_terms": QuerySpec(_q_vocab, _VOCAB_ORACLE),
     "leakage_safe_splits": QuerySpec(_q_splits, _splits_oracle()),
     "multimodal_decode_features": QuerySpec(_q_multimodal, _MULTIMODAL_ORACLE),
-    "multimodal_resize_plan": QuerySpec(_q_resize, _RESIZE_ORACLE),
-    "multimodal_frame_samples": QuerySpec(_q_frames, _FRAMES_ORACLE),
 }
