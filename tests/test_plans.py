@@ -265,7 +265,6 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "referential_integrity_audit",  # 1-row x 1-row report assembly
         "value_drift_report",  # 1-row global ts/value-bounds broadcast
         "embedding_topk_cosine",
-        "embedding_ann_lsh",
         "embedding_ann_ivf",
         "embedding_ann_ivfpq",  # same broadcast centroid/query scoring
         # block-offset prefix: non-equi broadcast self-join over the
