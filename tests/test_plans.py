@@ -371,3 +371,25 @@ def test_persisted_staging_preserves_partitioning_for_iteration_joins(spark):
         assert plan.count("Exchange") == 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_registry_rotation_structure(reg):
+    """The driver gate checks exactly the first 50 registry entries, so
+    registry ORDER is load-bearing. Pin the round-4/5 rotation
+    arithmetic: prefix = _CHECK_FIRST (50), positions 51-68 =
+    _NEXT_ROTATION (18, the round-5 gate head), suffix ends with
+    _CHECK_LAST (32 round-2-green rows -> the round-5 gate tail), no
+    duplicates, 150 total, and _NEXT_ROTATION + _CHECK_LAST is exactly
+    the round-5 50-row gate."""
+    from financial_tracker_etl_spark.queries import (
+        _CHECK_FIRST,
+        _CHECK_LAST,
+        _NEXT_ROTATION,
+    )
+
+    names = list(reg)
+    assert len(names) == 150 and len(set(names)) == 150
+    assert names[:50] == _CHECK_FIRST
+    assert names[50:68] == _NEXT_ROTATION
+    assert names[-len(_CHECK_LAST):] == _CHECK_LAST
+    assert len(_NEXT_ROTATION) + len(_CHECK_LAST) == 50
