@@ -40,24 +40,25 @@ def connected_components(
     ``probe_every`` trades convergence-probe jobs against (idempotent)
     overshoot rounds: a fixpoint reached between probes costs at most
     ``probe_every - 1`` extra no-op propagation rounds before the next
-    probe exits the loop."""
-    # The symmetrized edge list is consumed once per round: persist it
-    # pre-partitioned + pre-sorted on the join key, so (a) the
-    # upstream edge generation (often an expensive near-dup pair join)
-    # runs ONCE instead of once per round, and (b) each round's
-    # edge⋈label sort-merge join moves only the O(nodes) label side —
-    # a cached InMemoryRelation keeps outputPartitioning/ordering
-    # where a checkpoint's LogicalRDD would not (same staging as
-    # ext.graph.pagerank).
-    from pyspark.storagelevel import StorageLevel
+    probe exits the loop. Must be >= 1 (1 = probe every round)."""
+    if probe_every < 1:
+        raise ValueError(
+            f"probe_every must be >= 1, got {probe_every}: 0 would "
+            "divide by zero and a negative value would silently skip "
+            "every in-loop convergence probe"
+        )
+    # The symmetrized edge list is consumed once per round: staged via
+    # graph.stage_on_key so (a) the upstream edge generation (often an
+    # expensive near-dup pair join) runs ONCE instead of once per
+    # round, and (b) each round's edge⋈label sort-merge join moves
+    # only the O(nodes) label side.
+    from .graph import stage_on_key
 
-    sym = (
+    sym = stage_on_key(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .repartition("b")
-        .sortWithinPartitions("b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        "b",
     )
     labels = (
         sym.select(F.col("a").alias("node"))

@@ -34,6 +34,26 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def stage_on_key(df: DataFrame, key: str) -> DataFrame:
+    """Persist ``df`` hash-partitioned AND sorted on ``key`` — the
+    staging every iterative operator here gives its static join side.
+
+    A cached ``InMemoryRelation`` keeps outputPartitioning/ordering, so
+    each round's sort-merge join against the staged side needs NO
+    exchange and NO sort on it — only the small evolving vector moves.
+    A ``localCheckpoint`` ``LogicalRDD`` does NOT keep layout (measured:
+    every iteration re-exchanged and re-sorted the full edge list; the
+    plan-guard test_persisted_staging_preserves_partitioning_for_
+    iteration_joins pins both behaviors). Contract: the caller
+    ``unpersist(blocking=False)``-s the result once its final output is
+    materialized (a checkpoint independent of the cache)."""
+    return (
+        df.repartition(key)
+        .sortWithinPartitions(key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -53,11 +73,11 @@ def pagerank(
     # Materialize the edge list ONCE (the upstream edge construction
     # must not re-run per materialization below — measured 3x the
     # whole setup cost on the purchase graph), then stage the
-    # edge-with-out-weight side partitioned AND sorted on the join
-    # key: the out-weight comes from a whole-partition window over
-    # the same partitioning (one shuffle; the old groupBy+join paid
-    # a second), and persist() keeps partitioning + ordering visible
-    # to every iteration's join, unlike a checkpoint.
+    # edge-with-out-weight side as in :func:`stage_on_key` — written
+    # out fused here because the out-weight window runs over the SAME
+    # single repartition("src") shuffle (the old groupBy+join paid a
+    # second); a stage_on_key call on the windowed frame would add a
+    # redundant second exchange to the one-time staging job.
     edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
     ew = (
         edges.repartition("src")
@@ -121,17 +141,13 @@ def bfs_hops(
     Each round is one edge⋈distance equi-join + a min-aggregation
     (same single-shuffle shape as the PageRank iteration), with
     ``localCheckpoint`` cutting the frontier's lineage per round and
-    the static edge side persisted pre-partitioned + pre-sorted on
-    ``src`` (as in :func:`pagerank`) so each round's join moves only
-    the frontier, never the edge list. Relaxation is monotone (min
-    over a growing candidate set), so arbitrary replays or batch
-    splits converge to the same distances."""
-    edges = (
-        edges.select("src", "dst")
-        .localCheckpoint(eager=True)
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    the static edge side staged via :func:`stage_on_key` so each
+    round's join moves only the frontier, never the edge list.
+    Relaxation is monotone (min over a growing candidate set), so
+    arbitrary replays or batch splits converge to the same
+    distances."""
+    edges = stage_on_key(
+        edges.select("src", "dst").localCheckpoint(eager=True), "src"
     )
     dist = (
         seeds.select("node")

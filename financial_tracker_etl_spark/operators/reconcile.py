@@ -45,10 +45,10 @@ def bucket_digests(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            # the cast sits INSIDE the sum: Spark's sum over BIGINT
-            # wraps silently, so widening the already-wrapped result
-            # would be too late (DuckDB's sum promotes to HUGEINT on
-            # its own)
+            # the cast sits INSIDE the sum: an int64 sum overflows
+            # before an outer cast could run (throws under ANSI, the
+            # session default; wraps without), while DuckDB's sum
+            # promotes to HUGEINT on its own
             F.expr(
                 f"CAST(sum(CAST(_d AS DECIMAL(38,0))) % {DIGEST_MOD}"
                 " AS BIGINT)"

@@ -1460,9 +1460,12 @@ def _q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
         F.sum("n").alias("s1"),
-        # n^2 per hour-bucket clears int64 near 1e9 events/hour; widen
-        # inside the sum (DuckDB's sum auto-promotes, Spark's wraps)
-        F.sum(F.expr("CAST(n * n AS DECIMAL(38,0))")).alias("s2"),
+        # n^2 per hour-bucket clears int64 near 3e9 events/hour: the
+        # FACTOR widens before the multiply (an int64 n*n inside an
+        # outer cast would already have thrown under ANSI / wrapped
+        # without it), and the widened per-row product keeps the sum
+        # exact on both engines
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("s2"),
     )
     joined = hourly.join(broadcast(stats), "event_type")
     mean = F.col("s1").cast("double") / F.col("n_hours")
@@ -1489,7 +1492,7 @@ WITH hourly AS (
 ),
 stats AS (
   SELECT event_type, count(*) AS n_hours,
-         sum(n) AS s1, sum(n * n) AS s2
+         sum(n) AS s1, sum(CAST(n AS HUGEINT) * n) AS s2
   FROM hourly GROUP BY event_type
 )
 SELECT h.event_type, hour_us, n,
@@ -3249,8 +3252,8 @@ def _q_brand_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             # auto-promotes to HUGEINT)
             F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
             F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
-            F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
-            F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
         )
     )
     slope = (
@@ -3278,8 +3281,8 @@ WITH stats AS (
          CAST(count(*) AS BIGINT) AS n_items,
          CAST(sum(x) AS HUGEINT) AS sx,
          CAST(sum(y) AS HUGEINT) AS sy,
-         CAST(sum(x * y) AS HUGEINT) AS sxy,
-         CAST(sum(x * x) AS HUGEINT) AS sxx
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
   FROM (
     SELECT p_brand,
            CAST(l_quantity AS BIGINT) AS x,

@@ -2703,9 +2703,10 @@ def _q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("x").cast("long").alias("total_chars"),
-            # widen INSIDE the sum: Spark's BIGINT sum wraps before
-            # any outer cast could help (DuckDB's sum auto-promotes)
-            F.sum(F.expr("CAST(_rk * x AS DECIMAL(38,0))")).alias("_s1"),
+            # widen the FACTOR, not the product: rank·chars can clear
+            # int64 on its own at corpus scale, and under ANSI the
+            # int64 multiply would throw before an outer cast ran
+            F.sum(F.expr("CAST(_rk AS DECIMAL(38,0)) * x")).alias("_s1"),
         )
         .select(
             "source",
@@ -2737,7 +2738,7 @@ agg AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(x) AS BIGINT) AS total_chars,
-         CAST(sum(rk * x) AS HUGEINT) AS s1
+         CAST(sum(CAST(rk AS HUGEINT) * x) AS HUGEINT) AS s1
   FROM ranked GROUP BY source
 )
 SELECT source, n_docs, total_chars,

@@ -1,13 +1,16 @@
 """Streaming queries (SURVEY.md §2.H ST1-ST7, §3.1).
 
-The three ``stream_upsert_*`` queries and ``stream_pipeline_completions``
-all observe ONE shared run of the routed request pipeline
+``stream_upsert_market_data`` and ``stream_pipeline_completions``
+observe ONE shared run of the routed request pipeline
 (streaming.pipeline) — request JSON files → micro-batched file source →
 topic routing → validate/dead-letter → keyed merge → completion rows.
-Their oracles are plain batch SQL because the pipeline is
-batching-invariant by construction; for the market state the oracle is
-literally the same SQL as the batch ``upsert_market_data`` query, which
-is the strongest statement of ST2 (streaming fold ≡ batch merge).
+(The index/monthly state twins were retired from the registry in
+round 4 — same run, same merge machinery; their state ≡ fixture
+equality lives in tests/test_streaming.py.) Oracles are plain batch
+SQL because the pipeline is batching-invariant by construction; for
+the market state the oracle is literally the same SQL as the batch
+``upsert_market_data`` query, which is the strongest statement of ST2
+(streaming fold ≡ batch merge).
 
 ``stream_events_hourly_rollup`` / ``stream_session_windows`` run real
 watermarked append-mode aggregations; their oracles restrict the batch

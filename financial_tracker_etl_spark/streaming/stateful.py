@@ -69,9 +69,15 @@ def transform_with_state_available() -> bool:
     ``google.protobuf`` only the legacy API can execute. Capability
     probe, not a version check, so the day the environment grows
     protobuf the engine switches with zero code change
-    (tests/test_streaming.py pins this boundary)."""
+    (tests/test_streaming.py pins this boundary). Probes the grouped
+    API surface too: a PySpark that dropped or renamed the method must
+    fall back to the legacy path, not die at dispatch."""
     import importlib.util
 
+    from pyspark.sql.pandas.group_ops import PandasGroupedOpsMixin
+
+    if not hasattr(PandasGroupedOpsMixin, "transformWithStateInPandas"):
+        return False
     try:
         return importlib.util.find_spec("google.protobuf") is not None
     except ModuleNotFoundError:
