@@ -38,7 +38,12 @@ def token_chunks(
     """Split each document's whitespace tokens into ``chunk_size``-token
     windows every ``stride`` tokens (overlapping when stride <
     chunk_size) — the sequence-preparation step before packing/training.
-    The tail chunk may be shorter; every token is covered.
+    The tail chunk may be shorter; every token is covered, and no chunk
+    is ever fully contained in its predecessor: start generation stops
+    once a chunk reaches the document end (upper bound
+    ``n - (chunk_size - stride)``, clamped to [1, n]), so a doc whose
+    length lands inside the final stride window does not emit a
+    redundant zero-new-token tail.
 
     One narrow explode per document: no shuffle, scales linearly.
     Chunk identity is the md5 of the joined token span, so downstream
@@ -47,11 +52,15 @@ def token_chunks(
     staged = df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )
+    n = F.size("_toks")
+    last_start = F.least(
+        n, F.greatest(F.lit(1), n - F.lit(chunk_size - stride))
+    )
     exploded = staged.select(
         id_col,
         "_toks",
         F.explode(
-            F.sequence(F.lit(1), F.size("_toks"), F.lit(stride))
+            F.sequence(F.lit(1), last_start, F.lit(stride))
         ).alias("start_token"),
     )
     chunk = F.slice(F.col("_toks"), F.col("start_token"), chunk_size)
@@ -214,7 +223,7 @@ def duplicate_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
 
     toks = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+        F.posexplode(tokens_col(F.col("text"))).alias(
             "pos", "tok"
         ),
     )
@@ -270,7 +279,7 @@ def duplicate_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     )
     totals = docs.select(
         "doc_id",
-        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("n_tokens"),
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
     )
     return (
         totals.join(per_doc, "doc_id", "left")

@@ -96,12 +96,19 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     regex parity while tests/test_ext.py proves the redaction itself
     on synthetic rows containing PII."""
     txt = F.col(text_col)
+    # phones are counted on the EMAIL-SCRUBBED text, mirroring the
+    # sequential replacement order: a phone-shaped string inside an
+    # email local part (e.g. "555-123-4567@example.com") is redacted
+    # as part of the <EMAIL> token, so counting it as a phone too
+    # would make n_phones disagree with the <PHONE> occurrences in
+    # text_scrubbed — counts and redactions must reconcile
+    email_scrubbed = F.regexp_replace(txt, EMAIL_RE, "<EMAIL>")
     return df.withColumns(
         {
             "n_emails": F.regexp_count(txt, F.lit(EMAIL_RE)),
-            "n_phones": F.regexp_count(txt, F.lit(PHONE_RE)),
+            "n_phones": F.regexp_count(email_scrubbed, F.lit(PHONE_RE)),
             "text_scrubbed": F.regexp_replace(
-                F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+                email_scrubbed, PHONE_RE, "<PHONE>"
             ),
         }
     )

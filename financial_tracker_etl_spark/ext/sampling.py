@@ -42,6 +42,9 @@ def stratified_sample(
     rate = F.lit(default_rate)
     for stratum, r in rates.items():
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    # the applied ``_keep_rate`` stays in the output on purpose (same
+    # contract as mix_by_token_budget): downstream consumers report it
+    # (e.g. the stratified-sample registry query emits it as keep_rate)
     return df.withColumn("_keep_rate", rate).filter(
         coin < F.col("_keep_rate") * 10_000
     )
@@ -66,18 +69,25 @@ def mix_by_token_budget(
     Scale shape: one vocabulary-of-sources-sized aggregation, a
     broadcast of the per-source rate table, then the same narrow
     hash-coin filter as :func:`stratified_sample` — the corpus-sized
-    side is never shuffled. Sources without a weight are dropped
-    (rate 0). Returns the kept docs with their ``_keep_rate``.
+    side is never shuffled. Sources without a weight — and weighted
+    sources whose docs carry zero token mass, which could not anchor a
+    water-fill — are dropped (rate 0). Returns the kept docs with
+    their ``_keep_rate``.
     """
     toks = F.col(n_tokens_col).cast("double")
     weight = F.lit(None).cast("double")
     for src, wt in sorted(weights.items()):
         weight = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(weight)
+    # a weighted source with zero kept token mass is excluded like an
+    # absent one: keeping it would anchor the water-fill budget at 0
+    # and silently collapse EVERY source's rate (its own docs carry no
+    # tokens either way)
     totals = (
         docs.withColumn("_w", weight)
         .filter(F.col("_w") > 0)
         .groupBy(source_col, "_w")
         .agg(F.sum(toks).alias("_src_tokens"))
+        .filter(F.col("_src_tokens") > 0)
     )
     budget = totals.agg(
         F.min(F.col("_src_tokens") / F.col("_w")).alias("_budget")
@@ -203,13 +213,22 @@ def dsir_importance(
 
     Scale: one explode + one groupBy over ``buckets`` rows, then the
     per-doc aggregate joins the bucket table via BROADCAST (``buckets``
-    rows, never a shuffle of the corpus side).
+    rows, never a shuffle of the corpus side). The exploded occurrence
+    stream is persisted: it feeds BOTH the bucket-stats build and the
+    scoring probe, and without the cache the corpus-wide
+    tokenize+explode — the operator's dominant cost — would execute
+    twice (the broadcast build side cannot reuse the probe side's
+    exchange).
     """
-    occ = docs.select(
-        F.col(id_col),
-        is_target.cast("long").alias("_tgt"),
-        F.explode(tokens).alias("_token"),
-    ).withColumn("bucket", pct_hash(F.col("_token"), buckets))
+    occ = (
+        docs.select(
+            F.col(id_col),
+            is_target.cast("long").alias("_tgt"),
+            F.explode(tokens).alias("_token"),
+        )
+        .withColumn("bucket", pct_hash(F.col("_token"), buckets))
+        .persist()
+    )
     bucket_stats = occ.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("_total"),
         F.sum("_tgt").alias("_target"),
@@ -244,8 +263,6 @@ def shard_assignments(
     task retry) reproduces byte-identical shards, which is what makes
     checkpoint-resume of a 100 TB tokenization job safe.
     """
-    from pyspark.sql import Window
-
     h = pct_hash(F.col("doc_id"), mod=1_000_000_007)
     w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
     return (
@@ -280,6 +297,15 @@ def pps_systematic_sample(
     non-equi self-join — the only non-equi join is over #blocks rows,
     never over documents.
     """
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"pps_systematic_sample needs a numeric {id_col!r} for its "
+            "contiguous block key: a non-numeric id would cast to NULL, "
+            "collapsing every row into one block and the parallel "
+            "per-block prefix sum into a single-partition window"
+        )
     shard = F.floor(F.col(id_col) / block).alias("blk")
     w = (
         Window.partitionBy("blk")
@@ -305,11 +331,23 @@ def pps_systematic_sample(
         cum_in.join(F.broadcast(offsets), "blk")
         .withColumn("cum_w", F.col("offset") + F.col("cum_in"))
         .join(F.broadcast(total))
-        .withColumn("step", (F.col("total") / F.lit(n_select)).cast("long"))
+        # step clamps to >= 1: total_weight < n_select would truncate
+        # to 0 and the selection division would throw (ANSI) or null
+        # out every row; with step 1 every positive-weight row selects,
+        # the sensible degenerate of "asked for more than exists".
+        .withColumn(
+            "step",
+            F.greatest(
+                F.lit(1).cast("long"),
+                (F.col("total") / F.lit(n_select)).cast("long"),
+            ),
+        )
     )
+    # integer `div`, not float floor-division: cum_w can pass 2^53 at
+    # corpus scale, where double division would quietly lose the
+    # low-order units the selection boundary lives in
     return cum.filter(
-        F.floor(F.col("cum_w") / F.col("step"))
-        > F.floor((F.col("cum_w") - F.col("weight")) / F.col("step"))
+        F.expr("(cum_w div step) > ((cum_w - weight) div step)")
     ).select(id_col, "weight", F.col("cum_w").cast("long").alias("cum_w"))
 
 

@@ -128,7 +128,13 @@ def topk_cosine_ivf(
     from pyspark.sql import Window
 
     corpus = _corpus(embeddings)
-    centroids = corpus.filter((F.col("vec_id") % centroid_mod) == 1).select(
+    # == (1 % centroid_mod), not == 1: mod=1 (every vector a
+    # centroid, the exactness-test degenerate) would otherwise select
+    # NO centroids and silently return an empty result — the same
+    # trap pq_codebook documents and guards
+    centroids = corpus.filter(
+        (F.col("vec_id") % centroid_mod) == (1 % centroid_mod)
+    ).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
@@ -611,7 +617,13 @@ def topk_cosine_ivfpq(
     from pyspark.sql import Window
 
     corpus = _corpus(embeddings)
-    centroids = corpus.filter((F.col("vec_id") % centroid_mod) == 1).select(
+    # == (1 % centroid_mod), not == 1: mod=1 (every vector a
+    # centroid, the exactness-test degenerate) would otherwise select
+    # NO centroids and silently return an empty result — the same
+    # trap pq_codebook documents and guards
+    centroids = corpus.filter(
+        (F.col("vec_id") % centroid_mod) == (1 % centroid_mod)
+    ).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),

@@ -781,7 +781,7 @@ WITH cum AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
   FROM documents
 ),
-t AS (SELECT CAST(sum(n_chars) // 100 AS BIGINT) AS step FROM documents)
+t AS (SELECT greatest(1, CAST(sum(n_chars) // 100 AS BIGINT)) AS step FROM documents)
 SELECT doc_id, weight, CAST(cum_w AS BIGINT) AS cum_w
 FROM cum CROSS JOIN t
 WHERE (cum_w // step) > ((cum_w - weight) // step)
@@ -1168,12 +1168,18 @@ def _pii_oracle() -> str:
     from ..ext.quality import EMAIL_RE, PHONE_RE
 
     return f"""
+WITH e AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS email_scrubbed
+  FROM documents
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
-       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                      '{PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed
-FROM documents
+       CAST(len(regexp_extract_all(email_scrubbed, '{PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       regexp_replace(email_scrubbed, '{PHONE_RE}', '<PHONE>', 'g')
+         AS text_scrubbed
+FROM e
 """
 
 
@@ -1294,6 +1300,7 @@ totals AS (
   SELECT d.source, wt, sum(CAST(n_tokens AS DOUBLE)) AS src_tokens
   FROM d JOIN w ON d.source = w.source
   GROUP BY d.source, wt
+  HAVING sum(CAST(n_tokens AS DOUBLE)) > 0
 ),
 b AS (SELECT min(src_tokens / wt) AS budget FROM totals),
 rates AS (
@@ -1637,7 +1644,10 @@ WITH t AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ),
 e AS (
-  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start FROM t
+  SELECT doc_id, toks,
+         unnest(range(1, least(len(toks), greatest(1, len(toks) - 8)) + 1,
+                      24)) AS start
+  FROM t
 )
 SELECT doc_id,
        CAST((start - 1) // 24 AS INTEGER) AS chunk_idx,

@@ -308,6 +308,9 @@ def test_pii_scrub_redacts_synthetic_rows(spark):
             (2, "call 555-867-5309 or 555.867.5309 now"),
             (3, "no pii here at all"),
             (4, "a@b.io and 123-456-7890 both"),
+            # phone-shaped digits inside an email local part: redacted
+            # as part of <EMAIL>, so it must NOT also count as a phone
+            (5, "mail 555-123-4567@example.com please"),
         ],
         "doc_id long, text string",
     )
@@ -318,6 +321,13 @@ def test_pii_scrub_redacts_synthetic_rows(spark):
     assert rows[3].n_emails == 0 and rows[3].n_phones == 0
     assert rows[3].text_scrubbed == "no pii here at all"
     assert rows[4].n_emails == 1 and rows[4].n_phones == 1
+    # counts reconcile with the scrubbed text token-for-token
+    assert (rows[5].n_emails, rows[5].n_phones) == (1, 0)
+    assert rows[5].text_scrubbed.count("<EMAIL>") == 1
+    assert "<PHONE>" not in rows[5].text_scrubbed
+    for r in rows.values():
+        assert r.text_scrubbed.count("<EMAIL>") == r.n_emails
+        assert r.text_scrubbed.count("<PHONE>") == r.n_phones
 
 
 def test_repetition_stats_known_answers(spark):
@@ -457,11 +467,13 @@ def test_token_chunks_cover_every_token_contiguously(spark):
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # doc 1: 80 tokens -> starts 1,25,49,73; tail chunk is 8 tokens
+    # doc 1: 80 tokens -> starts 1,25,49; the chunk at 49 reaches the
+    # doc end (49+31=80), so NO redundant tail chunk at 73 (it would
+    # cover only tokens already inside the chunk at 49)
     d1 = sorted(by_doc[1], key=lambda r: r.start_token)
-    assert [r.start_token for r in d1] == [1, 25, 49, 73]
-    assert [r.chunk_idx for r in d1] == [0, 1, 2, 3]
-    assert [r.n_chunk_tokens for r in d1] == [32, 32, 32, 8]
+    assert [r.start_token for r in d1] == [1, 25, 49]
+    assert [r.chunk_idx for r in d1] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in d1] == [32, 32, 32]
     # every token index 1..80 falls inside at least one chunk
     covered = set()
     for r in d1:
@@ -1012,3 +1024,71 @@ def test_bpe_trainer_plan_stays_bounded(spark):
     # a checkpointed table's scan plan is flat; 20k chars is far above
     # its size but far below what 12 accreted folds would produce
     assert plan_len < 20_000
+
+
+def test_ann_ivf_every_vector_a_centroid_degenerate(spark):
+    """centroid_mod=1 must mean 'every vector is a centroid' (the
+    exactness degenerate pq_codebook already guarded) — with
+    exhaustive probing it must equal brute force, never the silently
+    empty result a bare `% mod == 1` filter produced."""
+    from financial_tracker_etl_spark.ext.similarity import topk_cosine_ivf
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(40)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_cosine_bruteforce(emb, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_cosine_ivf(
+            emb, k=3, centroid_mod=1, nprobe=10**6
+        ).collect()
+    }
+    assert got == exact and got
+
+
+def test_pps_sample_degenerates_to_all_rows_when_budget_exceeds_total(spark):
+    """total_weight < n_select once truncated step to 0 (division
+    error / empty sample); the clamp to step=1 must instead select
+    every positive-weight row — the sensible reading of 'asked for
+    more samples than weight exists'."""
+    from financial_tracker_etl_spark.ext.sampling import (
+        pps_systematic_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 1) for i in range(10)], "doc_id long, n_chars long"
+    )
+    got = pps_systematic_sample(
+        docs, weight_col="n_chars", n_select=100
+    ).count()
+    assert got == 10
+
+    import pytest
+
+    with pytest.raises(TypeError, match="numeric"):
+        pps_systematic_sample(
+            docs.withColumn("doc_id", F.col("doc_id").cast("string")),
+            weight_col="n_chars",
+        )
+
+
+def test_token_mix_ignores_zero_token_weighted_source(spark):
+    """A weighted source whose docs carry zero token mass must not
+    anchor the water-fill at budget 0 (which silently zeroed every
+    source's rate); it is excluded like an absent source."""
+    from financial_tracker_etl_spark.ext.sampling import mix_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "a", 10) for i in range(40)]
+        + [(100 + i, "b", 0) for i in range(5)],
+        "doc_id long, source string, n_tokens long",
+    )
+    kept = mix_by_token_budget(
+        docs, {"a": 0.5, "b": 0.5}, n_tokens_col="n_tokens"
+    )
+    srcs = {r.source for r in kept.collect()}
+    # source a survives with rate 1 (it is the only token-bearing
+    # weighted source); b contributes nothing either way
+    assert srcs == {"a"}
+    assert kept.count() == 40
