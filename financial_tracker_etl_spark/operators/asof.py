@@ -60,6 +60,11 @@ def asof_join(
         *[F.col(c) for c in left_only],
         F.lit(None).cast(vstruct_type).alias("_vs"),
     )
+    # a right row with a NULL timestamp cannot prevail "as of" any
+    # instant — but NULLS FIRST in the ascending sort would place it
+    # before every real row and last(ignorenulls) would carry it as a
+    # phantom match for left rows that predate all real right rows
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         *on,
         F.col(right_ts).alias("_t"),

@@ -38,10 +38,13 @@ def expectations_report(
             # integer div both engines (round-vs-truncate hazard);
             # n_fail approaches the full table count when a rule is
             # badly broken, so the ppm product widens to DECIMAL(38,0)
-            # (int64 dies near 9.2e12 failing rows)
+            # (int64 dies near 9.2e12 failing rows). The denominator
+            # clamps to >= 1: an EMPTY input (e.g. rules over an
+            # already-empty quarantine subset) must yield a 0-fail
+            # report, not an ANSI divide-by-zero
             F.expr(
                 f"CAST(__total - __pass_{name} AS DECIMAL(38,0))"
-                f" * 1000000 div __total"
+                f" * 1000000 div greatest(__total, 1)"
             ).alias("fail_ppm"),
         )
         for name in rules

@@ -44,12 +44,21 @@ def month_spine(
 
 
 def missing_months(spine: DataFrame, existing: DataFrame) -> DataFrame:
-    """J3: expected minus existing per (symbol, month)
-    (reference: etl/fetch_utils.py:203-233 ``expected - existing``)."""
-    have = existing.select(
-        "symbol", F.col("date").alias("month")
-    ).distinct()
-    return spine.join(have, on=["symbol", "month"], how="left_anti")
+    """J3: expected minus existing per (symbol, asset_type, month)
+    (reference: etl/fetch_utils.py:203-233 ``expected - existing``).
+
+    ``asset_type`` participates in the anti-join whenever the existing
+    side carries it: coverage stored under one asset_type must not
+    mask a gap under another (the fixtures are 1:1 symbol→asset_type,
+    but the operator contract cannot depend on that), matching
+    :func:`fetch_windows`, which groups by (symbol, asset_type)."""
+    keys = ["symbol", "month"]
+    cols: list = ["symbol", F.col("date").alias("month")]
+    if "asset_type" in existing.columns and "asset_type" in spine.columns:
+        keys = ["symbol", "asset_type", "month"]
+        cols = ["symbol", "asset_type", F.col("date").alias("month")]
+    have = existing.select(*cols).distinct()
+    return spine.join(have, on=keys, how="left_anti")
 
 
 def fetch_windows(missing: DataFrame) -> DataFrame:

@@ -96,7 +96,7 @@ def salted_join(
     silently defeating the operator's purpose (results stay correct,
     skew does not move). Pass columns that differ across the hot key's
     rows (an id, a timestamp, a line number)."""
-    if not salt_from or list(salt_from) == [key]:
+    if not salt_from or set(salt_from) <= {key}:
         raise ValueError(
             "salted_join: salt_from must name columns that vary within "
             f"a join key; got {salt_from!r}, which is a pure function "

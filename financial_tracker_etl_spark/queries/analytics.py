@@ -2464,7 +2464,8 @@ p AS (
   FROM lineitem
 )
 SELECT rule, n_pass, total - n_pass AS n_fail,
-       CAST(CAST(total - n_pass AS HUGEINT) * 1000000 // total AS BIGINT)
+       CAST(CAST(total - n_pass AS HUGEINT) * 1000000
+            // greatest(total, 1) AS BIGINT)
          AS fail_ppm
 FROM t, (
   SELECT 'qty_in_range' AS rule, qty_in_range AS n_pass FROM p

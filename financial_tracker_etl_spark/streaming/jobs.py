@@ -77,8 +77,18 @@ class StreamJob:
     parse_probe: str = "symbol"
 
     def parse(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(parsed_rows, dead_letter_rows) for this job's topic."""
-        mine = batch.filter(F.col("topic") == self.topic)
+        """(parsed_rows, dead_letter_rows) for this job's topic.
+
+        Blank payloads are P6 EMPTY-SKIPS, not dead letters: they are
+        dropped from both outputs here (operators.validation
+        .non_empty_messages — the same classification the routed
+        pipeline's classify_all applies), so the two public APIs agree
+        on the message classes."""
+        from ..operators.validation import non_empty_messages
+
+        mine = non_empty_messages(
+            batch.filter(F.col("topic") == self.topic), "payload"
+        )
         parsed = mine.select(
             F.from_json(F.col("payload"), self.payload_schema).alias("r"),
             F.col("payload"),

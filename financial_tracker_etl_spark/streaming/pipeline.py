@@ -51,6 +51,22 @@ MD_COLS = [
 ]
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Collision-proof scratch-dir tag for a dataset path: the
+    flattened readable form alone collides ('/data/sf1' and
+    '/data_sf1' both flatten to 'data_sf1', silently reusing the other
+    dataset's staged traffic/seed), so an 8-hex digest of the exact
+    absolute path disambiguates while keeping the tag readable."""
+    import hashlib
+
+    ap = os.path.abspath(sf_dir)
+    return (
+        ap.strip("/").replace("/", "_")
+        + "."
+        + hashlib.md5(ap.encode()).hexdigest()[:8]
+    )
+
+
 def index_quotes_raw(supplier: DataFrame) -> DataFrame:
     """Yahoo-shaped index quote payload rows (pre-P2 names), derived
     deterministically from ``supplier`` (FIXTURES.md §5)."""
@@ -145,7 +161,7 @@ def staged_request_dir(
     topic_tag = (
         "all" if topics is None else "-".join(sorted(topics)).replace("/", "_")
     )
-    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    tag = _sf_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(),
         "ftes_requests_v1",
@@ -182,7 +198,7 @@ def _seed_market_state(
     round-3 stream bench). ``_v1`` versions the derivation."""
     import shutil
 
-    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    tag = _sf_tag(sf_dir)
     base = os.path.join(tempfile.gettempdir(), "ftes_seed_v1", tag)
     if not os.path.isfile(os.path.join(base, "_SUCCESS")):
         current = fixtures.market_data(load_table(spark, sf_dir, "lineitem"))
@@ -206,10 +222,12 @@ def _seed_market_state(
 
 @dataclass
 class PipelineResult:
+    # per-batch processing_time_ms lives as a COLUMN of `completions`
+    # (ST5 metadata); a same-named scalar field here was never
+    # assigned by any constructor and only invited confusion
     states: dict[str, KeyedParquetState]
     completions: DataFrame
     n_batches: int
-    processing_time_ms: int = 0
 
     def state_df(self, topic: str) -> DataFrame:
         return self.states[topic].read_merged().drop("_ver_seq")

@@ -59,12 +59,21 @@ def schedule_index_job(
     """Daily trigger loop. ``once=True`` fires immediately a single
     time and returns (the tested/driver path); otherwise sleeps until
     the next ``at`` each cycle, ``max_ticks`` bounding the loop for
-    tests (None = run forever, like the reference)."""
+    tests (None = run forever, like the reference).
+
+    Every tick runs against ONE shared work dir (state + checkpoint):
+    state accumulates across ticks like the reference's persistent
+    store (so a replayed tick is genuinely idempotent against real
+    prior state), and a run-forever scheduler does not leak one
+    scratch state+checkpoint directory per day."""
+    import tempfile
+
+    work_dir = tempfile.mkdtemp(prefix="ftes_sched_")
     ticks = 0
     while True:
         if not once:
             sleep_fn(seconds_until(at, now_fn()))
-        result = run_index_tick(spark, sf_dir)
+        result = run_index_tick(spark, sf_dir, work_dir=work_dir)
         n = result.state_df(TOPIC_INDEX).count()
         print(f"index tick {ticks}: {n} state rows, {result.n_batches} batches")
         ticks += 1

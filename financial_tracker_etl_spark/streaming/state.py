@@ -148,9 +148,16 @@ class VersionedLogState(KeyedParquetState):
         out = []
         for d in os.listdir(self.path):
             if d.startswith("delta="):
-                out.append(
-                    (int(d.split("=", 1)[1]), os.path.join(self.path, d))
-                )
+                full = os.path.join(self.path, d)
+                # only COMMITTED deltas count: Spark drops _SUCCESS at
+                # job completion, so a crashed/partial write leaves a
+                # delta= dir without it — reading that dir would yield
+                # a state that is neither version N-1 nor N, and the
+                # next merge would commit on top of the corruption
+                # (the table-format commit-log rule, miniature form)
+                if not os.path.isfile(os.path.join(full, "_SUCCESS")):
+                    continue
+                out.append((int(d.split("=", 1)[1]), full))
         return sorted(out)
 
     def versions(self) -> list[int]:
@@ -225,6 +232,16 @@ class TombstoneLogState(LogStructuredState):
     def merge(self, updates: DataFrame) -> None:
         if self.TOMBSTONE not in updates.columns:
             updates = updates.withColumn(self.TOMBSTONE, F.lit(False))
+        else:
+            # normalize NULL flags to False at write time: a source
+            # that carries the column but leaves it NULL (e.g. a
+            # unionByName(allowMissingColumns=True) feed) must mean
+            # "not deleted" — otherwise the read filter's three-valued
+            # ~NULL would silently drop never-deleted keys
+            updates = updates.withColumn(
+                self.TOMBSTONE,
+                F.coalesce(F.col(self.TOMBSTONE), F.lit(False)),
+            )
         super().merge(updates)
 
     def merge_deletes(self, rows: DataFrame) -> None:

@@ -92,11 +92,15 @@ def test_market_job_parse_routes_corrupt_to_dead_letter(spark):
         [
             (TOPIC_MARKET, '{"quote_id": 1, "symbol": "SYM1", "close": "1.00"}'),
             (TOPIC_MARKET, "{corrupt::SYM2"),
+            (TOPIC_MARKET, "  "),
+            (TOPIC_MARKET, None),
             ("other-topic", "{}"),
         ],
         "topic string, payload string",
     )
     parsed, dead = MARKET_JOB.parse(batch)
+    # blank/NULL payloads are P6 empty-skips — in NEITHER output (the
+    # routed pipeline's classify_all agrees), not dead letters
     assert parsed.count() == 1 and dead.count() == 1
 
 
