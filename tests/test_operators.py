@@ -725,3 +725,113 @@ def test_connected_components_probe_cadence_is_result_invariant(spark):
             ).collect()
         }
         assert got == want, probe
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with a NULL timestamp can never prevail 'as of' any
+    instant (DuckDB ASOF agrees): without the filter, NULLS-FIRST
+    ordering would carry it as a phantom match for left rows that
+    predate every real right row."""
+    import datetime as dt
+
+    from financial_tracker_etl_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [("A", None, 99.0), ("A", t(5), 20.0)],
+        "symbol string, ts timestamp, price double",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", t(1)), (2, "A", t(6))],
+        "trade_id int, symbol string, trade_ts timestamp",
+    )
+    out = asof_join(trades, quotes, ["symbol"], "trade_ts", "ts", ["price"])
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    # trade 1 predates every REAL quote -> NULL, never the NULL-ts row
+    assert got == {1: None, 2: 20.0}
+
+
+def test_missing_months_distinguishes_asset_types(spark):
+    """Coverage stored under one asset_type must not mask a gap under
+    another for the same (symbol, month): when the existing side
+    carries asset_type, it participates in the anti-join (matching
+    fetch_windows' (symbol, asset_type) grouping)."""
+    requests = _assets(spark, [("A", "STOCK"), ("A", "CRYPTO")])
+    spine = month_spine(
+        requests, F.lit("2024-01-01"), F.lit("2024-02-01"), F.lit("2024-02-01")
+    )
+    existing = spark.createDataFrame(
+        [("A", "CRYPTO", datetime.date(2024, 1, 1))],
+        "symbol string, asset_type string, date date",
+    )
+    got = sorted(
+        (r.symbol, r.asset_type, str(r.month))
+        for r in missing_months(spine, existing).collect()
+    )
+    # CRYPTO Jan is covered; STOCK Jan is STILL missing
+    assert got == [
+        ("A", "CRYPTO", "2024-02-01"),
+        ("A", "STOCK", "2024-01-01"),
+        ("A", "STOCK", "2024-02-01"),
+    ]
+    # without asset_type on the existing side, the join stays
+    # (symbol, month): Jan is covered for BOTH request rows
+    untyped = existing.select("symbol", "date")
+    got2 = sorted(
+        (r.symbol, r.asset_type, str(r.month))
+        for r in missing_months(spine, untyped).collect()
+    )
+    assert got2 == [
+        ("A", "CRYPTO", "2024-02-01"),
+        ("A", "STOCK", "2024-02-01"),
+    ]
+
+
+def test_expectations_report_empty_input_reports_zero_fail(spark):
+    """Rules over an EMPTY relation (e.g. an already-clean quarantine
+    subset) must report 0 pass / 0 fail / 0 ppm — not raise an ANSI
+    divide-by-zero from the ppm denominator."""
+    from financial_tracker_etl_spark.operators.expectations import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame([], "id string, qty double")
+    rules = {
+        "qty_positive": F.col("qty") > 0,
+        "id_present": F.col("id").isNotNull(),
+    }
+    rep = {
+        r.rule: (r.n_pass, r.n_fail, int(r.fail_ppm))
+        for r in expectations_report(df, rules).collect()
+    }
+    assert rep == {
+        "qty_positive": (0, 0, 0),
+        "id_present": (0, 0, 0),
+    }
+
+
+def test_salted_join_rejects_degenerate_salt_sources(spark):
+    """salt_from that is a pure function of the join key ([], [key],
+    [key, key]) silently defeats skew mitigation — the operator must
+    refuse it; a genuinely varying salt source keeps the result equal
+    to the plain join."""
+    from financial_tracker_etl_spark.operators.joins import salted_join
+
+    large = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 0)],
+        "k string, seq int",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0)], "k string, v double"
+    )
+    for bad in (None, [], ["k"], ["k", "k"]):
+        with pytest.raises(ValueError, match="salt_from"):
+            salted_join(large, small, "k", salt_from=bad)
+    got = sorted(
+        (r.k, r.seq, r.v)
+        for r in salted_join(large, small, "k", salt_from=["seq"]).collect()
+    )
+    want = sorted(
+        (r.k, r.seq, r.v) for r in large.join(small, "k").collect()
+    )
+    assert got == want

@@ -424,3 +424,93 @@ def test_tombstone_state_deletes_survive_replay_and_compaction(spark, tmp_path):
     )
     got = {r.symbol: r.price for r in state.read_merged().collect()}
     assert got == {"AAA": 11.0, "BBB": 20.0}
+
+
+def test_tombstone_state_null_deleted_flag_means_not_deleted(spark, tmp_path):
+    """A feed that CARRIES the _deleted column but leaves it NULL (the
+    unionByName(allowMissingColumns=True) shape) means 'not deleted':
+    without write-time normalization, the read filter's three-valued
+    ~NULL would silently drop never-deleted keys."""
+    from financial_tracker_etl_spark.streaming.state import TombstoneLogState
+
+    state = TombstoneLogState(
+        spark,
+        os.path.join(str(tmp_path), "state"),
+        keys=["symbol"],
+        version_cols=["ver"],
+    )
+    rows = spark.createDataFrame(
+        [("AAA", 10.0, 1, None), ("BBB", 20.0, 1, True)],
+        "symbol string, price double, ver long, _deleted boolean",
+    )
+    state.merge(rows)
+    got = {r.symbol: r.price for r in state.read_merged().collect()}
+    assert got == {"AAA": 10.0}  # NULL flag kept; True flag deleted
+
+
+def test_versioned_state_ignores_uncommitted_delta(spark, tmp_path):
+    """Only _SUCCESS-marked delta dirs are committed: a crashed partial
+    write is invisible to reads AND the next merge claims its version
+    number (overwriting the partial) instead of committing on top of
+    corruption — the table-format commit-log rule in miniature."""
+    import shutil
+
+    from financial_tracker_etl_spark.streaming.state import VersionedLogState
+
+    state = VersionedLogState(
+        spark,
+        os.path.join(str(tmp_path), "state"),
+        keys=["k"],
+        version_cols=["ver"],
+    )
+    v0 = state.merge(
+        spark.createDataFrame([("a", 1.0, 1)], "k string, val double, ver long")
+    )
+    assert v0 == 0
+    # simulate a crashed writer: a delta=1 dir without _SUCCESS
+    v1 = state.merge(
+        spark.createDataFrame([("a", 9.0, 2)], "k string, val double, ver long")
+    )
+    os.remove(os.path.join(str(tmp_path), "state", "delta=1", "_SUCCESS"))
+    assert state.versions() == [0]
+    assert {r.k: r.val for r in state.read_merged().collect()} == {"a": 1.0}
+    # the next commit reclaims version 1, replacing the partial dir
+    v1b = state.merge(
+        spark.createDataFrame([("a", 5.0, 3)], "k string, val double, ver long")
+    )
+    assert (v1, v1b) == (1, 1)
+    assert state.versions() == [0, 1]
+    assert {r.k: r.val for r in state.read_merged().collect()} == {"a": 5.0}
+
+
+def test_scratch_tags_distinct_for_colliding_paths():
+    """'/data/sf1' and '/data_sf1' flatten to the same readable tag;
+    the digest suffix must keep their staged traffic/seed separate."""
+    from financial_tracker_etl_spark.streaming.pipeline import _sf_tag
+
+    assert _sf_tag("/data/sf1") != _sf_tag("/data_sf1")
+    assert _sf_tag("/data/sf1") == _sf_tag("/data/sf1")
+
+
+def test_scheduler_reuses_one_work_dir_across_ticks(spark):
+    """A run-forever scheduler must not leak one scratch state dir per
+    tick: both ticks share the work dir, so tick 2 replays against the
+    REAL prior state (same checkpoint -> no new files -> state carried
+    unchanged) and exits cleanly."""
+    import glob
+
+    from financial_tracker_etl_spark.streaming.scheduler import (
+        schedule_index_job,
+    )
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "ftes_sched_*")))
+    rc = schedule_index_job(
+        spark,
+        SF_DIR,
+        once=False,
+        max_ticks=2,
+        sleep_fn=lambda s: None,
+    )
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "ftes_sched_*")))
+    assert rc == 0
+    assert len(after - before) == 1  # exactly ONE shared scratch dir
