@@ -873,7 +873,8 @@ cum AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
   FROM survivors
 ),
-st AS (SELECT CAST(sum(n_chars) // 50 AS BIGINT) AS step FROM survivors),
+st AS (SELECT greatest(1, CAST(sum(n_chars) // 50 AS BIGINT)) AS step
+       FROM survivors),
 sampled AS (
   SELECT doc_id, weight FROM cum CROSS JOIN st
   WHERE (cum_w // step) > ((cum_w - weight) // step)
