@@ -218,7 +218,11 @@ def dsir_importance(
     scoring probe, and without the cache the corpus-wide
     tokenize+explode — the operator's dominant cost — would execute
     twice (the broadcast build side cannot reuse the probe side's
-    exchange).
+    exchange). Same cache contract as pagerank/bfs_hops/
+    connected_components (stage_on_key): the output is materialized
+    eagerly (localCheckpoint) and the occurrence cache released before
+    returning, so the dominant-cost intermediate never outlives the
+    operator.
     """
     occ = (
         docs.select(
@@ -233,7 +237,7 @@ def dsir_importance(
         F.count(F.lit(1)).alias("_total"),
         F.sum("_tgt").alias("_target"),
     ).withColumn("affinity_ppm", F.expr("1000000 * _target div _total"))
-    return (
+    scored = (
         occ.join(F.broadcast(bucket_stats.select("bucket", "affinity_ppm")), "bucket")
         .groupBy(id_col)
         .agg(
@@ -242,7 +246,10 @@ def dsir_importance(
         )
         .withColumn("importance_ppm", F.expr("_aff_sum div n_tokens"))
         .drop("_aff_sum")
+        .localCheckpoint(eager=True)
     )
+    occ.unpersist(blocking=False)
+    return scored
 
 
 def shard_assignments(
@@ -335,11 +342,14 @@ def pps_systematic_sample(
         # to 0 and the selection division would throw (ANSI) or null
         # out every row; with step 1 every positive-weight row selects,
         # the sensible degenerate of "asked for more than exists".
+        # Integral `div` here for the same reason as the selection
+        # below: total shares cum_w's magnitude, so a double divide
+        # could disagree with the oracle's integer `//` past 2^53.
         .withColumn(
             "step",
             F.greatest(
                 F.lit(1).cast("long"),
-                (F.col("total") / F.lit(n_select)).cast("long"),
+                F.expr(f"total div {int(n_select)}"),
             ),
         )
     )

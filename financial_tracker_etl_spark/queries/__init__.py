@@ -34,43 +34,82 @@ class QuerySpec:
 # query's green evidence is at most one round old (COVERAGE.md records
 # the per-query last-green round).
 #
-# ROUND-4 prefix: 50 of the 69 queries that had NEVER produced a
-# driver CORRECTNESS row after round 3 (all were round-3 additions
-# registered outside the gate window — the round-3 judge's top
-# priority). The 18 never-checked queries deferred to round 5 are
-# exactly the ones whose operator machinery another gate-covered query
-# exercises this round (listed in _NEXT_ROTATION with their covering
-# twin). Registry growth is FROZEN at 150 (the round-3 judge's
-# target): round 4 adds nothing and retires THIRTEEN redundant twins
-# whose evidence another query carries —
-#   near_dup_edit_distance → ngram_jaccard_near_dups;
-#   text_regex_token_stats → text_token_stats (+ known-answer unit);
-#   text_winnow_fingerprints → doc_fingerprints (+ property test);
-#   stream_upsert_index_data / stream_upsert_monthly →
-#     stream_upsert_market_data + stream_pipeline_completions + the
-#     state≡fixture unit test in tests/test_streaming.py;
-#   simhash_fingerprints → simhash_near_dup_pairs (calls the same
-#     fingerprint fn; its oracle recomputes the fingerprints);
-#   embedding_ann_lsh → embedding_cosine_near_dups (same
-#     _hyperplane_sign machinery) + the recall unit test;
-#   bigram_lm_counts → doc_lm_perplexity (trains the same bigram LM);
-#   vocab_top_terms → vocab_oov_rate (calls the same fn) +
-#     tfidf_keywords (richer per-term ranking);
-#   cross_source_overlap → incremental_dedup_new_docs (same
-#     fingerprint-equijoin-across-sets) + bloom_source_overlap;
-#   multimodal_resize_plan / multimodal_frame_samples →
-#     multimodal_decode_features (same mapInPandas plumbing) + their
-#     direct unit tests (aspect/bounds, fanout/checksum);
-#   weekly_new_vs_returning → weekly_growth_accounting (strictly finer
-#     per-user week classification).
+# ROUND-5 prefix: EXACTLY the rotation the round-4 judge pre-agreed
+# (VERDICT.md round 4, task 1) — the 18 queries that had never
+# produced a driver CORRECTNESS row (round 4's _NEXT_ROTATION block,
+# each annotated with the round-4-gate-green query covering its
+# machinery meanwhile) followed by the 32 entries whose newest driver
+# row was round 2 (the streaming/upsert + corpus-curation block).
+# 18 + 32 = the full 50-row gate. After round 5, every one of the 150
+# registry queries has a driver row from round 3, 4 or 5: full driver
+# coverage, none older than two rounds — the optimum a 50-row gate
+# admits over 150 queries.
 #
-# ROUND-5 plan: prefix = _NEXT_ROTATION (18) + the 32 entries whose
-# newest driver row is round 2 (start of _CHECK_LAST) — EXACTLY the
-# 50-row gate. After round 5, every registry query has a driver row
-# from round 3, 4 or 5: full driver coverage, none older than two
-# rounds, the optimum a 50-row gate admits over 150 queries.
+# Registry remains FROZEN at 150 (round-4 judge task 2): round 5 adds
+# nothing and retires nothing. The thirteen round-4 twin retirements
+# and their named covering queries are recorded in COVERAGE.md.
 #
 _CHECK_FIRST = [
+    # --- 18 never-driver-checked (round-4 _NEXT_ROTATION), with the
+    # round-4-green query that exercised the same machinery meanwhile:
+    "weekly_stickiness",  # distinct-user buckets: weekly_growth_accounting
+    "cohort_funnel_conversion",  # funnel x cohort: events_funnel_stages (r3) + weekly_growth_accounting
+    "activity_heatmap_cells",  # epoch calendar buckets: events_hourly_rollup (r3)
+    "user_type_diversity",  # concentration ppm: brand_supplier_concentration
+    "pareto_top_decile_share",  # rank-share window: top_revenue_customers (r3)
+    "mad_quantity_by_flag",  # rank-selected medians: winsorized_quantity_stats
+    "nation_share_of_region",  # percent-of-parent: region_nation_rollup (r3)
+    "top_parts_per_brand_with_ties",  # rank top-k: top_revenue_customers (r3)
+    "sequence_bigram_support",  # per-user event lag: event_type_transitions
+    "brand_association_rules",  # pair supports: copurchase_brand_pairs
+    "funnel_latency_quantiles",  # funnel + quantiles: events_funnel_stages (r3)
+    "sessions_in_anomalous_hours",  # hour-grid binning: binned_range_join
+    "user_modal_event_type",  # count-argmax: a4_latest_monthly_price (r3)
+    "dormant_rich_customers",  # scalar-subquery + anti-join: top_supplier_revenue
+    "rolling_week_user_activity",  # RANGE frame: pit_customer_features
+    "vocab_oov_rate",  # broadcast vocab probe: nb_quality_filter
+    "lang_id_confusion_matrix",  # classifier eval scan: text_language_id (r3)
+    "dedup_impact_by_source",  # survivor rule: x1_exact_dedup (r3)
+    # --- 32 entries whose newest driver row was round 2 (re-check):
+    "flagship_historical_repair",
+    "historical_missing_months",
+    "stream_upsert_market_data",
+    "stream_pipeline_completions",
+    "stream_stateful_ewma",
+    "text_stratified_sample",
+    "seq_packing_plan",
+    "leakage_safe_splits",
+    "text_repetition_stats",
+    "pii_scrub_stats",
+    "benchmark_contamination",
+    "tfidf_keywords",
+    "token_budget_mix",
+    "embedding_label_centroids",
+    "kmeans_assign_step",
+    "corpus_curation_summary",
+    "source_vocab_divergence",
+    "simhash_near_dup_pairs",
+    "doc_token_chunks",
+    "chunk_level_dedup",
+    "winnow_overlap_pairs",
+    "dsir_importance_weights",
+    "length_outlier_filter",
+    "semantic_dedup_pairs",
+    "incremental_dedup_new_docs",
+    "minhash_lsh_near_dups",
+    "embedding_ann_ivf",
+    "doc_price_indicators",
+    "embedding_cosine_near_dups",
+    "doc_lm_perplexity",
+    "bloom_source_overlap",
+    "embedding_int8_quantize",
+]
+
+# Suffix: the 50 round-4 gate queries — freshest driver evidence
+# (CORRECTNESS_r04.json, 50/50 green), so they coast this round. The
+# loop in registry() places the round-3-green remainder between the
+# prefix and this block; the gate never reaches either.
+_CHECK_LAST = [
     # Operator-bearing additions the round-3 judge named first:
     # DELETE-capable MERGE (batch + streaming twin), explicit skew
     # salting, iterative graph analytics, ranked retrieval, composed
@@ -133,71 +172,6 @@ _CHECK_FIRST = [
     "hll_shard_merge",
 ]
 
-# Round-5 gate head: the 18 never-driver-checked queries deferred this
-# round, each with the round-4 gate query that exercises its machinery
-# meanwhile (so no OPERATOR goes another round without a driver row —
-# only these specific query variants do).
-_NEXT_ROTATION = [
-    "weekly_stickiness",  # distinct-user buckets: weekly_growth_accounting
-    "cohort_funnel_conversion",  # funnel x cohort: events_funnel_stages (r3) + weekly_growth_accounting
-    "activity_heatmap_cells",  # epoch calendar buckets: events_hourly_rollup (r3)
-    "user_type_diversity",  # concentration ppm: brand_supplier_concentration
-    "pareto_top_decile_share",  # rank-share window: top_revenue_customers (r3)
-    "mad_quantity_by_flag",  # rank-selected medians: winsorized_quantity_stats
-    "nation_share_of_region",  # percent-of-parent: region_nation_rollup (r3)
-    "top_parts_per_brand_with_ties",  # rank top-k: top_revenue_customers (r3)
-    "sequence_bigram_support",  # per-user event lag: event_type_transitions
-    "brand_association_rules",  # pair supports: copurchase_brand_pairs
-    "funnel_latency_quantiles",  # funnel + quantiles: events_funnel_stages (r3)
-    "sessions_in_anomalous_hours",  # hour-grid binning: binned_range_join
-    "user_modal_event_type",  # count-argmax: a4_latest_monthly_price (r3)
-    "dormant_rich_customers",  # scalar-subquery + anti-join: top_supplier_revenue
-    "rolling_week_user_activity",  # RANGE frame: pit_customer_features
-    "vocab_oov_rate",  # broadcast vocab probe: nb_quality_filter
-    "lang_id_confusion_matrix",  # classifier eval scan: text_language_id (r3)
-    "dedup_impact_by_source",  # survivor rule: x1_exact_dedup (r3)
-]
-
-# Suffix: driver rows from round 2 (the streaming/upsert block — round
-# 5 re-checks these after _NEXT_ROTATION) and round 3 (everything
-# else, coasting one round). Kept in a stable order for readability;
-# the gate never reaches them this round.
-_CHECK_LAST = [
-    # newest driver row = round 2 (32 entries, r5 gate tail)
-    "flagship_historical_repair",
-    "historical_missing_months",
-    "stream_upsert_market_data",
-    "stream_pipeline_completions",
-    "stream_stateful_ewma",
-    "text_stratified_sample",
-    "seq_packing_plan",
-    "leakage_safe_splits",
-    "text_repetition_stats",
-    "pii_scrub_stats",
-    "benchmark_contamination",
-    "tfidf_keywords",
-    "token_budget_mix",
-    "embedding_label_centroids",
-    "kmeans_assign_step",
-    "corpus_curation_summary",
-    "source_vocab_divergence",
-    "simhash_near_dup_pairs",
-    "doc_token_chunks",
-    "chunk_level_dedup",
-    "winnow_overlap_pairs",
-    "dsir_importance_weights",
-    "length_outlier_filter",
-    "semantic_dedup_pairs",
-    "incremental_dedup_new_docs",
-    "minhash_lsh_near_dups",
-    "embedding_ann_ivf",
-    "doc_price_indicators",
-    "embedding_cosine_near_dups",
-    "doc_lm_perplexity",
-    "bloom_source_overlap",
-    "embedding_int8_quantize",
-]
-
 
 def registry() -> dict[str, QuerySpec]:
     from . import analytics, core, ext, stream
@@ -210,8 +184,6 @@ def registry() -> dict[str, QuerySpec]:
         merged.update(mod.QUERIES)
     out: dict[str, QuerySpec] = {}
     for name in _CHECK_FIRST:
-        out[name] = merged[name]
-    for name in _NEXT_ROTATION:
         out[name] = merged[name]
     for name in merged:
         if name not in out and name not in _CHECK_LAST:

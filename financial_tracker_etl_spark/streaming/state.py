@@ -168,9 +168,23 @@ class VersionedLogState(KeyedParquetState):
         new version number."""
         vs = self.versions()
         v = (vs[-1] + 1) if vs else 0
+        delta_dir = os.path.join(self.path, f"delta={v}")
         updates.coalesce(max(1, self.write_partitions // 2)).write.mode(
             "overwrite"
-        ).parquet(os.path.join(self.path, f"delta={v}"))
+        ).parquet(delta_dir)
+        # Fail fast at WRITE time if the committer was configured with
+        # marksuccessfuljobs=false (common on object-store committers):
+        # _delta_dirs() treats a marker-less dir as uncommitted, so
+        # without this check every committed delta would be invisible,
+        # merge() would reclaim the same version forever, and reads
+        # would silently return empty state instead of erroring.
+        if not os.path.isfile(os.path.join(delta_dir, "_SUCCESS")):
+            raise RuntimeError(
+                f"delta commit {delta_dir} wrote no _SUCCESS marker; "
+                "VersionedLogState requires "
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs=true "
+                "(the marker IS the commit record this log recovers by)"
+            )
         return v
 
     def _snapshot(self, dirs: list[tuple[int, str]]) -> DataFrame:

@@ -557,6 +557,40 @@ def test_dsir_importance_separates_target_profile(spark):
     assert again == {k: v.importance_ppm for k, v in out.items()}
 
 
+def test_dsir_importance_releases_its_occurrence_cache(spark):
+    """The corpus-wide exploded occurrence stream is the operator's
+    dominant-cost intermediate; per the stage_on_key cache contract it
+    must be unpersisted before dsir_importance returns (output is
+    localCheckpoint-materialized, so laziness isn't lost). A leaked
+    cache pins O(corpus tokens) storage for the whole session."""
+    from financial_tracker_etl_spark.ext.sampling import dsir_importance
+    from financial_tracker_etl_spark.ext.text import tokens_col
+
+    def cached_rdd_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    before = cached_rdd_ids()
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    out = dsir_importance(
+        docs, F.lit(1), tokens_col(F.col("text"))
+    )
+    assert out.count() == 5
+    # localCheckpoint registers its own RDD; the explode cache must be
+    # gone. unpersist is async (blocking=False), so poll briefly.
+    import time
+
+    for _ in range(50):
+        leaked = cached_rdd_ids() - before
+        # the checkpointed output RDD is expected; a leak shows as >1
+        if len(leaked) <= 1:
+            break
+        time.sleep(0.1)
+    assert len(leaked) <= 1, f"occurrence cache leaked: {leaked}"
+
+
 def test_length_filter_keeps_inner_band_per_source(spark):
     from financial_tracker_etl_spark.queries.ext import _q_length_filter
     from conftest import SF_DIR
@@ -1071,6 +1105,27 @@ def test_pps_sample_degenerates_to_all_rows_when_budget_exceeds_total(spark):
             docs.withColumn("doc_id", F.col("doc_id").cast("string")),
             weight_col="n_chars",
         )
+
+
+def test_pps_step_is_integer_exact_past_double_precision(spark):
+    """step = total div n_select must use integral division like the
+    selection itself: at total = 2^53 + 1 a double divide rounds the
+    step down to 2^53, shifting the selection boundary onto the wrong
+    row — exactly the regime the integer-exact selection exists for."""
+    from financial_tracker_etl_spark.ext.sampling import (
+        pps_systematic_sample,
+    )
+
+    big = 2**53  # doubles cannot represent 2^53 + 1
+    docs = spark.createDataFrame(
+        [(1, big), (2, 1)], "doc_id long, n_chars long"
+    )
+    # total = 2^53 + 1, n_select = 1 -> step = 2^53 + 1 exactly.
+    # Integer-exact: only doc 2's interval [2^53, 2^53+1) spans the
+    # single boundary. A double-rounded step of 2^53 would select
+    # doc 1 instead.
+    got = {r.doc_id for r in pps_systematic_sample(docs, n_select=1).collect()}
+    assert got == {2}
 
 
 def test_token_mix_ignores_zero_token_weighted_source(spark):

@@ -375,21 +375,24 @@ def test_persisted_staging_preserves_partitioning_for_iteration_joins(spark):
 
 def test_registry_rotation_structure(reg):
     """The driver gate checks exactly the first 50 registry entries, so
-    registry ORDER is load-bearing. Pin the round-4/5 rotation
-    arithmetic: prefix = _CHECK_FIRST (50), positions 51-68 =
-    _NEXT_ROTATION (18, the round-5 gate head), suffix ends with
-    _CHECK_LAST (32 round-2-green rows -> the round-5 gate tail), no
-    duplicates, 150 total, and _NEXT_ROTATION + _CHECK_LAST is exactly
-    the round-5 50-row gate."""
-    from financial_tracker_etl_spark.queries import (
-        _CHECK_FIRST,
-        _CHECK_LAST,
-        _NEXT_ROTATION,
-    )
+    registry ORDER is load-bearing. Pin the round-5 rotation
+    arithmetic: prefix = _CHECK_FIRST (the pre-agreed round-5 gate:
+    18 never-driver-checked + 32 round-2-stale = 50), suffix =
+    _CHECK_LAST (the 50 round-4-gate greens), no duplicates, 150
+    total, and the gate is disjoint from the round-4 gate so every
+    query's driver row ends the round at most two rounds old."""
+    import json
+    import pathlib
+
+    from financial_tracker_etl_spark.queries import _CHECK_FIRST, _CHECK_LAST
 
     names = list(reg)
     assert len(names) == 150 and len(set(names)) == 150
+    assert len(_CHECK_FIRST) == 50 and len(_CHECK_LAST) == 50
     assert names[:50] == _CHECK_FIRST
-    assert names[50:68] == _NEXT_ROTATION
     assert names[-len(_CHECK_LAST):] == _CHECK_LAST
-    assert len(_NEXT_ROTATION) + len(_CHECK_LAST) == 50
+    r4 = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r04.json"
+    if r4.exists():
+        r4_names = set(json.loads(r4.read_text()))
+        assert set(_CHECK_LAST) == r4_names
+        assert not (set(_CHECK_FIRST) & r4_names)

@@ -448,6 +448,43 @@ def test_tombstone_state_null_deleted_flag_means_not_deleted(spark, tmp_path):
     assert got == {"AAA": 10.0}  # NULL flag kept; True flag deleted
 
 
+def test_versioned_state_merge_fails_fast_without_success_marker(
+    spark, tmp_path
+):
+    """_SUCCESS is the commit record this log recovers by. If the
+    committer is configured not to write it
+    (mapreduce.fileoutputcommitter.marksuccessfuljobs=false, common on
+    object-store committers), every committed delta would be invisible,
+    merge() would reclaim the same version forever, and reads would
+    silently return empty state — so merge must raise at WRITE time
+    instead."""
+    import pytest
+
+    from financial_tracker_etl_spark.streaming.state import VersionedLogState
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev = hconf.get(key)
+    state = VersionedLogState(
+        spark,
+        os.path.join(str(tmp_path), "state"),
+        keys=["k"],
+        version_cols=["ver"],
+    )
+    batch = spark.createDataFrame(
+        [("a", 1.0, 1)], "k string, val double, ver long"
+    )
+    try:
+        hconf.set(key, "false")
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            state.merge(batch)
+    finally:
+        hconf.set(key, prev if prev is not None else "true")
+    # with markers restored the same merge commits cleanly
+    assert state.merge(batch) == 0
+    assert state.versions() == [0]
+
+
 def test_versioned_state_ignores_uncommitted_delta(spark, tmp_path):
     """Only _SUCCESS-marked delta dirs are committed: a crashed partial
     write is invisible to reads AND the next merge claims its version
