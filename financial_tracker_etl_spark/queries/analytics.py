@@ -373,7 +373,12 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table."""
     pairs = _q_copurchase_pairs(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    n_orders = li.distinct().count()
+    # the global basket count stays IN the plan as a broadcast 1-row
+    # aggregate (same pattern as the other scalar denominators) — a
+    # driver-side .count() here was a whole extra job per call
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").alias("_n_orders")
+    )
     fwd = pairs.select(
         F.col("brand_a").alias("antecedent"),
         F.col("brand_b").alias("consequent"),
@@ -388,7 +393,7 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("baskets_b").alias("antecedent_baskets"),
         F.col("baskets_a").alias("consequent_baskets"),
     )
-    rules = fwd.unionByName(rev)
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_orders))
     return rules.select(
         "antecedent",
         "consequent",
@@ -398,7 +403,7 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(
             "(pair_support * 1000000 div antecedent_baskets)"
-            f" * {n_orders} div consequent_baskets"
+            " * _n_orders div consequent_baskets"
         ).alias("lift_ppm"),
     )
 
@@ -2949,12 +2954,21 @@ def _q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "prev_type", "event_type")
         .distinct()
     )
-    n_users = ev.select("user_id").distinct().count()
-    return steps.groupBy("prev_type", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("user_support"),
-        F.expr(f"count(1) * 1000000 div {n_users}")
-        .cast("long")
-        .alias("support_ppm"),
+    # scalar denominator folded into the plan as a broadcast 1-row
+    # aggregate instead of a separate driver-side .count() job
+    n_users = ev.agg(F.count_distinct("user_id").alias("_n_users"))
+    return (
+        steps.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("user_support"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "prev_type",
+            "event_type",
+            "user_support",
+            F.expr("user_support * 1000000 div _n_users")
+            .cast("long")
+            .alias("support_ppm"),
+        )
     )
 
 
