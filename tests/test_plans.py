@@ -259,6 +259,8 @@ def test_no_cartesian_and_nlj_only_on_allowlist(spark, reg):
         "histogram_quantile_sketch",  # 1-row global-range broadcast
         "hll_shard_merge",  # 1-row exact-count × 1-row merged-sketch
         "dormant_rich_customers",  # 1-row global-average broadcast
+        "brand_association_rules",  # 1-row global basket-count broadcast
+        "sequence_bigram_support",  # 1-row distinct-user-count broadcast
         "nb_quality_filter",  # 1-row corpus-total broadcast (train step)
         "bm25_doc_ranking",  # 1-row (N, total_tokens) corpus-stats broadcast
         "key_skew_report",  # 1-row grand-total broadcast
