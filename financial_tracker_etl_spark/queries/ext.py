@@ -1777,23 +1777,53 @@ GROUP BY doc_id
 
 def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-percentile outlier filter (corpus curation:
-    drop the shortest/longest tails per source before training). Uses
-    rank-based percent_rank — identical (rank-1)/(n-1) rational on both
-    engines, ties share a rank, so the kept set is deterministic. One
-    per-source window sort; at 100 TB the same cut can be computed
-    two-pass (per-source count + rank join) if a single source exceeds
-    a partition, but the windowed form is the idiomatic Spark plan.
-    """
+    drop the shortest/longest tails per source before training).
+    percent_rank ordered by value alone is tie-aware — (rank-1)/(n-1)
+    with rank = count(rows with smaller value) + 1 — i.e. a pure
+    function of the per-source VALUE HISTOGRAM, so it is computed from
+    ``groupBy(source, n_chars).count()`` (map-side-combined hash agg),
+    a cumulative-count window over that tiny histogram, and a
+    broadcast join back onto the documents — NO per-source sort of
+    the corpus. The old windowed form sorted every document on
+    |sources| reducers — the 3-hot-executor shape at 100 TB. The
+    double (rank-1)/(n-1) is one int→double conversion + one IEEE
+    division on both engines (the oracle keeps the native
+    percent_rank window as an independent derivation), so values
+    hash identically."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pr = F.percent_rank().over(
-        Window.partitionBy("source").orderBy("n_chars")
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wn = Window.partitionBy("source")
+    wx = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pr_hist = (
+        hist.withColumn("_n", F.sum("_c").over(wn))
+        .withColumn("_cum", F.sum("_c").over(wx))
+        .select(
+            "source",
+            "n_chars",
+            # percent_rank of every row with this value: ties share
+            # rank = (# strictly smaller) + 1 = _cum - _c + 1
+            F.when(F.col("_n") == 1, F.lit(0.0))
+            .otherwise(
+                (F.col("_cum") - F.col("_c")).cast("double")
+                / (F.col("_n") - 1).cast("double")
+            )
+            .alias("_pr"),
+        )
     )
     return (
-        docs.select(
-            "doc_id", "source", "n_chars", pr.alias("_pr")
-        )
+        docs.select("doc_id", "source", "n_chars")
+        # histogram size is value-domain-bounded (|sources| x distinct
+        # lengths), usually broadcast-small — but not corpus-bounded,
+        # so let AQE pick broadcast vs shuffle join at runtime
+        .join(pr_hist, ["source", "n_chars"])
         .filter((F.col("_pr") >= 0.05) & (F.col("_pr") <= 0.95))
         .select(
             "doc_id", "source", "n_chars",
@@ -2163,21 +2193,48 @@ FROM q
 # Curriculum difficulty buckets: per-language percent-rank of document
 # length, cut into 4 training stages (curriculum learning orders a
 # corpus easy→hard; length is the standard first-order difficulty
-# proxy). The window partitions by lang — per-partition ranking, never
-# a global sort. At 100 TB per-language partitions can still be huge;
-# the production variant swaps percent_rank for approx-quantile stage
-# boundaries (one pass, mergeable sketches) at the cost of boundary
-# exactness — the oracle pins the exact formulation.
+# proxy). The rank under (n_chars, doc_id) decomposes as
+# (# docs with strictly smaller n_chars) + (position among equal
+# lengths by doc_id): the first term is a cumulative window over the
+# tiny per-language value histogram, the second a row_number over the
+# FINE-GRAINED (lang, n_chars) partitions — so no per-language sort of
+# the corpus ever happens (a partitionBy(lang) window ranks the whole
+# corpus on |lang| reducers — the hot-executor shape at 100 TB). The
+# oracle keeps the native percent_rank window as an independent
+# derivation of the same ranks.
 # ---------------------------------------------------------------------------
 
 
 def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    pr = F.percent_rank().over(w)
-    return docs.select(
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    hist = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wn = Window.partitionBy("lang")
+    wx = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_n", F.sum("_c").over(wn)).withColumn(
+        "_lt", F.sum("_c").over(wx) - F.col("_c")
+    )
+    wb = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    ranked = (
+        docs.withColumn("_rb", F.row_number().over(wb))
+        # equi-join on the window's own partitioning keys: colocated
+        # with the exchange the row_number already paid for
+        .join(cum.select("lang", "n_chars", "_n", "_lt"), ["lang", "n_chars"])
+    )
+    pr = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_lt") + F.col("_rb") - 1).cast("double")
+        / (F.col("_n") - 1).cast("double")
+    )
+    return ranked.select(
         "doc_id",
         "lang",
         "n_chars",
@@ -2701,36 +2758,61 @@ def _q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     totalized by (n_chars, doc_id) and each of the two terms truncated
     to ppm by ONE integer division — the same agreed-truncation
     convention every ppm metric here uses, so both engines produce the
-    identical integer. One per-source rank window + one grouped sum."""
+    identical integer.
+
+    Σ(i·xᵢ) is a pure function of the per-source VALUE HISTOGRAM: the
+    ranks inside one x-bucket are the consecutive integers
+    cum_lt+1 .. cum_lt+c (whatever the doc_id tie order), so their sum
+    is c·cum_lt + c(c+1)/2 and Σ(i·xᵢ) = Σ_buckets x·that. The query
+    is therefore one map-side-combined hash agg to |sources| x
+    |distinct lengths| rows plus a cumulative window over that tiny
+    histogram — NO per-source sort of the corpus (the old row_number
+    form sorted every document on |sources| reducers). The oracle
+    KEEPS the rank formulation as an independent derivation."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.col("n_chars").cast("long").alias("x")
+        "source", F.col("n_chars").cast("long").alias("x")
     )
-    w = Window.partitionBy("source").orderBy("x", "doc_id")
-    ranked = docs.withColumn("_rk", F.row_number().over(w))
+    hist = docs.groupBy("source", "x").agg(F.count(F.lit(1)).alias("_c"))
+    wx = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        ranked.groupBy("source")
+        hist.withColumn("_cum", F.sum("_c").over(wx))
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("x").cast("long").alias("total_chars"),
-            # widen the FACTOR, not the product: rank·chars can clear
-            # int64 on its own at corpus scale, and under ANSI the
-            # int64 multiply would throw before an outer cast ran
-            F.sum(F.expr("CAST(_rk AS DECIMAL(38,0)) * x")).alias("_s1"),
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.sum(F.expr("x * _c")).cast("long").alias("total_chars"),
+            # _s2 = 2·Σ(i·xᵢ): the bucket's doubled rank sum is
+            # c·(2·cum_lt + c + 1) — integral with no /2, so no
+            # decimal-scale drift. Widen the FACTORS, not the product:
+            # rank·chars clears int64 on its own at corpus scale, and
+            # under ANSI the int64 multiply would throw before an
+            # outer cast ran.
+            F.sum(
+                F.expr(
+                    "CAST(x AS DECIMAL(38,0))"
+                    " * CAST(_c AS DECIMAL(38,0))"
+                    " * (2 * (_cum - _c) + _c + 1)"
+                )
+            ).alias("_s2"),
         )
         .select(
             "source",
             "n_docs",
             "total_chars",
-            # _s1 = Σ rank·x grows ~n²·x̄, and the denominator
+            # _s2 = 2·Σ rank·x grows ~n²·x̄, and the denominator
             # n_docs·total_chars ~n²·x̄ too — both clear int64 around
             # 1e6 docs/source at 1e4 chars, so the ppm products run in
             # DECIMAL(38,0) (HUGEINT on the oracle side), the same
-            # widening brand_price_regression uses. The quotient is a
+            # widening brand_price_regression uses. The oracle's
+            # 2·s1·1e6 equals _s2·1e6 exactly. The quotient is a
             # small ppm value, so `div`'s BIGINT result is exact.
             F.expr(
-                "2 * _s1 * 1000000"
+                "_s2 * 1000000"
                 " div (CAST(n_docs AS DECIMAL(38,0)) * total_chars)"
                 " - (n_docs + 1) * 1000000 div n_docs"
             ).alias("gini_ppm"),
