@@ -967,3 +967,99 @@ def test_bfs_hops_matches_pure_python_model(spark, edges, hops):
             dist.setdefault(b, d)
         frontier = nxt
     assert got == dist
+
+
+_mad_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["R", "A", "N"]),  # few groups -> big groups
+        st.integers(min_value=1, max_value=9),  # few values -> heavy ties
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=_mad_rows)
+@settings(**SETTINGS)
+def test_histogram_median_and_mad_match_sorted_model(spark, rows, tmp_path):
+    """The round-5 histogram rewrite derives both medians of
+    mad_quantity_by_flag from the per-group value histogram. Pin it
+    against the definitional model — sort the multiset, take the
+    element at index ceil(n/2) — on random heavily-tied multisets, so
+    the tie-break-invariance argument is tested, not assumed."""
+    import os
+
+    from financial_tracker_etl_spark.queries.analytics import _q_mad_quantity
+
+    df = spark.createDataFrame(
+        [
+            (flag, float(x), i, 1)
+            for i, (flag, x) in enumerate(rows)
+        ],
+        "l_returnflag string, l_quantity double, l_orderkey long, "
+        "l_linenumber int",
+    ).withColumn("l_shipdate", F.lit("1995-01-01").cast("timestamp_ntz"))
+    out = os.path.join(str(tmp_path), "lineitem.parquet")
+    # hypothesis reuses the function-scoped tmp_path across examples
+    df.write.mode("overwrite").parquet(out)
+    got = {
+        r.l_returnflag: (r.n, r.median_qty, r.mad_qty)
+        for r in _q_mad_quantity(spark, str(tmp_path)).collect()
+    }
+
+    groups: dict[str, list[int]] = {}
+    for flag, x in rows:
+        groups.setdefault(flag, []).append(x)
+    want = {}
+    for flag, xs in groups.items():
+        xs = sorted(xs)
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1]
+        ds = sorted(abs(x - med) for x in xs)
+        want[flag] = (n, med, ds[(n + 1) // 2 - 1])
+    assert got == want
+
+
+@given(rows=_mad_rows)
+@settings(**SETTINGS)
+def test_histogram_winsorized_stats_match_sorted_model(
+    spark, rows, tmp_path
+):
+    """winsorized_quantity_stats' histogram-derived p10/p90 thresholds
+    and clamped sum vs the definitional model: sort the multiset, take
+    the elements at ranks ceil(0.1n)/ceil(0.9n), clamp, sum."""
+    import math
+    import os
+
+    from financial_tracker_etl_spark.queries.analytics import (
+        _q_winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (flag, float(x), i, 1)
+            for i, (flag, x) in enumerate(rows)
+        ],
+        "l_returnflag string, l_quantity double, l_orderkey long, "
+        "l_linenumber int",
+    ).withColumn("l_shipdate", F.lit("1995-01-01").cast("timestamp_ntz"))
+    out = os.path.join(str(tmp_path), "lineitem.parquet")
+    df.write.mode("overwrite").parquet(out)
+    got = {
+        r.l_returnflag: (r.n, r.p10, r.p90, r.winsorized_mean_ppm)
+        for r in _q_winsorized_stats(spark, str(tmp_path)).collect()
+    }
+
+    groups: dict[str, list[int]] = {}
+    for flag, x in rows:
+        groups.setdefault(flag, []).append(x)
+    want = {}
+    for flag, xs in groups.items():
+        xs = sorted(xs)
+        n = len(xs)
+        # rank ceil(q*n), 1-based, computed like both engines do
+        p10 = xs[max(1, math.ceil(n * 0.1)) - 1]
+        p90 = xs[max(1, math.ceil(n * 0.9)) - 1]
+        s = sum(min(max(x, p10), p90) for x in xs)
+        want[flag] = (n, p10, p90, s * 1_000_000 // n)
+    assert got == want
