@@ -173,6 +173,10 @@ def minhash_near_dups(
     # exploded shingle rows; persist them once (MEMORY_AND_DISK, LRU-
     # evicted — small vs the corpus: ids + short strings) instead of
     # re-tokenizing the corpus twice. Halves wall time at sf0.1.
+    # Same cache contract as dsir_importance / stage_on_key: the
+    # O(pairs) output is materialized eagerly (localCheckpoint) and
+    # the shingle cache released before returning, so the dominant
+    # intermediate never outlives the operator.
     from pyspark import StorageLevel
 
     sh = doc_shingles(df, n, text_col).persist(StorageLevel.MEMORY_AND_DISK)
@@ -235,7 +239,7 @@ def minhash_near_dups(
     )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
-    return (
+    pairs = (
         common.join(ca, F.col("doc1") == F.col("ca.doc_id"))
         .join(cb, F.col("doc2") == F.col("cb.doc_id"))
         .select(
@@ -249,7 +253,10 @@ def minhash_near_dups(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist(blocking=False)
+    return pairs
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5: fits a signed 64-bit on both engines

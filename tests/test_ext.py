@@ -1147,3 +1147,31 @@ def test_token_mix_ignores_zero_token_weighted_source(spark):
     # weighted source); b contributes nothing either way
     assert srcs == {"a"}
     assert kept.count() == 40
+
+
+def test_minhash_lsh_releases_its_shingle_cache(spark):
+    """minhash_lsh_near_dups persists the exploded shingle rows for
+    its two consuming passes; per the stage_on_key cache contract the
+    O(pairs) output is localCheckpoint-materialized and the shingle
+    cache released before return — a leak pins O(corpus shingles)
+    storage for the whole session (same class as the dsir_importance
+    advisory)."""
+    import time
+
+    from financial_tracker_etl_spark.ext.dedup import minhash_near_dups
+
+    def cached_rdd_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    before = cached_rdd_ids()
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert minhash_near_dups(docs, threshold=0.0).count() >= 0
+    for _ in range(50):
+        leaked = cached_rdd_ids() - before
+        if len(leaked) <= 1:  # the checkpointed output RDD is expected
+            break
+        time.sleep(0.1)
+    assert len(leaked) <= 1, f"shingle cache leaked: {leaked}"
