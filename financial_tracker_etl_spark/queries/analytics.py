@@ -1189,16 +1189,53 @@ GROUP BY date
 
 
 def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    q = F.percentile(F.col("l_quantity"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            q.getItem(0).alias("q25"),
-            q.getItem(1).alias("median"),
-            q.getItem(2).alias("q75"),
-        )
+    """Exact interpolated quartiles per group. ``F.percentile`` buffers
+    EVERY group value in one aggregation buffer per group — with 3
+    return flags that is the whole fact column in three executor
+    buffers, the OOM shape at 100 TB — so the quartiles are instead
+    derived from the per-group VALUE HISTOGRAM: the continuous
+    percentile at position h = q·(n−1) interpolates the two adjacent
+    order statistics (ranks ⌊h⌋+1 and ⌊h⌋+2), each read off the
+    cumulative histogram. Exactness: q ∈ {.25,.5,.75} are dyadic, so
+    h, its fraction, and lo + (hi−lo)·frac are all exact doubles when
+    the measure is integral — bit-identical to both engines' native
+    interpolation (the oracle keeps DuckDB's quantile_cont as the
+    independent derivation)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").alias("x")
+    )
+    hist = li.groupBy("l_returnflag", "x").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wn = Window.partitionBy("l_returnflag")
+    wx = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_n", F.sum("_c").over(wn)).withColumn(
+        "_cum", F.sum("_c").over(wx)
+    )
+
+    def quantile(q: float, name: str) -> F.Column:
+        # h = q·(n−1) 0-based; lo at 1-based rank ⌊h⌋+1, hi at ⌊h⌋+2
+        h = F.expr(f"{q} * (_n - 1)")
+        lo_rank = F.floor(h) + 1
+        lo = F.min(F.when(F.col("_cum") >= lo_rank, F.col("x")))
+        hi = F.min(F.when(F.col("_cum") >= lo_rank + 1, F.col("x")))
+        frac = h - F.floor(h)
+        # max() folds the per-row constant expressions after the
+        # conditional mins; hi is NULL only when ⌊h⌋+1 = n (h integral
+        # at the top), where frac = 0 — coalesce to lo
+        return (lo + (F.coalesce(hi, lo) - lo) * F.max(frac)).alias(name)
+
+    return cum.groupBy("l_returnflag").agg(
+        F.max("_n").alias("n"),
+        quantile(0.25, "q25"),
+        quantile(0.5, "median"),
+        quantile(0.75, "q75"),
     )
 
 

@@ -1063,3 +1063,46 @@ def test_histogram_winsorized_stats_match_sorted_model(
         s = sum(min(max(x, p10), p90) for x in xs)
         want[flag] = (n, p10, p90, s * 1_000_000 // n)
     assert got == want
+
+
+@given(rows=_mad_rows)
+@settings(**SETTINGS)
+def test_histogram_quantiles_match_native_percentile(spark, rows, tmp_path):
+    """quantiles_by_returnflag's histogram-derived interpolated
+    quartiles must be bit-identical to Spark's native exact
+    F.percentile aggregate (the formulation the rewrite replaced) on
+    random heavily-tied integral multisets."""
+    import os
+
+    from financial_tracker_etl_spark.queries.analytics import _q_quantiles
+
+    df = spark.createDataFrame(
+        [
+            (flag, float(x), i, 1)
+            for i, (flag, x) in enumerate(rows)
+        ],
+        "l_returnflag string, l_quantity double, l_orderkey long, "
+        "l_linenumber int",
+    ).withColumn("l_shipdate", F.lit("1995-01-01").cast("timestamp_ntz"))
+    out = os.path.join(str(tmp_path), "lineitem.parquet")
+    df.write.mode("overwrite").parquet(out)
+    got = {
+        r.l_returnflag: (r.n, r.q25, r.median, r.q75)
+        for r in _q_quantiles(spark, str(tmp_path)).collect()
+    }
+
+    q = F.percentile(
+        F.col("l_quantity"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    want = {
+        r.l_returnflag: (r.n, r.q25, r.median, r.q75)
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            q.getItem(0).alias("q25"),
+            q.getItem(1).alias("median"),
+            q.getItem(2).alias("q75"),
+        )
+        .collect()
+    }
+    assert got == want
