@@ -871,7 +871,23 @@ def _q_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = rev.agg(_dsum(F.col("brand_revenue")).alias("_total"))
+    # the grand total sums ALREADY-AGGREGATED brand revenues, so the
+    # value cast must be wider than _dsum's per-row DECIMAL(18,8) —
+    # a single brand clears 1e10 around TPC-H sf 1 and the ANSI cast
+    # would throw (caught by the 8x replicated-input ladder, round 5).
+    # Same floor-to-4-decimals double reconstruction as _dsum so the
+    # share division stays bit-identical cross-engine.
+    total = rev.agg(
+        (
+            F.floor(
+                F.sum(F.col("brand_revenue").cast("decimal(38,8)"))
+                * F.lit(10000)
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(10000.0)
+        ).alias("_total")
+    )
     return rev.crossJoin(broadcast(total)).select(
         "p_brand",
         "brand_revenue",
@@ -890,7 +906,8 @@ WITH rev AS (
 )
 SELECT p_brand, brand_revenue,
        round(brand_revenue /
-             CAST(sum(CAST(brand_revenue AS DECIMAL(18,8))) OVER () AS DOUBLE)
+             (CAST(CAST(floor(sum(CAST(brand_revenue AS DECIMAL(38,8))) OVER ()
+                          * 10000) AS BIGINT) AS DOUBLE) / 10000.0)
              * 100.0, 6) AS revenue_share_pct
 FROM rev
 """

@@ -140,3 +140,36 @@ def test_winsorized_mean_exact_when_sum_times_ppm_clears_int64(spark):
     # ppm mean of values ~1e12 -> ~1e18; int64 could not have carried
     # the intermediate product that produced it
     assert 10**17 < mean_ppm < 9 * 10**18
+
+
+def test_brand_share_total_exact_past_decimal18_per_value_cap(spark):
+    """The grand total of brand_revenue_share sums ALREADY-AGGREGATED
+    brand revenues; before round 5 it reused _dsum, whose per-VALUE
+    DECIMAL(18,8) cast caps at 1e10 — a single brand clears that
+    around TPC-H sf 1, where the ANSI cast threw (caught by the 8x
+    replicated-input ladder). Plant brand revenues of ~1e12 and assert
+    the widened DECIMAL(38,8) total still matches DuckDB exactly."""
+    from financial_tracker_etl_spark.queries import analytics as am
+    from financial_tracker_etl_spark.queries.analytics import (
+        _BRAND_SHARE_ORACLE,
+        _q_brand_share,
+    )
+
+    n = 2000
+    lineitem = pd.DataFrame(
+        {
+            "l_partkey": [i % 10 for i in range(n)],
+            # ~5e9 per row, ~1e12 per brand, ~3e12 grand total
+            "l_extendedprice": [5.0e9 + (i % 7) for i in range(n)],
+            "l_discount": [0.0] * n,
+        }
+    )
+    part = pd.DataFrame(
+        {"p_partkey": list(range(10)), "p_brand": [f"B{i%3}" for i in range(10)]}
+    )
+    got = _run_differential(
+        spark, am, {"lineitem": lineitem, "part": part},
+        _q_brand_share, _BRAND_SHARE_ORACLE,
+    )
+    assert got["brand_revenue"].sum() > 1e12  # past the old cap
+    assert abs(got["revenue_share_pct"].sum() - 100.0) < 1e-6
