@@ -35,15 +35,26 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     taken by the single most frequent bigram. High values flag
     boilerplate / degenerate text.
 
-    All-array expressions evaluated per row (docs are KB-sized; the
-    O(distinct-bigrams x bigrams) scan per row is bounded and JVM-side)
-    — no shuffle, no UDF. Ties on the top bigram break to the
+    All-array expressions evaluated per row (docs are KB-sized) — no
+    shuffle, no UDF. Ties on the top bigram break to the
     lexicographically smallest so the result is deterministic.
+
+    The per-row mode is a SINGLE FOLD over the sorted bigram array
+    (equal bigrams are contiguous after array_sort, so a run-length
+    accumulator finds the longest run; replacing only on STRICTLY
+    longer runs keeps the first — lexicographically smallest — max
+    bigram). Higher-order array functions run interpreted, outside
+    whole-stage codegen, so the cost model is lambda EVALUATIONS:
+    the previous count-per-distinct-bigram formulation re-scanned the
+    bigram array once per distinct bigram in three separate
+    expressions (~O(3·distinct·len) interpreted scans per row) and
+    measured 74-84 s for 5,000 small documents at sf0.1; this fold is
+    O(len) evaluations after an O(len log len) sort — same result,
+    ~40x fewer lambda dispatches.
     """
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    staged = df.withColumn("_toks", toks)
+    staged = df.withColumn("_toks", tokens_col(F.col(text_col)))
     t = F.col("_toks")
+    n = F.size(t)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.concat_ws(
@@ -54,11 +65,29 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "_bigrams", F.when(F.size(t) >= 2, bigrams).otherwise(F.array().cast("array<string>"))
     )
     b = F.col("_bigrams")
-    count_of = lambda g: F.size(F.filter(b, lambda x: x == g))  # noqa: E731
-    max_cnt = F.array_max(F.transform(F.array_distinct(b), count_of))
-    top_bigram = F.array_min(
-        F.filter(F.array_distinct(b), lambda g: count_of(g) == max_cnt)
+    # (prev, run, best, bestg): run = length of the current equal-run,
+    # best/bestg = longest run seen and its bigram. The "" sentinel for
+    # prev never equals a real bigram (concat_ws always embeds a space).
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
     )
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    staged = staged.withColumn("_mode", F.aggregate(F.array_sort(b), zero, _step))
+    max_cnt = F.col("_mode")["best"]
+    top_bigram = F.col("_mode")["bestg"]
     return (
         staged.withColumns(
             {
@@ -73,7 +102,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 ),
             }
         )
-        .drop("_toks", "_bigrams")
+        .drop("_toks", "_bigrams", "_mode")
     )
 
 
