@@ -72,8 +72,13 @@ def shingle_jaccard_pairs(
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — an exact integer ratio, so the
     double result is bit-identical across engines.
+
+    The shingle table is PERSISTED before fan-out (stage_on_key
+    contract): it feeds both self-join sides plus the per-doc counts,
+    and each reference would otherwise re-run the per-row shingling
+    explode over the corpus.
     """
-    sh = doc_shingles(df, n, text_col)
+    sh = doc_shingles(df, n, text_col).persist()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -87,7 +92,7 @@ def shingle_jaccard_pairs(
     )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
-    return (
+    out = (
         common.join(ca, F.col("doc1") == F.col("ca.doc_id"))
         .join(cb, F.col("doc2") == F.col("cb.doc_id"))
         .select(
@@ -100,7 +105,10 @@ def shingle_jaccard_pairs(
                 6,
             ).alias("jaccard"),
         )
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist(blocking=False)
+    return out
 
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, the MLlib MinHashLSH modulus

@@ -227,9 +227,18 @@ def cosine_near_dup_pairs(
     agrees] = (1-θ/π)^(planes/2), two probes; the all-pairs exact twin
     stays available as :func:`cosine_near_dup_pairs_exact` and the
     recall floor is pinned in tests/test_ext.py.
+
+    The bucketed corpus is PERSISTED before fan-out (stage_on_key
+    contract): it feeds four join sides, and each reference would
+    otherwise re-execute the 8 interpreted hyperplane projections per
+    row. Candidate volume is ~N²/2^(planes/2) per probe — a FIXED
+    bucket space, so doubling the corpus quadruples candidates; at
+    real scale ``planes`` grows with log2(N) to hold per-bucket
+    occupancy (and hence verify cost) constant, which is why it is a
+    parameter and not a constant.
     """
     bucketed = sign_buckets(_corpus(embeddings), planes, dim)
-    keyed = bucketed.select("vec_id", "v", "nrm", "b0", "b1")
+    keyed = bucketed.select("vec_id", "v", "nrm", "b0", "b1").persist()
 
     def half_join(key: str) -> DataFrame:
         a = keyed.alias("a")
@@ -245,7 +254,7 @@ def cosine_near_dup_pairs(
     candidates = half_join("b0").unionByName(half_join("b1")).distinct()
     a = keyed.alias("ca")
     b = keyed.alias("cb")
-    return (
+    out = (
         candidates.join(a, F.col("vec1") == F.col("ca.vec_id"))
         .join(b, F.col("vec2") == F.col("cb.vec_id"))
         .select(
@@ -258,7 +267,10 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec1", "vec2", F.round("cosine", 6).alias("cosine"))
+        .localCheckpoint(eager=True)
     )
+    keyed.unpersist(blocking=False)
+    return out
 
 
 def plane_weights(plane: int, dim: int) -> list[float]:
