@@ -978,10 +978,17 @@ FROM fw, LATERAL unnest(generate_series(window_start, window_end,
 
 def _q_longest_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol longest consecutive-missing-month run — the grouped
-    ``applyInPandas`` surface (Arrow-batched, one group per pandas
-    frame) on integer-exact arithmetic so it oracle-checks. The
-    relational twin is a lag-window; the pandas form is the shape
-    custom per-group science code takes at scale."""
+    ``applyInPandas`` surface (Arrow-batched) on integer-exact
+    arithmetic so it oracle-checks. The relational twin is a
+    lag-window; the pandas form is the shape custom per-group science
+    code takes at scale.
+
+    Grouping is by a COARSE hash bucket, not by symbol: with one
+    pandas call per symbol the per-group Python dispatch dominated
+    (10,000 two-hundred-row groups measured ~10 s at sf0.1 vs ~1.7 s
+    bucketed). The scale rule for many-small-group pandas ops: group
+    on a bucket of keys, vectorize the per-key logic inside the batch
+    — same Arrow machinery, 64 dispatches instead of |keys|."""
     import pandas as pd
 
     monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
@@ -991,20 +998,23 @@ def _q_longest_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gap_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = sorted(pdf["mnum"].unique())
-        longest = 0
-        for prev, cur in zip(m, m[1:]):
-            longest = max(longest, cur - prev - 1)
-        return pd.DataFrame(
-            {
-                "symbol": [pdf["symbol"].iloc[0]],
-                "n_months": [len(m)],
-                "longest_gap_months": [longest],
-            }
+        d = pdf[["symbol", "mnum"]].drop_duplicates().sort_values(
+            ["symbol", "mnum"]
         )
+        gap = d["mnum"].diff() - 1
+        gap[d["symbol"] != d["symbol"].shift()] = 0  # run starts: no gap
+        agg = d.groupby("symbol", sort=False).agg(n_months=("mnum", "size"))
+        agg["longest_gap_months"] = (
+            gap.clip(lower=0).groupby(d["symbol"], sort=False).max().astype("int64")
+        )
+        return agg.reset_index()
 
-    return base.groupBy("symbol").applyInPandas(
-        gap_fn, schema="symbol string, n_months long, longest_gap_months long"
+    return (
+        base.withColumn("_b", F.crc32(F.col("symbol")) % 64)
+        .groupBy("_b")
+        .applyInPandas(
+            gap_fn, schema="symbol string, n_months long, longest_gap_months long"
+        )
     )
 
 
@@ -1090,38 +1100,45 @@ def _q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "price"
     )
 
+    # Cogroup on a COARSE hash bucket of the symbol, not the symbol
+    # itself: one pandas dispatch per symbol measured ~46 s for ~20k
+    # symbols at sf0.1 vs ~2 s bucketed — the same many-small-groups
+    # rule as longest_month_gap, on the two-sided surface. The per-key
+    # reconcile (two grouped aggregates + full outer join) vectorizes
+    # inside each bucket; NaN from a missing side serializes back
+    # through Arrow as SQL NULL, matching the oracle's outer join.
     def reconcile(
         key: tuple, left: pd.DataFrame, right: pd.DataFrame
     ) -> pd.DataFrame:
-        max_quote = float(left["price"].max()) if len(left) else None
-        state_price = float(right["price"].max()) if len(right) else None
-        drift = (
-            max_quote - state_price
-            if max_quote is not None and state_price is not None
-            else None
+        lq = left.groupby("symbol", sort=False)["price"].agg(
+            n_quotes="size", max_quote_price="max"
         )
-        return pd.DataFrame(
-            {
-                "symbol": [key[0]],
-                "n_quotes": [len(left)],
-                "n_state_rows": [len(right)],
-                "max_quote_price": [max_quote],
-                "state_price": [state_price],
-                "price_drift": [drift],
-            }
+        rm = right.groupby("symbol", sort=False)["price"].agg(
+            n_state_rows="size", state_price="max"
         )
+        j = lq.join(rm, how="outer")
+        j["n_quotes"] = j["n_quotes"].fillna(0).astype("int64")
+        j["n_state_rows"] = j["n_state_rows"].fillna(0).astype("int64")
+        j["price_drift"] = j["max_quote_price"] - j["state_price"]
+        return j.reset_index()[
+            [
+                "symbol",
+                "n_quotes",
+                "n_state_rows",
+                "max_quote_price",
+                "state_price",
+                "price_drift",
+            ]
+        ]
 
-    return (
-        quotes.groupBy("symbol")
-        .cogroup(state.groupBy("symbol"))
-        .applyInPandas(
-            reconcile,
-            schema=(
-                "symbol string, n_quotes long, n_state_rows long, "
-                "max_quote_price double, state_price double, "
-                "price_drift double"
-            ),
-        )
+    bucket = lambda df: df.groupBy((F.crc32(F.col("symbol")) % 64).alias("_b"))  # noqa: E731
+    return bucket(quotes).cogroup(bucket(state)).applyInPandas(
+        reconcile,
+        schema=(
+            "symbol string, n_quotes long, n_state_rows long, "
+            "max_quote_price double, state_price double, "
+            "price_drift double"
+        ),
     )
 
 
