@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import materialize_release
 from .text import normalized_text, tokens_col
 
 CHUNK_SIZE = 32
@@ -197,10 +198,8 @@ def winnow_overlap_pairs(
                 "containment_ppm"
             ),
         )
-        .localCheckpoint(eager=True)
     )
-    fps.unpersist(blocking=False)
-    return out
+    return materialize_release(out, fps)
 
 
 DUP_SPAN_N = 8

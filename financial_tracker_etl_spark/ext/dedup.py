@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from . import materialize_release
 from .text import tokens_col
 
 
@@ -105,10 +106,8 @@ def shingle_jaccard_pairs(
                 6,
             ).alias("jaccard"),
         )
-        .localCheckpoint(eager=True)
     )
-    sh.unpersist(blocking=False)
-    return out
+    return materialize_release(out, sh)
 
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, the MLlib MinHashLSH modulus
@@ -182,9 +181,10 @@ def minhash_near_dups(
     # evicted — small vs the corpus: ids + short strings) instead of
     # re-tokenizing the corpus twice. Halves wall time at sf0.1.
     # Same cache contract as dsir_importance / stage_on_key: the
-    # O(pairs) output is materialized eagerly (localCheckpoint) and
-    # the shingle cache released before returning, so the dominant
-    # intermediate never outlives the operator.
+    # O(pairs) output is materialized (persist + count — lineage kept,
+    # see materialize_release) and the shingle cache released before
+    # returning, so the dominant intermediate never outlives the
+    # operator.
     from pyspark import StorageLevel
 
     sh = doc_shingles(df, n, text_col).persist(StorageLevel.MEMORY_AND_DISK)
@@ -261,10 +261,8 @@ def minhash_near_dups(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .localCheckpoint(eager=True)
     )
-    sh.unpersist(blocking=False)
-    return pairs
+    return materialize_release(pairs, sh)
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5: fits a signed 64-bit on both engines

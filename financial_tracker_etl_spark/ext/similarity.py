@@ -28,6 +28,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
+from . import materialize_release
+
 
 def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -267,10 +269,8 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec1", "vec2", F.round("cosine", 6).alias("cosine"))
-        .localCheckpoint(eager=True)
     )
-    keyed.unpersist(blocking=False)
-    return out
+    return materialize_release(out, keyed)
 
 
 def plane_weights(plane: int, dim: int) -> list[float]:

@@ -66,24 +66,44 @@ KEY_OFFSET = 50_000_000
 def replicate(df: DataFrame, name: str, k: int) -> DataFrame:
     if k <= 1 or name not in FACT_KEYS:
         return df
+    # Upcast every offset key to long FIRST (base replica included, so
+    # unionByName types agree): casting the offset result back to a
+    # 32-bit column type would silently wrap for large --ks, turning
+    # replicas into hot-key collisions instead of new entities.
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    for c in FACT_KEYS[name]:
+        t = df.schema[c].dataType
+        if isinstance(t, (IntegerType, ShortType)):
+            df = df.withColumn(c, F.col(c).cast("long"))
+        elif not isinstance(t, LongType):
+            raise SystemExit(
+                f"{name}.{c} has non-integral key type {t}; cannot offset"
+            )
+    if name == "embeddings":
+        # rotation amount is modulo the REAL embedding width — a
+        # hard-coded 64 would silently truncate other fixtures (and
+        # make replica 64 an exact duplicate of the base)
+        dim_row = df.select(F.size("embedding").alias("d")).head()
+        dim = int(dim_row["d"]) if dim_row else 0
     parts = [df]
     for i in range(1, k):
         r = df
         for c in FACT_KEYS[name]:
-            r = r.withColumn(c, (F.col(c) + i * KEY_OFFSET).cast(df.schema[c].dataType))
+            r = r.withColumn(c, F.col(c) + F.lit(i * KEY_OFFSET).cast("long"))
         if name == "documents":
             # per-word salt: every shingle/fingerprint differs between
             # replicas, so near-dup candidate sets stay replica-local
             r = r.withColumn(
                 "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1{i}q")
             )
-        if name == "embeddings":
-            rot = i % 64
+        if name == "embeddings" and dim:
+            rot = i % dim
             if rot:
                 r = r.withColumn(
                     "embedding",
                     F.concat(
-                        F.slice(F.col("embedding"), rot + 1, 64 - rot),
+                        F.slice(F.col("embedding"), rot + 1, dim - rot),
                         F.slice(F.col("embedding"), 1, rot),
                     ),
                 )
@@ -100,7 +120,14 @@ class _patched_loader:
         self.k = k
 
     def __enter__(self):
-        from .queries import analytics, core, ext
+        # Discover every module in the package that holds a load_table
+        # binding instead of hand-listing them: round 5 hand-listed
+        # queries.{core,analytics,ext} and missed plans.historical_repair,
+        # so its five queries laddered on UNREPLICATED input.
+        import importlib
+        import pkgutil
+
+        import financial_tracker_etl_spark as pkg
 
         base = catalog.load_table
         k = self.k
@@ -108,9 +135,16 @@ class _patched_loader:
         def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return replicate(base(spark, sf_dir, name), name, k)
 
-        self._sites = [(catalog, base)] + [
-            (m, m.load_table) for m in (core, analytics, ext)
-        ]
+        self._sites = []
+        for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            try:
+                mod = importlib.import_module(info.name)
+            except Exception:
+                continue
+            orig = getattr(mod, "load_table", None)
+            if orig is base:
+                self._sites.append((mod, orig))
+        assert any(m is catalog for m, _ in self._sites)
         for mod, _ in self._sites:
             mod.load_table = load
         return self
@@ -148,12 +182,22 @@ def main() -> None:
             f"through the staged-traffic path instead: {streamy}"
         )
 
+    import os
+
+    # warmup on the smallest sibling scale of --sf-dir (JIT/codegen
+    # priming); skip gracefully when the layout has no such sibling
+    warmup_dir = os.path.join(
+        os.path.dirname(args.sf_dir.rstrip("/")), "sf0.001"
+    )
+    if warmup_dir == args.sf_dir.rstrip("/") or not os.path.isdir(warmup_dir):
+        warmup_dir = None
+
     spark = get_spark("ladder")
     out: dict[str, dict[int, float]] = {}
     for name in args.names:
         spec = reg[name]
-        if not args.no_warmup:
-            force(spec.fn(spark, "/root/testdata/sf0.001"))
+        if not args.no_warmup and warmup_dir:
+            force(spec.fn(spark, warmup_dir))
         row: dict[int, float] = {}
         for k in ks:
             spark.catalog.clearCache()
