@@ -34,142 +34,129 @@ class QuerySpec:
 # query's green evidence is at most one round old (COVERAGE.md records
 # the per-query last-green round).
 #
-# ROUND-5 prefix: EXACTLY the rotation the round-4 judge pre-agreed
-# (VERDICT.md round 4, task 1) — the 18 queries that had never
-# produced a driver CORRECTNESS row (round 4's _NEXT_ROTATION block,
-# each annotated with the round-4-gate-green query covering its
-# machinery meanwhile) followed by the 32 entries whose newest driver
-# row was round 2 (the streaming/upsert + corpus-curation block).
-# 18 + 32 = the full 50-row gate. After round 5, every one of the 150
-# registry queries has a driver row from round 3, 4 or 5: full driver
-# coverage, none older than two rounds — the optimum a 50-row gate
-# admits over 150 queries.
+# After round 5 the 150 registry queries partition exactly into three
+# 50-query blocks by newest driver row: round 3 / round 4 / round 5
+# (verified: the CORRECTNESS_r0{3,4,5}.json key sets are disjoint and
+# cover the registry). From here the gate runs a steady 3-round
+# rotation so no query's green evidence is ever older than two rounds:
 #
-# Registry remains FROZEN at 150 (round-4 judge task 2): round 5 adds
-# nothing and retires nothing. The thirteen round-4 twin retirements
-# and their named covering queries are recorded in COVERAGE.md.
+# ROUND-6 prefix: the round-3 block — exactly the CORRECTNESS_r03.json
+# key set, the oldest evidence in the registry. Suffix: the round-5
+# block (freshest, coasts this round); the round-4 block sits in the
+# middle and becomes the round-7 prefix.
+#
+# Registry remains FROZEN at 150 (round-4 judge task 2; reaffirmed by
+# the round-4 VERDICT). The thirteen round-4 twin retirements and
+# their named covering queries are recorded in COVERAGE.md.
 #
 _CHECK_FIRST = [
-    # --- 18 never-driver-checked (round-4 _NEXT_ROTATION), with the
-    # round-4-green query that exercised the same machinery meanwhile:
-    "weekly_stickiness",  # distinct-user buckets: weekly_growth_accounting
-    "cohort_funnel_conversion",  # funnel x cohort: events_funnel_stages (r3) + weekly_growth_accounting
-    "activity_heatmap_cells",  # epoch calendar buckets: events_hourly_rollup (r3)
-    "user_type_diversity",  # concentration ppm: brand_supplier_concentration
-    "pareto_top_decile_share",  # rank-share window: top_revenue_customers (r3)
-    "mad_quantity_by_flag",  # rank-selected medians: winsorized_quantity_stats
-    "nation_share_of_region",  # percent-of-parent: region_nation_rollup (r3)
-    "top_parts_per_brand_with_ties",  # rank top-k: top_revenue_customers (r3)
-    "sequence_bigram_support",  # per-user event lag: event_type_transitions
-    "brand_association_rules",  # pair supports: copurchase_brand_pairs
-    "funnel_latency_quantiles",  # funnel + quantiles: events_funnel_stages (r3)
-    "sessions_in_anomalous_hours",  # hour-grid binning: binned_range_join
-    "user_modal_event_type",  # count-argmax: a4_latest_monthly_price (r3)
-    "dormant_rich_customers",  # scalar-subquery + anti-join: top_supplier_revenue
-    "rolling_week_user_activity",  # RANGE frame: pit_customer_features
-    "vocab_oov_rate",  # broadcast vocab probe: nb_quality_filter
-    "lang_id_confusion_matrix",  # classifier eval scan: text_language_id (r3)
-    "dedup_impact_by_source",  # survivor rule: x1_exact_dedup (r3)
-    # --- 32 entries whose newest driver row was round 2 (re-check):
-    "flagship_historical_repair",
-    "historical_missing_months",
-    "stream_upsert_market_data",
-    "stream_pipeline_completions",
-    "stream_stateful_ewma",
-    "text_stratified_sample",
-    "seq_packing_plan",
-    "leakage_safe_splits",
-    "text_repetition_stats",
-    "pii_scrub_stats",
-    "benchmark_contamination",
-    "tfidf_keywords",
-    "token_budget_mix",
-    "embedding_label_centroids",
-    "kmeans_assign_step",
-    "corpus_curation_summary",
-    "source_vocab_divergence",
-    "simhash_near_dup_pairs",
-    "doc_token_chunks",
-    "chunk_level_dedup",
-    "winnow_overlap_pairs",
-    "dsir_importance_weights",
-    "length_outlier_filter",
-    "semantic_dedup_pairs",
-    "incremental_dedup_new_docs",
-    "minhash_lsh_near_dups",
-    "embedding_ann_ivf",
-    "doc_price_indicators",
-    "embedding_cosine_near_dups",
-    "doc_lm_perplexity",
-    "bloom_source_overlap",
-    "embedding_int8_quantize",
+    "a1_historical_batches",
+    "a4_latest_monthly_price",
+    "asof_quote_join",
+    "brand_revenue_share",
+    "cdc_market_changes",
+    "cube_monthly_summary",
+    "dedup_clusters",
+    "doc_fingerprints",
+    "duplicate_span_stats",
+    "embedding_ann_pq",
+    "embedding_topk_cosine",
+    "events_funnel_stages",
+    "events_hourly_anomalies",
+    "events_hourly_rollup",
+    "events_props_rollup",
+    "events_sessionization",
+    "events_weekly_retention",
+    "historical_fetch_windows",
+    "historical_repair_summary",
+    "hll_distinct_users",
+    "j1_symbols_needing_update",
+    "j2_existing_state_semi_join",
+    "j4_coverage_counts",
+    "j5_coverage_index",
+    "longest_month_gap",
+    "multimodal_decode_features",
+    "ngram_jaccard_near_dups",
+    "order_priority_count",
+    "p1_invalid_quote_rows",
+    "p2_index_quote_projection",
+    "p4_typed_quotes",
+    "p5_payload_envelopes",
+    "pivot_monthly_by_type",
+    "pricing_summary",
+    "quantiles_by_returnflag",
+    "region_nation_rollup",
+    "s6_asset_dispatch",
+    "stream_dedup_exact",
+    "stream_events_hourly_rollup",
+    "stream_interval_join",
+    "stream_session_windows",
+    "stream_static_enrichment",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "top_revenue_customers",
+    "training_shard_plan",
+    "udtf_month_spine",
+    "upsert_market_data",
+    "x1_exact_dedup",
 ]
 
-# Suffix: the 50 round-4 gate queries — freshest driver evidence
-# (CORRECTNESS_r04.json, 50/50 green), so they coast this round. The
-# loop in registry() places the round-3-green remainder between the
+# Suffix: the 50 round-5 gate queries — freshest driver evidence
+# (CORRECTNESS_r05.json, 50/50 green), so they coast this round. The
+# loop in registry() places the round-4-green remainder between the
 # prefix and this block; the gate never reaches either.
 _CHECK_LAST = [
-    # Operator-bearing additions the round-3 judge named first:
-    # DELETE-capable MERGE (batch + streaming twin), explicit skew
-    # salting, iterative graph analytics, ranked retrieval, composed
-    # ANN, sketches, weighted sampling, pipeline compositions.
-    "cdc_apply_roundtrip",
-    "stream_cdc_apply",
-    "salted_skew_join_revenue",
-    "purchase_graph_pagerank",
-    "purchase_graph_bfs_hops",
-    "bm25_doc_ranking",
-    "embedding_ann_ivfpq",
-    "cms_token_frequencies",
-    "pps_weighted_sample",
-    "curation_pipeline_v2",
-    "stream_docs_ingest_dedup",
-    "winsorized_quantity_stats",
-    "udaf_event_value_median",
-    # State / temporal machinery (versioned log state, IVM, warehouse
-    # temporal modeling, reconciliation)
-    "state_time_travel",
-    "ivm_maintained_agg",
-    "table_diff_buckets",
-    "cogroup_state_reconciliation",
-    "scd2_part_prices",
-    "pit_customer_features",
-    "target_encoding_loo",
-    # Scale-pattern queries (each plan-shaped: bucketing, binning,
-    # blooms, skew-safe dedup, cascaded rollup, sliding stream state)
-    "bucketed_colocated_join",
-    "skew_safe_count_distinct",
-    "binned_range_join",
-    "hierarchical_time_rollup",
-    "bloom_pruned_anti_join",
-    "histogram_quantile_sketch",
-    "zorder_layout_stats",
-    "stream_sliding_window_counts",
-    "per_stratum_sample",
-    # Statistics / ML-adjacent analytics
-    "brand_price_regression",
-    "user_activity_streaks",
-    "copurchase_brand_pairs",
-    "brand_triangle_counts",
-    "key_skew_report",
-    "event_type_transitions",
-    "value_drift_report",
-    "brand_supplier_concentration",
-    "referential_integrity_audit",
-    "weekly_growth_accounting",
-    "order_fulfillment_latency",
-    "dq_expectations_report",
-    "top_supplier_revenue",
-    "unpivot_market_measures",
-    # [EXT] corpus-curation tier
-    "source_length_gini",
-    "bpe_pair_counts",
-    "ngram_novelty_scores",
-    "nb_quality_filter",
-    "curriculum_difficulty_buckets",
-    "phrase_search_index",
-    "hll_shard_merge",
+    "activity_heatmap_cells",
+    "benchmark_contamination",
+    "bloom_source_overlap",
+    "brand_association_rules",
+    "chunk_level_dedup",
+    "cohort_funnel_conversion",
+    "corpus_curation_summary",
+    "dedup_impact_by_source",
+    "doc_lm_perplexity",
+    "doc_price_indicators",
+    "doc_token_chunks",
+    "dormant_rich_customers",
+    "dsir_importance_weights",
+    "embedding_ann_ivf",
+    "embedding_cosine_near_dups",
+    "embedding_int8_quantize",
+    "embedding_label_centroids",
+    "flagship_historical_repair",
+    "funnel_latency_quantiles",
+    "historical_missing_months",
+    "incremental_dedup_new_docs",
+    "kmeans_assign_step",
+    "lang_id_confusion_matrix",
+    "leakage_safe_splits",
+    "length_outlier_filter",
+    "mad_quantity_by_flag",
+    "minhash_lsh_near_dups",
+    "nation_share_of_region",
+    "pareto_top_decile_share",
+    "pii_scrub_stats",
+    "rolling_week_user_activity",
+    "semantic_dedup_pairs",
+    "seq_packing_plan",
+    "sequence_bigram_support",
+    "sessions_in_anomalous_hours",
+    "simhash_near_dup_pairs",
+    "source_vocab_divergence",
+    "stream_pipeline_completions",
+    "stream_stateful_ewma",
+    "stream_upsert_market_data",
+    "text_repetition_stats",
+    "text_stratified_sample",
+    "tfidf_keywords",
+    "token_budget_mix",
+    "top_parts_per_brand_with_ties",
+    "user_modal_event_type",
+    "user_type_diversity",
+    "vocab_oov_rate",
+    "weekly_stickiness",
+    "winnow_overlap_pairs",
 ]
 
 
