@@ -377,12 +377,13 @@ def test_persisted_staging_preserves_partitioning_for_iteration_joins(spark):
 
 def test_registry_rotation_structure(reg):
     """The driver gate checks exactly the first 50 registry entries, so
-    registry ORDER is load-bearing. Pin the round-5 rotation
-    arithmetic: prefix = _CHECK_FIRST (the pre-agreed round-5 gate:
-    18 never-driver-checked + 32 round-2-stale = 50), suffix =
-    _CHECK_LAST (the 50 round-4-gate greens), no duplicates, 150
-    total, and the gate is disjoint from the round-4 gate so every
-    query's driver row ends the round at most two rounds old."""
+    registry ORDER is load-bearing. Pin the steady 3-round rotation
+    arithmetic (in effect since round 6): prefix = _CHECK_FIRST = the
+    block whose newest driver row is oldest (round 6: the
+    CORRECTNESS_r03.json key set), suffix = _CHECK_LAST = the freshest
+    block (round 6: the r05 key set), no duplicates, 150 total, and
+    prefix/suffix disjoint so every query's driver row ends the round
+    at most two rounds old."""
     import json
     import pathlib
 
@@ -393,8 +394,10 @@ def test_registry_rotation_structure(reg):
     assert len(_CHECK_FIRST) == 50 and len(_CHECK_LAST) == 50
     assert names[:50] == _CHECK_FIRST
     assert names[-len(_CHECK_LAST):] == _CHECK_LAST
-    r4 = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r04.json"
-    if r4.exists():
-        r4_names = set(json.loads(r4.read_text()))
-        assert set(_CHECK_LAST) == r4_names
-        assert not (set(_CHECK_FIRST) & r4_names)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    r3 = root / "CORRECTNESS_r03.json"
+    r5 = root / "CORRECTNESS_r05.json"
+    if r3.exists() and r5.exists():
+        assert set(_CHECK_FIRST) == set(json.loads(r3.read_text()))
+        assert set(_CHECK_LAST) == set(json.loads(r5.read_text()))
+        assert not (set(_CHECK_FIRST) & set(_CHECK_LAST))
