@@ -58,6 +58,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 5,
     damping_ppm: int = 850_000,
+    ckpt_every: int = 2,
 ) -> DataFrame:
     """(node, rank_ppm) after ``iters`` power iterations over weighted
     directed ``edges`` (columns ``src``, ``dst``, ``w``).
@@ -69,6 +70,14 @@ def pagerank(
     source participate (callers wanting dangling-node handling should
     symmetrize their edge list first, as the purchase-graph query
     does — a symmetric graph has no dangling mass by construction).
+
+    ``ckpt_every``: lineage-cut (and materialization) cadence for the
+    rank vector. Cutting every iteration pays a full write+read of the
+    O(|nodes|) vector per round; every 2nd round halves those passes
+    while the uncut plan segment stays a bounded two-iteration tree
+    (the O(iterations) plan blow-up only appears when lineage is never
+    cut). Values are cadence-independent — checkpointing is not part
+    of the arithmetic — pinned by the unchanged DuckDB oracle.
     """
     # Materialize the edge list ONCE (the upstream edge construction
     # must not re-run per materialization below — measured 3x the
@@ -100,7 +109,7 @@ def pagerank(
     p = nodes.withColumn(
         "p", F.lit(1_000_000 // n_nodes).cast("long")
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    for i in range(iters):
         inc = (
             ew.join(p, ew["src"] == p["node"])
             .select(
@@ -110,17 +119,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("s"))
         )
-        p = (
-            nodes.join(inc, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport_ppm)
-                    + F.expr(f"{damping_ppm} * coalesce(s, 0L) div 1000000")
-                ).cast("long").alias("p"),
-            )
-            .localCheckpoint(eager=True)
+        p = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport_ppm)
+                + F.expr(f"{damping_ppm} * coalesce(s, 0L) div 1000000")
+            ).cast("long").alias("p"),
         )
+        if (i + 1) % ckpt_every == 0 or i == iters - 1:
+            p = p.localCheckpoint(eager=True)
     # the final p is a materialized checkpoint — the cached build-side
     # blocks are no longer needed by the returned frame
     ew.unpersist(blocking=False)
