@@ -401,3 +401,68 @@ def test_registry_rotation_structure(reg):
         assert set(_CHECK_FIRST) == set(json.loads(r3.read_text()))
         assert set(_CHECK_LAST) == set(json.loads(r5.read_text()))
         assert not (set(_CHECK_FIRST) & set(_CHECK_LAST))
+
+
+def test_ladder_patches_every_load_table_binding(spark):
+    """Regression for the round-5 advisory HIGH: _patched_loader
+    hand-listed query modules and missed plans.historical_repair's
+    module-level load_table binding, so its five queries laddered on
+    UNREPLICATED input (flat rungs were artifacts). The loader must now
+    discover and swap EVERY package module holding the catalog binding,
+    and replication must actually multiply rows through the
+    historical-repair path."""
+    from financial_tracker_etl_spark import catalog
+    from financial_tracker_etl_spark.ladder import _patched_loader
+    from financial_tracker_etl_spark.plans import historical_repair
+
+    base = catalog.load_table
+    with _patched_loader(3):
+        assert historical_repair.load_table is not base
+        # every module-level binding in the package is swapped
+        import importlib
+        import pkgutil
+
+        import financial_tracker_etl_spark as pkg
+
+        for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            if info.name.endswith(".ladder"):
+                continue
+            mod = importlib.import_module(info.name)
+            bound = getattr(mod, "load_table", None)
+            assert bound is not base, f"{info.name} still holds the unpatched binding"
+        n1 = historical_repair.load_table(
+            spark, "/root/testdata/sf0.001", "lineitem"
+        ).count()
+    n0 = catalog.load_table(spark, "/root/testdata/sf0.001", "lineitem").count()
+    assert historical_repair.load_table is base
+    assert n1 == 3 * n0
+
+
+def test_ladder_replicas_are_new_entities_not_key_collisions(spark):
+    """Replicated fact keys must be NEW key values (upcast to long
+    before offsetting), never 32-bit wraps onto existing keys, and the
+    embedding rotation must preserve the true vector width."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark import catalog
+    from financial_tracker_etl_spark.ladder import replicate
+
+    k = 3
+    cust = catalog.load_table(spark, "/root/testdata/sf0.001", "customer")
+    rep = replicate(cust, "customer", k)
+    assert rep.schema["c_custkey"].dataType.typeName() == "long"
+    assert rep.select("c_custkey").distinct().count() == k * cust.count()
+
+    emb = catalog.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).head()["d"]
+    rep_e = replicate(emb, "embeddings", k)
+    sizes = rep_e.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in sizes] == [dim]
+    # rotated replicas keep the norm (same multiset of components)
+    base_norm = emb.select(
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    rep_norm = rep_e.select(
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert abs(rep_norm - k * base_norm) < 1e-6 * k * abs(base_norm)
