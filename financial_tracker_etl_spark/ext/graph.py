@@ -15,9 +15,11 @@ exact ppm constant, truncating integer division) so a DuckDB oracle
 that unrolls the same iterations hashes identically — the same
 transcendental-free determinism trade the ext tier makes everywhere.
 
-Scale notes: ``localCheckpoint`` after every iteration truncates the
-rank vector's lineage (the connected-components lesson: without it the
-plan grows O(iterations) and planning time explodes at scale). The
+Scale notes: ``localCheckpoint`` every second iteration truncates the
+rank vector's lineage (the connected-components lesson: without any
+cut the plan grows O(iterations) and planning time explodes at scale;
+a two-iteration uncut segment stays bounded while halving the
+O(|nodes|) materialization passes). The
 edge-with-out-weight side is instead ``persist``-ed pre-partitioned
 and pre-sorted on ``src``: a cached ``InMemoryRelation`` KEEPS its
 outputPartitioning/ordering (a ``localCheckpoint`` ``LogicalRDD`` does
@@ -79,17 +81,21 @@ def pagerank(
     cut). Values are cadence-independent — checkpointing is not part
     of the arithmetic — pinned by the unchanged DuckDB oracle.
     """
-    # Materialize the edge list ONCE (the upstream edge construction
-    # must not re-run per materialization below — measured 3x the
-    # whole setup cost on the purchase graph), then stage the
-    # edge-with-out-weight side as in :func:`stage_on_key` — written
-    # out fused here because the out-weight window runs over the SAME
-    # single repartition("src") shuffle (the old groupBy+join paid a
-    # second); a stage_on_key call on the windowed frame would add a
-    # redundant second exchange to the one-time staging job.
-    edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    # Stage the edge-with-out-weight side as in :func:`stage_on_key` —
+    # written out fused here because the out-weight window runs over
+    # the SAME single repartition("src") shuffle (the old groupBy+join
+    # paid a second); a stage_on_key call on the windowed frame would
+    # add a redundant second exchange to the one-time staging job. The
+    # persist alone already runs the upstream edge construction exactly
+    # once (everything below reads the ew/nodes caches): the eager
+    # edge-list localCheckpoint earlier rounds kept in front of it was
+    # redundant (measured equal with it removed) and carried the
+    # recoverability defect the round-5 advisory flagged on the pair
+    # operators — checkpoint blocks are non-replicated, so an executor
+    # loss failed the job instead of recomputing.
     ew = (
-        edges.repartition("src")
+        edges.select("src", "dst", "w")
+        .repartition("src")
         .withColumn(
             "wout",
             F.sum("w").over(Window.partitionBy("src")).cast("long"),
@@ -153,9 +159,9 @@ def bfs_hops(
     Relaxation is monotone (min over a growing candidate set), so
     arbitrary replays or batch splits converge to the same
     distances."""
-    edges = stage_on_key(
-        edges.select("src", "dst").localCheckpoint(eager=True), "src"
-    )
+    # stage_on_key's persist runs the upstream edge construction once;
+    # no eager pre-checkpoint (lineage kept — see pagerank's note)
+    edges = stage_on_key(edges.select("src", "dst"), "src")
     dist = (
         seeds.select("node")
         .distinct()

@@ -1175,3 +1175,38 @@ def test_minhash_lsh_releases_its_shingle_cache(spark):
             break
         time.sleep(0.1)
     assert len(leaked) <= 1, f"shingle cache leaked: {leaked}"
+
+
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
+    """Lineage-cut cadence is an execution knob, never arithmetic:
+    pagerank must produce bitwise-identical ranks at any ckpt_every
+    (regression for the round-6 cadence change)."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.ext.graph import pagerank
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = base.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        "w",
+    ).unionByName(
+        base.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+            "w",
+        )
+    )
+    outs = [
+        pagerank(edges, iters=3, ckpt_every=k).orderBy("node").collect()
+        for k in (1, 2, 3)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
