@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from . import materialize_release
+
 
 def pct_hash(col: Column, mod: int = 10_000) -> Column:
     """Uniform [0, mod) bucket from the first 32 bits of md5(col) —
@@ -220,9 +222,9 @@ def dsir_importance(
     twice (the broadcast build side cannot reuse the probe side's
     exchange). Same cache contract as pagerank/bfs_hops/
     connected_components (stage_on_key): the output is materialized
-    eagerly (localCheckpoint) and the occurrence cache released before
-    returning, so the dominant-cost intermediate never outlives the
-    operator.
+    (persist + count — lineage kept, see ext.materialize_release) and
+    the occurrence cache released before returning, so the
+    dominant-cost intermediate never outlives the operator.
     """
     occ = (
         docs.select(
@@ -246,10 +248,8 @@ def dsir_importance(
         )
         .withColumn("importance_ppm", F.expr("_aff_sum div n_tokens"))
         .drop("_aff_sum")
-        .localCheckpoint(eager=True)
     )
-    occ.unpersist(blocking=False)
-    return scored
+    return materialize_release(scored, occ)
 
 
 def shard_assignments(
