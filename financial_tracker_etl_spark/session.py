@@ -36,7 +36,13 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            # override knob for partition-count-invariance runs: results
+            # must never depend on how many shuffle partitions execute a
+            # plan (verified by full differentials at 7 and 90)
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 32))),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
