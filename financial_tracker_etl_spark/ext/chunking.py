@@ -87,22 +87,28 @@ def chunk_shared_stats(
     (duplicated spans inside otherwise-distinct documents).
 
     Disjoint windows (stride = chunk_size) so a doc never matches
-    itself through overlap. Two shuffles total: hash-group on
-    chunk_hash, then group back on the document id.
+    itself through overlap. Two shuffles total, each ONE pass: a
+    whole-partition window over chunk_hash marks shared chunks
+    in-place — a chunk is cross-document iff the min and max doc id in
+    its hash group differ, exactly "appears in >= 2 distinct docs"
+    (the earlier count_distinct groupBy + join-back computed the
+    chunking explode twice and shuffled the corpus-sized chunk stream
+    a second time) — then the per-doc aggregation.
     """
+    from pyspark.sql import Window
+
     chunks = token_chunks(
         df, chunk_size=chunk_size, stride=chunk_size,
         text_col=text_col, id_col=id_col,
     )
-    by_hash = chunks.groupBy("chunk_hash").agg(
-        F.count_distinct(F.col(id_col)).alias("_n_docs")
-    )
+    wh = Window.partitionBy("chunk_hash")
+    shared = F.min(F.col(id_col)).over(wh) != F.max(F.col(id_col)).over(wh)
     return (
-        chunks.join(by_hash, "chunk_hash")
+        chunks.withColumn("_shared", shared)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("_n_docs") >= 2).cast("long")).alias("n_shared_chunks"),
+            F.sum(F.col("_shared").cast("long")).alias("n_shared_chunks"),
         )
         .withColumn(
             "shared_ppm",

@@ -2686,19 +2686,23 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements exact/near-dedup: a partial-copy document survives
     dedup but is flagged here.
 
-    Scale shape: shingle explode → one shingle-key aggregation (the
-    first-occurrence index) → shuffle hash join back on shingle → one
-    doc-key aggregation. The shingle join is the same bucketed shape
-    as the LSH candidate joins — never all-pairs."""
+    Scale shape: shingle explode → ONE shuffle on the shingle key,
+    where a whole-partition window min computes each shingle's
+    first-occurrence doc in the same pass (the earlier groupBy→join-back
+    formulation computed the explode twice and shuffled the
+    corpus-sized shingle stream a second time for the join) → one
+    doc-key aggregation. Never all-pairs."""
+    from pyspark.sql import Window
+
     from ..ext.quality import doc_shingle_sets
 
     docs = load_table(spark, sf_dir, "documents")
     exploded = doc_shingle_sets(docs).select(
         "doc_id", F.explode("shingles").alias("sh")
     )
-    first = exploded.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("sh"))
     return (
-        exploded.join(first, "sh")
+        exploded.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
