@@ -223,16 +223,18 @@ def tfidf_top_terms(
     divergence. Ties break (score desc, term asc) for determinism.
 
     Plan: ONE explode + hash aggregation over the corpus (tf per
-    (doc, term)); doc-frequency then aggregates the tf TABLE (one row
-    per doc-term, so count(*) per term == countDistinct(doc)) instead
-    of re-exploding the corpus — the corpus is scanned once. The
-    vocabulary-sized df table broadcasts back onto tf, then a per-doc
-    top-k window."""
+    (doc, term)); doc-frequency is then a whole-partition window count
+    over the tf TABLE's term key (one row per doc-term, so the window
+    count == countDistinct(doc)) — a single pass over tf, replacing
+    the earlier groupBy→broadcast-join-back that computed the tf
+    subtree twice and broadcast a VOCABULARY-sized table (unbounded
+    with junk tokens at 100 TB); then a per-doc top-k window."""
     toks = tokens_col(F.col(text_col))
     terms = docs.select("doc_id", F.explode(toks).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
         "score_ppm",
         F.expr("tf * 1000000 div (doc_freq + 1)").cast("long"),
     )

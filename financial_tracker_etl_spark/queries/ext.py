@@ -2898,11 +2898,17 @@ def _q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    df_counts = hits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
+    # per-term df via a whole-partition window over hits' term key —
+    # hits is |query terms| x |matching docs| rows, so the window
+    # shuffle is tiny, and the corpus-sized explode+filter subtree runs
+    # ONCE (the earlier groupBy→broadcast-join-back re-executed it for
+    # the df side)
+    from pyspark.sql import Window as _W
+
     scored = (
-        hits.join(F.broadcast(df_counts), "term")
+        hits.withColumn(
+            "df", F.count(F.lit(1)).over(_W.partitionBy("term")).cast("long")
+        )
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",

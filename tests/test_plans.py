@@ -224,13 +224,17 @@ def test_contamination_broadcasts_benchmark_side(spark, reg):
     assert "SortMergeJoin" not in plan
 
 
-def test_tfidf_broadcasts_vocabulary(spark, reg):
-    """doc-frequency is vocabulary-sized; joining it back onto the
-    (corpus-sized) tf rows must broadcast, leaving the tf groupBy as
-    the only full shuffle."""
+def test_tfidf_computes_doc_freq_without_joins(spark, reg):
+    """doc-frequency comes from a whole-partition window over the tf
+    table's term key — a single pass, never a join back onto the tf
+    subtree (the round-6 rewrite: the old groupBy→broadcast-join-back
+    computed tf twice and broadcast a vocabulary-sized table, which is
+    unbounded with junk tokens at 100 TB)."""
     plan = plan_of(reg["tfidf_keywords"].fn(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert n_ops(plan, "Window") >= 1
+    assert "Join" not in plan
+    # the corpus explode+tf subtree appears exactly once
+    assert plan.count("documents.parquet") == 1
 
 
 def test_token_mix_broadcasts_rates_and_stays_narrow(spark, reg):
