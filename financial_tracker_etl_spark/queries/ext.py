@@ -1469,12 +1469,16 @@ def _q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is drift detection between corpus slices/snapshots before a
     training run.
 
-    Scale shape: the corpus shuffles ONCE (the (source, term) count);
-    every further aggregate (source totals, global term counts, grand
-    total) re-aggregates that vocabulary-sized table and joins back
-    broadcast. over_rep_ppm = cnt_s * tot_g * 1e6 div (tot_s * cnt_g)
-    stays in BIGINT (overflow headroom to ~1e12-token corpora; shard
-    the ppm factor for more)."""
+    Scale shape: the corpus explodes ONCE into the (source, term)
+    count; source totals and global term counts are whole-partition
+    window sums over that vocabulary-sized table (one pass each, no
+    vocabulary-sized broadcast — the earlier groupBy→join-back
+    formulation re-executed the corpus explode once per aggregate,
+    four scans total); the grand total is a 1-row broadcast computed
+    from token-array sizes WITHOUT an explode (sum(size(toks)) ==
+    sum over all cnt_s by construction). over_rep_ppm = cnt_s * tot_g
+    * 1e6 div (tot_s * cnt_g) stays in BIGINT (overflow headroom to
+    ~1e12-token corpora; shard the ppm factor for more)."""
     from ..ext.text import tokens_col
     from pyspark.sql import Window
 
@@ -1483,12 +1487,18 @@ def _q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens_col(F.col("text"))).alias("term")
     )
     st = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt_s"))
-    tot_s = st.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
-    cg = st.groupBy("term").agg(F.sum("cnt_s").alias("cnt_g"))
-    tg = st.agg(F.sum("cnt_s").alias("tot_g"))
+    # greatest(…, 0): size() is -1 on a NULL text, where the explode
+    # side contributes zero rows — keep the two derivations equal
+    tg = docs.select(
+        F.greatest(F.size(tokens_col(F.col("text"))), F.lit(0)).alias("_n")
+    ).agg(F.sum("_n").alias("tot_g"))
     scored = (
-        st.join(F.broadcast(tot_s), "source")
-        .join(F.broadcast(cg), "term")
+        st.withColumn(
+            "tot_s", F.sum("cnt_s").over(Window.partitionBy("source"))
+        )
+        .withColumn(
+            "cnt_g", F.sum("cnt_s").over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(tg))
         .withColumn(
             # cnt_s * tot_g * 1e6 multiplies two corpus-scale counts —
@@ -1539,14 +1549,19 @@ FROM r WHERE rank <= 3
 def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM surprise scoring — the LM-perplexity
     quality filter of the CCNet pipeline (Wenzek et al. 2020), with the
-    LM trained on the corpus itself. Two corpus-bigram aggregations
-    build the LM table (vocabulary^2-bounded: here broadcast back to
-    the per-doc bigram stream; at 100 TB the LM side is still tiny
-    relative to the corpus, so the enrich join stays broadcast), then
-    one per-doc aggregation yields an integer-exact surprise score:
-    surprise(w1,w2) = w1_count * 1e6 div pair_count (inverse
-    conditional probability, ppm). Integer sums/divs only — no float
-    accumulation, so the DuckDB hash matches exactly."""
+    LM trained on the corpus itself. The corpus explodes into its
+    bigram stream ONCE; the LM statistics attach in-place as two
+    whole-partition window counts ((w1,w2) pair occurrences, then w1
+    occurrences — count over the bigram rows equals the old sum of
+    pair_counts by construction), then one per-doc aggregation yields
+    an integer-exact surprise score: surprise(w1,w2) = w1_count * 1e6
+    div pair_count (inverse conditional probability, ppm). The earlier
+    groupBy→broadcast-join-back formulation re-executed the explode
+    three times and broadcast a VOCABULARY²-sized LM table — unbounded
+    at 100 TB; the window form shuffles only the bigram stream itself.
+    Integer sums/divs only — no float accumulation, so the DuckDB hash
+    matches exactly."""
+    from pyspark.sql import Window
     from ..ext.text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1564,21 +1579,20 @@ def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", "g.w1", "g.w2")
     )
-    bc = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    w1c = bc.groupBy("w1").agg(F.sum("pair_count").alias("w1_count"))
-    lm = (
-        bc.join(F.broadcast(w1c), "w1")
-        .select(
-            "w1",
-            "w2",
-            F.expr("w1_count * 1000000 div pair_count")
-            .cast("long")
-            .alias("surprise_ppm"),
+    enriched = (
+        doc_pairs.withColumn(
+            "pair_count", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn(
+            "w1_count", F.count(F.lit(1)).over(Window.partitionBy("w1"))
+        )
+        .withColumn(
+            "surprise_ppm",
+            F.expr("w1_count * 1000000 div pair_count").cast("long"),
         )
     )
     return (
-        doc_pairs.join(F.broadcast(lm), ["w1", "w2"])
-        .groupBy("doc_id")
+        enriched.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("surprise_ppm").alias("_s"),
