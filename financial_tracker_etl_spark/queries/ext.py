@@ -2060,10 +2060,18 @@ def _q_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     filters = pos.select(F.col("source").alias("target_source"), "pos").distinct()
-    npos = pos.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_pos"))
+    # per-doc position count attaches in place (whole-partition window
+    # over the tiny <=k-rows-per-doc stream) and rides through the
+    # probe join — the earlier separate npos aggregate + join-back
+    # re-executed the md5-explode-distinct subtree a third time
+    from pyspark.sql import Window as _W
+
+    pos_n = pos.withColumn(
+        "n_pos", F.count(F.lit(1)).over(_W.partitionBy("doc_id", "source"))
+    )
     matched = (
-        pos.join(F.broadcast(filters), "pos")
-        .groupBy("doc_id", "source", "target_source")
+        pos_n.join(F.broadcast(filters), "pos")
+        .groupBy("doc_id", "source", "target_source", "n_pos")
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
     srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2071,8 +2079,7 @@ def _q_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("fill_bits")
     )
     hits = (
-        matched.join(npos, ["doc_id", "source"])
-        .groupBy("source", "target_source")
+        matched.groupBy("source", "target_source")
         .agg(
             F.sum(F.when(F.col("n_match") == F.col("n_pos"), 1).otherwise(0))
             .cast("long")
