@@ -379,21 +379,32 @@ def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = li.agg(
         F.count_distinct("l_orderkey").alias("_n_orders")
     )
-    fwd = pairs.select(
-        F.col("brand_a").alias("antecedent"),
-        F.col("brand_b").alias("consequent"),
-        "pair_support",
-        F.col("baskets_a").alias("antecedent_baskets"),
-        F.col("baskets_b").alias("consequent_baskets"),
+    # both rule directions from ONE pass over the pair table: a
+    # fwd/rev union of the same subtree would re-execute the whole
+    # co-purchase self-join per direction
+    direction = F.explode(
+        F.array(
+            F.struct(
+                F.col("brand_a").alias("antecedent"),
+                F.col("brand_b").alias("consequent"),
+                F.col("pair_support").alias("pair_support"),
+                F.col("baskets_a").alias("antecedent_baskets"),
+                F.col("baskets_b").alias("consequent_baskets"),
+            ),
+            F.struct(
+                F.col("brand_b").alias("antecedent"),
+                F.col("brand_a").alias("consequent"),
+                F.col("pair_support").alias("pair_support"),
+                F.col("baskets_b").alias("antecedent_baskets"),
+                F.col("baskets_a").alias("consequent_baskets"),
+            ),
+        )
     )
-    rev = pairs.select(
-        F.col("brand_b").alias("antecedent"),
-        F.col("brand_a").alias("consequent"),
-        "pair_support",
-        F.col("baskets_b").alias("antecedent_baskets"),
-        F.col("baskets_a").alias("consequent_baskets"),
+    rules = (
+        pairs.select(direction.alias("_r"))
+        .select("_r.*")
+        .crossJoin(F.broadcast(n_orders))
     )
-    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_orders))
     return rules.select(
         "antecedent",
         "consequent",
@@ -3186,6 +3197,14 @@ def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
+    # NOTE on the window-vs-groupBy choice: the per-brand basket counts
+    # stay a groupBy + broadcast join-back ON PURPOSE even though that
+    # re-executes the baskets subtree twice. p_brand has ~25 values —
+    # a whole-partition window over it collapses the full (order,
+    # brand) stream into 25 tasks (measured: ladder 8x rung 3.9 → 6.2 s
+    # when round 6 tried it). The window form is right only for
+    # HIGH-cardinality keys (terms, content hashes); for bounded keys
+    # the map-side partial aggregation + 25-row broadcast wins.
     baskets = (
         li.join(broadcast(part), "l_partkey")
         .select("l_orderkey", "p_brand")
