@@ -2059,27 +2059,32 @@ def _q_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    filters = pos.select(F.col("source").alias("target_source"), "pos").distinct()
-    # per-doc position count attaches in place (whole-partition window
-    # over the tiny <=k-rows-per-doc stream) and rides through the
-    # probe join — the earlier separate npos aggregate + join-back
-    # re-executed the md5-explode-distinct subtree a third time
+    # both per-group statistics ride through the probe join instead of
+    # separate aggregate + join-back passes (each re-executed the
+    # md5-explode-distinct subtree): n_pos as a window over the tiny
+    # <=k-rows-per-doc position stream, fill_bits as a window over the
+    # sources×m-bounded filter table before it broadcasts
     from pyspark.sql import Window as _W
 
+    filters = (
+        pos.select(F.col("source").alias("target_source"), "pos")
+        .distinct()
+        .withColumn(
+            "fill_bits",
+            F.count(F.lit(1)).over(_W.partitionBy("target_source")).cast("long"),
+        )
+    )
     pos_n = pos.withColumn(
         "n_pos", F.count(F.lit(1)).over(_W.partitionBy("doc_id", "source"))
     )
     matched = (
         pos_n.join(F.broadcast(filters), "pos")
-        .groupBy("doc_id", "source", "target_source", "n_pos")
+        .groupBy("doc_id", "source", "target_source", "n_pos", "fill_bits")
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
     srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    fill = filters.groupBy("target_source").agg(
-        F.count(F.lit(1)).alias("fill_bits")
-    )
     hits = (
-        matched.groupBy("source", "target_source")
+        matched.groupBy("source", "target_source", "fill_bits")
         .agg(
             F.sum(F.when(F.col("n_match") == F.col("n_pos"), 1).otherwise(0))
             .cast("long")
@@ -2088,7 +2093,6 @@ def _q_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hits.join(F.broadcast(srcs), "source")
-        .join(F.broadcast(fill), "target_source")
         .select(
             F.col("source").alias("probe_source"),
             "target_source",

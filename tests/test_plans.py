@@ -470,3 +470,31 @@ def test_ladder_replicas_are_new_entities_not_key_collisions(spark):
         F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4).alias("n")
     ).agg(F.sum("n")).first()[0]
     assert abs(rep_norm - k * base_norm) < 1e-6 * k * abs(base_norm)
+
+
+def test_single_pass_rewrites_hold_their_scan_counts(spark, reg):
+    """The round-6 sweep replaced aggregate→filter→join-back shapes
+    (which re-execute their corpus-sized explode subtrees) with
+    in-place whole-partition window statistics over high-cardinality
+    keys. Pin each rewritten query's source-scan count so a regression
+    back to the multi-scan shape fails here, not on the cluster."""
+    limits = {
+        "doc_lm_perplexity": ("documents.parquet", 1),
+        "ngram_novelty_scores": ("documents.parquet", 1),
+        "chunk_level_dedup": ("documents.parquet", 1),
+        "tfidf_keywords": ("documents.parquet", 1),
+        "duplicate_span_stats": ("documents.parquet", 2),  # grams + totals
+        "source_vocab_divergence": ("documents.parquet", 2),  # st + size-sum
+        "bloom_source_overlap": ("documents.parquet", 3),  # pos, filters, srcs
+        "brand_association_rules": ("lineitem.parquet", 5),
+    }
+    for name, (table, max_scans) in limits.items():
+        plan = (
+            reg[name]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = plan.count(table)
+        assert n <= max_scans, f"{name}: {n} scans of {table} (max {max_scans})"
