@@ -1897,33 +1897,55 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-stage funnel view→click→purchase: each stage's first
     event must come strictly AFTER the previous stage's first event
     (the sequencing that distinguishes a funnel from three independent
-    filters). Per-stage min-aggregates then user-keyed joins — all
-    shuffles share the user_id key, so AQE co-partitions the chain;
-    no window over the full event stream.
+    filters). ONE user-keyed exchange: the three stage-firsts are
+    chained conditional whole-partition window minimums over the same
+    partitioning (each stage's predicate references the previous
+    stage's window result; rows where the previous first is NULL
+    compare NULL and drop out of the min — exactly the old join
+    semantics), and the closing per-user dedup aggregation reuses the
+    same partitioning, so the event stream shuffles once total. The
+    round-6 rewrite of the per-stage aggregate→join chain, which
+    scanned events once per stage and shuffled each stage's subset
+    (values collect-identical at sf0.1, ~30% faster).
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("first_view_us"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_us") > F.col("first_view_us"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("first_click_us"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_us") > F.col("first_click_us"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("first_purchase_us"))
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "first_view_us",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts_us"))
+            ).over(wu),
+        )
+        .withColumn(
+            "first_click_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("first_view_us")),
+                    F.col("ts_us"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "first_purchase_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("first_click_us")),
+                    F.col("ts_us"),
+                )
+            ).over(wu),
+        )
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        staged.groupBy("user_id")
+        .agg(
+            F.min("first_view_us").alias("first_view_us"),
+            F.min("first_click_us").alias("first_click_us"),
+            F.min("first_purchase_us").alias("first_purchase_us"),
+        )
+        .filter(F.col("first_view_us").isNotNull())
         .select(
             "user_id",
             "first_view_us",
