@@ -1210,3 +1210,27 @@ def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) > 0
+
+
+def test_materialize_release_contract(spark):
+    """The fan-out operators' staging helper must (a) return a CACHED
+    frame whose lineage is intact (persist, never a checkpoint — so an
+    executor loss recomputes instead of failing), and (b) release the
+    staging caches it consumed."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from financial_tracker_etl_spark.ext import materialize_release
+
+    staged = spark.range(100).withColumn("v", F.col("id") * 2).persist()
+    staged.count()
+    assert staged.storageLevel != StorageLevel.NONE
+    out = materialize_release(staged.groupBy((F.col("id") % 10).alias("k")).count(), staged)
+    # output is cached and already materialized
+    assert out.storageLevel != StorageLevel.NONE
+    # staging cache released
+    assert staged.storageLevel == StorageLevel.NONE
+    # lineage kept: the plan is a real query tree, not a scan of
+    # checkpoint blocks (LogicalRDD)
+    assert "LogicalRDD" not in out._jdf.queryExecution().analyzed().toString()
+    assert out.count() == 10
