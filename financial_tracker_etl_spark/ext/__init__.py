@@ -21,6 +21,15 @@ def materialize_release(out: DataFrame, *staged: DataFrame) -> DataFrame:
     - cache blocks are LRU-evictable and freed by the ContextCleaner
       when the frame is garbage collected, so repeated operator calls
       do not accumulate unreclaimable checkpoint blocks.
+
+    Caller-side contract: the returned frame is persisted and is NOT
+    unpersisted by this module. A caller that retains references to
+    many operator outputs in a long-lived driver should
+    ``out.unpersist()`` each one when done with it (GC/ContextCleaner
+    only reclaims blocks whose frames are unreachable); batch loops
+    that run many operators back-to-back may instead call
+    ``spark.catalog.clearCache()`` between iterations, as
+    ``ladder.main`` and ``bench.py`` do.
     """
     out = out.persist()
     out.count()

@@ -136,14 +136,33 @@ class _patched_loader:
             return replicate(base(spark, sf_dir, name), name, k)
 
         self._sites = []
+        failed: list[str] = []
         for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
             try:
                 mod = importlib.import_module(info.name)
             except Exception:
+                # A module that fails to import here could hold a
+                # load_table binding we'd silently miss, laddering its
+                # queries on unreplicated input (the round-5 bug class).
+                # Surface the miss instead of swallowing it.
+                failed.append(info.name)
                 continue
             orig = getattr(mod, "load_table", None)
             if orig is base:
                 self._sites.append((mod, orig))
+        if failed:
+            import warnings
+
+            warnings.warn(
+                "ladder: modules failed to import at patch time and were "
+                f"NOT checked for load_table bindings: {sorted(failed)}",
+                stacklevel=2,
+            )
+        # the query/plan modules that are KNOWN to hold the binding must
+        # never be in the failed set — fail loud, not flat
+        assert not any(
+            n.split(".")[1] in ("queries", "plans") for n in failed
+        ), f"ladder: query/plan module import failed at patch time: {failed}"
         assert any(m is catalog for m, _ in self._sites)
         for mod, _ in self._sites:
             mod.load_table = load

@@ -1470,15 +1470,26 @@ def _q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run.
 
     Scale shape: the corpus explodes ONCE into the (source, term)
-    count; source totals and global term counts are whole-partition
-    window sums over that vocabulary-sized table (one pass each, no
-    vocabulary-sized broadcast — the earlier groupBy→join-back
-    formulation re-executed the corpus explode once per aggregate,
-    four scans total); the grand total is a 1-row broadcast computed
-    from token-array sizes WITHOUT an explode (sum(size(toks)) ==
-    sum over all cnt_s by construction). over_rep_ppm = cnt_s * tot_g
-    * 1e6 div (tot_s * cnt_g) stays in BIGINT (overflow headroom to
-    ~1e12-token corpora; shard the ppm factor for more)."""
+    count. The global term count cnt_g is a whole-partition window sum
+    over the HIGH-cardinality term key (one pass, no vocabulary-sized
+    broadcast — the earlier groupBy→join-back re-executed the corpus
+    explode). The per-source total tot_s is the opposite case: source
+    has ~tens of distinct values, so a window over it would collapse
+    the vocabulary-sized table into that many tasks at scale; it is a
+    |sources|-row aggregate broadcast-joined back (round-6 ADVICE
+    medium; the measured counter-example is copurchase_brand_pairs,
+    3.9→6.2 s when window-rewritten over a ~25-value key). To avoid a
+    second corpus explode, tot_s sums token-array SIZES per source
+    (sum(greatest(size(toks),0)) == sum of that source's cnt_s by
+    construction — size() is -1 on NULL text, where the explode side
+    contributes zero rows), and the grand total tot_g attaches to
+    tot_s as an order-less global window over those |sources| rows
+    (bounded post-aggregation input — NOT the unbounded-global-window
+    pathology; a separate agg subtree would re-scan the corpus), so
+    the corpus is scanned exactly twice.
+    over_rep_ppm = cnt_s * tot_g * 1e6 div (tot_s * cnt_g) stays in
+    BIGINT (overflow headroom to ~1e12-token corpora; shard the ppm
+    factor for more)."""
     from ..ext.text import tokens_col
     from pyspark.sql import Window
 
@@ -1487,19 +1498,16 @@ def _q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens_col(F.col("text"))).alias("term")
     )
     st = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt_s"))
-    # greatest(…, 0): size() is -1 on a NULL text, where the explode
-    # side contributes zero rows — keep the two derivations equal
-    tg = docs.select(
-        F.greatest(F.size(tokens_col(F.col("text"))), F.lit(0)).alias("_n")
-    ).agg(F.sum("_n").alias("tot_g"))
+    tot_s = docs.groupBy("source").agg(
+        F.sum(
+            F.greatest(F.size(tokens_col(F.col("text"))), F.lit(0))
+        ).alias("tot_s")
+    ).withColumn("tot_g", F.sum("tot_s").over(Window.partitionBy()))
     scored = (
         st.withColumn(
-            "tot_s", F.sum("cnt_s").over(Window.partitionBy("source"))
-        )
-        .withColumn(
             "cnt_g", F.sum("cnt_s").over(Window.partitionBy("term"))
         )
-        .crossJoin(F.broadcast(tg))
+        .join(F.broadcast(tot_s), "source")
         .withColumn(
             # cnt_s * tot_g * 1e6 multiplies two corpus-scale counts —
             # int64 dies around 1e6-doc corpora; DECIMAL(38,0)/HUGEINT
