@@ -11,7 +11,9 @@ Near-dup graphs are shallow (dup clusters are cliques-ish), so a handful
 of rounds suffice at any scale.
 
 Scale notes: each round is one shuffle (join on node) + an aggregation;
-``localCheckpoint`` truncates the lineage so the plan does not grow
+a :func:`~financial_tracker_etl_spark.ext.cut_lineage` cut
+(localCheckpoint by default; reliable DFS checkpoint when the
+checkpointDir conf knob is set) truncates the lineage so the plan does not grow
 O(rounds). Fixpoint detection is folded into the round itself: the
 propagation select carries a ``_changed`` flag (labels only decrease,
 so changed ⇔ the neighborhood minimum beat the own label), which
@@ -25,6 +27,8 @@ component's minimum doc_id — deterministic, no arbitrary survivor.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from . import cut_lineage
 
 
 def connected_components(
@@ -60,11 +64,10 @@ def connected_components(
         .distinct(),
         "b",
     )
-    labels = (
+    labels = cut_lineage(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for it in range(1, max_iter + 1):
         neigh = (
@@ -84,8 +87,8 @@ def connected_components(
                 # this round" ⇔ the neighborhood min beat the own label
                 (new_label < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = cut_lineage(labels)
         if it % probe_every == 0 or it == max_iter:
             if labels.where("_changed").isEmpty():
                 break

@@ -15,7 +15,10 @@ exact ppm constant, truncating integer division) so a DuckDB oracle
 that unrolls the same iterations hashes identically — the same
 transcendental-free determinism trade the ext tier makes everywhere.
 
-Scale notes: ``localCheckpoint`` every second iteration truncates the
+Scale notes: a :func:`~financial_tracker_etl_spark.ext.cut_lineage`
+cut (localCheckpoint by default; reliable DFS checkpoint when the
+checkpointDir conf knob is set — executor-loss recoverable at one DFS
+write+read per cut) every second iteration truncates the
 rank vector's lineage (the connected-components lesson: without any
 cut the plan grows O(iterations) and planning time explodes at scale;
 a two-iteration uncut segment stays bounded while halving the
@@ -34,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
+
+from . import cut_lineage
 
 
 def stage_on_key(df: DataFrame, key: str) -> DataFrame:
@@ -112,9 +117,9 @@ def pagerank(
     )
     n_nodes = nodes.count()
     teleport_ppm = (1_000_000 - damping_ppm) // n_nodes
-    p = nodes.withColumn(
-        "p", F.lit(1_000_000 // n_nodes).cast("long")
-    ).localCheckpoint(eager=True)
+    p = cut_lineage(
+        nodes.withColumn("p", F.lit(1_000_000 // n_nodes).cast("long"))
+    )
     for i in range(iters):
         inc = (
             ew.join(p, ew["src"] == p["node"])
@@ -133,7 +138,7 @@ def pagerank(
             ).cast("long").alias("p"),
         )
         if (i + 1) % ckpt_every == 0 or i == iters - 1:
-            p = p.localCheckpoint(eager=True)
+            p = cut_lineage(p)
     # the final p is a materialized checkpoint — the cached build-side
     # blocks are no longer needed by the returned frame
     ew.unpersist(blocking=False)
@@ -153,7 +158,9 @@ def bfs_hops(
 
     Each round is one edge⋈distance equi-join + a min-aggregation
     (same single-shuffle shape as the PageRank iteration), with
-    ``localCheckpoint`` cutting the frontier's lineage per round and
+    :func:`~financial_tracker_etl_spark.ext.cut_lineage` cutting the
+    frontier's lineage per round (localCheckpoint, or a reliable
+    checkpoint under the checkpointDir conf knob) and
     the static edge side staged via :func:`stage_on_key` so each
     round's join moves only the frontier, never the edge list.
     Relaxation is monotone (min over a growing candidate set), so
@@ -162,11 +169,10 @@ def bfs_hops(
     # stage_on_key's persist runs the upstream edge construction once;
     # no eager pre-checkpoint (lineage kept — see pagerank's note)
     edges = stage_on_key(edges.select("src", "dst"), "src")
-    dist = (
+    dist = cut_lineage(
         seeds.select("node")
         .distinct()
         .withColumn("dist", F.lit(0).cast("int"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_hops):
         hop = (
@@ -176,11 +182,10 @@ def bfs_hops(
                 (F.col("dist") + 1).cast("int").alias("dist"),
             )
         )
-        dist = (
+        dist = cut_lineage(
             dist.unionByName(hop)
             .groupBy("node")
             .agg(F.min("dist").cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
         )
     # the final dist is a materialized checkpoint — the cached edge
     # blocks are no longer needed by the returned frame

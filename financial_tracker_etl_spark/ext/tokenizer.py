@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from . import cut_lineage
+
 # end-of-word marker, appended as a terminal symbol so merges cannot
 # cross word boundaries and word-final units are distinguishable (the
 # classic BPE formulation)
@@ -113,11 +115,13 @@ def train_merges(
 
     Each iteration: count pairs (distributed), pick the argmax (1-row
     collect), apply the merge to the symbol table (column fold), and
-    ``localCheckpoint`` the new state so the plan does not accrete one
+    :func:`~financial_tracker_etl_spark.ext.cut_lineage` the new
+    state (localCheckpoint, or a reliable checkpoint under the
+    checkpointDir conf knob) so the plan does not accrete one
     fold per iteration (the connected-components lineage lesson,
     VERDICT r2 — plan growth, not data volume, is what kills iterative
     jobs at scale)."""
-    symtab = word_symbol_table(df, text_col).localCheckpoint(eager=True)
+    symtab = cut_lineage(word_symbol_table(df, text_col))
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pick = best_pair(symtab)
@@ -125,9 +129,11 @@ def train_merges(
             break
         left, right, cnt = pick
         merges.append((left, right, cnt))
-        symtab = symtab.select(
-            _apply_merge(F.col("syms"), left, right).alias("syms"), "n"
-        ).localCheckpoint(eager=True)
+        symtab = cut_lineage(
+            symtab.select(
+                _apply_merge(F.col("syms"), left, right).alias("syms"), "n"
+            )
+        )
     return merges
 
 
