@@ -1236,6 +1236,37 @@ def test_materialize_release_contract(spark):
     assert out.count() == 10
 
 
+def test_iterative_ops_value_identical_on_reliable_checkpoint_path(
+    spark, tmp_path
+):
+    """The checkpointDir knob must be purely an execution choice for
+    EVERY iterative operator: pagerank ranks and BPE merge lists are
+    bitwise-identical with the knob set (reliable checkpoints) and
+    unset (localCheckpoint)."""
+    from financial_tracker_etl_spark.ext import CHECKPOINT_DIR_CONF
+    from financial_tracker_etl_spark.ext.graph import pagerank
+    from financial_tracker_etl_spark.ext.tokenizer import train_merges
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 3), (2, 3, 1), (3, 2, 1), (1, 3, 2), (3, 1, 2)],
+        "src long, dst long, w long",
+    )
+    docs = spark.createDataFrame(
+        [("low lower lowest",), ("new newer newest",), ("low new",)],
+        "text string",
+    )
+    local_ranks = pagerank(edges, iters=3).orderBy("node").collect()
+    local_merges = train_merges(docs, n_merges=4)
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "iter_ckpt"))
+    try:
+        reliable_ranks = pagerank(edges, iters=3).orderBy("node").collect()
+        reliable_merges = train_merges(docs, n_merges=4)
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable_ranks == local_ranks
+    assert reliable_merges == local_merges
+
+
 def test_cut_lineage_reliable_checkpoint_knob(spark, tmp_path):
     """Round-6 judge stretch: the per-iteration lineage cuts in the
     iterative operators must be cluster-recoverable on demand. With
