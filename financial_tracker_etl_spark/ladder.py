@@ -159,11 +159,16 @@ class _patched_loader:
                 stacklevel=2,
             )
         # the query/plan modules that are KNOWN to hold the binding must
-        # never be in the failed set — fail loud, not flat
-        assert not any(
-            n.split(".")[1] in ("queries", "plans") for n in failed
-        ), f"ladder: query/plan module import failed at patch time: {failed}"
-        assert any(m is catalog for m, _ in self._sites)
+        # never be in the failed set — fail loud, not flat (explicit
+        # raise, not assert: this invariant must survive `python -O`)
+        if any(n.split(".")[1] in ("queries", "plans") for n in failed):
+            raise RuntimeError(
+                f"ladder: query/plan module import failed at patch time: {failed}"
+            )
+        if not any(m is catalog for m, _ in self._sites):
+            raise RuntimeError(
+                "ladder: catalog.load_table was not captured for patching"
+            )
         for mod, _ in self._sites:
             mod.load_table = load
         return self

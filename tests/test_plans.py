@@ -442,12 +442,15 @@ def test_ladder_patches_every_load_table_binding(spark):
     assert n1 == 3 * n0
 
 
-def test_ladder_loader_warns_on_module_import_failure(spark):
+def test_ladder_loader_warns_on_module_import_failure(spark, monkeypatch):
     """Round-6 ADVICE low: a module that fails to import during the
     loader's package walk could silently hold an unpatched load_table
     binding (the round-5 unreplicated-input bug class). Non-query
     modules must WARN with the failed names; a query/plan module
-    failing must raise."""
+    failing must raise. Round-7 ADVICE low: patch via the monkeypatch
+    fixture (scoped restoration even if the assertion machinery itself
+    raises), and the fail-loud path is a RuntimeError, not an assert
+    (must survive `python -O`)."""
     import importlib
 
     import pytest
@@ -461,27 +464,21 @@ def test_ladder_loader_warns_on_module_import_failure(spark):
             raise ImportError("simulated capability-missing module")
         return real_import(name, *a, **kw)
 
-    importlib.import_module = flaky
-    try:
-        with pytest.warns(UserWarning, match="ext.multimodal"):
-            with _patched_loader(2):
-                pass
-    finally:
-        importlib.import_module = real_import
+    monkeypatch.setattr(importlib, "import_module", flaky)
+    with pytest.warns(UserWarning, match="ext.multimodal"):
+        with _patched_loader(2):
+            pass
 
     def flaky_query_mod(name, *a, **kw):
         if name == "financial_tracker_etl_spark.queries.ext":
             raise ImportError("simulated")
         return real_import(name, *a, **kw)
 
-    importlib.import_module = flaky_query_mod
-    try:
-        with pytest.raises(AssertionError, match="queries"):
-            with pytest.warns(UserWarning):
-                with _patched_loader(2):
-                    pass
-    finally:
-        importlib.import_module = real_import
+    monkeypatch.setattr(importlib, "import_module", flaky_query_mod)
+    with pytest.raises(RuntimeError, match="queries"):
+        with pytest.warns(UserWarning):
+            with _patched_loader(2):
+                pass
 
 
 def test_ladder_replicas_are_new_entities_not_key_collisions(spark):
