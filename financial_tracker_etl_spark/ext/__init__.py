@@ -2,6 +2,11 @@
 
 from __future__ import annotations
 
+import functools
+import threading
+from collections import deque
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 #: Runtime conf key: set to a cluster-visible directory (HDFS/S3) to
@@ -11,15 +16,83 @@ from pyspark.sql import DataFrame
 #: (see :func:`cut_lineage`).
 CHECKPOINT_DIR_CONF = "spark.financial_tracker_etl_spark.checkpointDir"
 
-#: Reliable checkpoints retained per context when the knob is active.
-#: Mirrors Spark ML's ``PeriodicCheckpointer``: once a newer checkpoint
-#: has materialized, iterations older than the last ``CHECKPOINT_KEEP``
-#: are dead weight — without retention a 20-iteration pagerank on the
-#: reliable path would leave ~10 full copies of the rank vector on DFS
-#: per run, exactly the long-job/spot-fleet scenario the knob targets.
-#: 2, not 1: the in-flight cut may still read the previous iteration's
-#: checkpointed frame while materializing.
+#: Reliable checkpoints retained per ownership scope when the knob is
+#: active. Mirrors Spark ML's ``PeriodicCheckpointer``: once a newer
+#: checkpoint has materialized, iterations older than the last
+#: ``CHECKPOINT_KEEP`` are dead weight — without retention a
+#: 20-iteration pagerank on the reliable path would leave ~10 full
+#: copies of the rank vector on DFS per run, exactly the
+#: long-job/spot-fleet scenario the knob targets. 2, not 1: the
+#: in-flight cut may still read the previous iteration's checkpointed
+#: frame while materializing.
 CHECKPOINT_KEEP = 2
+
+# Ownership tracking (round-8 ADVICE high): reaping must only ever
+# delete checkpoints THIS module created — like Spark ML's
+# PeriodicCheckpointer, which tracks the queue of checkpoints it made
+# and removes only those — and must be scoped per operator invocation
+# so the final checkpoint RETURNED by one operator (re-read from its
+# files on every later action) is never deleted by the next operator's
+# cuts. Scopes are thread-local, so concurrent driver threads (Spark
+# supports concurrent jobs on one context) each retain their own
+# window and never reap a checkpoint another thread just materialized.
+_TLS = threading.local()
+
+
+def _active_owned() -> deque:
+    """The deque of owned checkpoint paths for the current thread:
+    the innermost :func:`checkpoint_scope` if one is open, else the
+    thread's ambient deque (for direct ``cut_lineage`` callers)."""
+    stack = getattr(_TLS, "scopes", None)
+    if stack:
+        return stack[-1]
+    ambient = getattr(_TLS, "ambient", None)
+    if ambient is None:
+        ambient = _TLS.ambient = deque()
+    return ambient
+
+
+@contextmanager
+def checkpoint_scope():
+    """Ownership scope for the reliable-checkpoint retention window.
+
+    Every iterative operator opens one around its loop, so the
+    :data:`CHECKPOINT_KEEP` retention window applies to THAT
+    invocation's checkpoints only: when the scope closes, its
+    surviving (newest ≤ ``CHECKPOINT_KEEP``) checkpoints — including
+    the one backing the operator's returned frame — leave the reaping
+    system entirely and stay readable for the life of the returned
+    frame. Checkpoints created by other scopes, other threads, or by
+    the user directly (``df.checkpoint()``) are never candidates.
+
+    Files surviving a closed scope are not deleted by this module;
+    callers running many knob-set operators in one long-lived driver
+    should remove the knob directory when the outputs are no longer
+    needed (or unset the knob for short jobs — localCheckpoint blocks
+    are reclaimed automatically).
+    """
+    stack = getattr(_TLS, "scopes", None)
+    if stack is None:
+        stack = _TLS.scopes = []
+    owned: deque = deque()
+    stack.append(owned)
+    try:
+        yield owned
+    finally:
+        stack.pop()
+
+
+def checkpoint_scoped(fn):
+    """Decorator: run ``fn`` inside its own :func:`checkpoint_scope`,
+    so each invocation of an iterative operator owns (and reaps) only
+    the checkpoints its own ``cut_lineage`` calls create."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with checkpoint_scope():
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def _resolved_checkpoint_parent(sc) -> str | None:
@@ -45,36 +118,58 @@ def _qualified(sc, target: str) -> str:
     return str(fs.makeQualified(hpath))
 
 
-def _reap_old_checkpoints(sc) -> None:
-    """Keep only the newest :data:`CHECKPOINT_KEEP` ``rdd-*`` entries
-    under the context's resolved checkpoint dir.
+def _list_rdd_paths(sc, resolved: str) -> set[str]:
+    """Fully-qualified ``rdd-*`` entry paths under ``resolved``.
 
-    Reliable checkpoints are written as ``<dir>/<uuid>/rdd-<id>`` with
-    monotonically increasing RDD ids, so newest-by-id == newest-by-time.
-    Spark's own cleaner does not help here:
-    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is read once at
-    ContextCleaner construction (session start) and only fires on
-    driver-side GC, so checkpoints otherwise accumulate forever.
-    """
-    resolved = sc.getCheckpointDir()
-    if not resolved:
-        return
+    Reliable checkpoints are written as ``<dir>/<uuid>/rdd-<id>``;
+    ``resolved`` is the ``<dir>/<uuid>`` the context currently points
+    at, and ``listStatus`` returns qualified paths, so the
+    before/after set difference around a ``checkpoint()`` call
+    identifies exactly the entries that call created."""
     jvm = sc._jvm
     dir_path = jvm.org.apache.hadoop.fs.Path(resolved)
     fs = dir_path.getFileSystem(sc._jsc.hadoopConfiguration())
     if not fs.exists(dir_path):
-        return
-    entries = []
-    for status in fs.listStatus(dir_path):
-        name = status.getPath().getName()
-        if name.startswith("rdd-"):
-            try:
-                entries.append((int(name[4:]), status.getPath()))
-            except ValueError:
-                continue
-    entries.sort()
-    for _, path in entries[: max(0, len(entries) - CHECKPOINT_KEEP)]:
-        fs.delete(path, True)
+        return set()
+    return {
+        str(status.getPath())
+        for status in fs.listStatus(dir_path)
+        if status.getPath().getName().startswith("rdd-")
+    }
+
+
+def _reap_owned(sc, owned: deque) -> None:
+    """Delete the oldest OWNED checkpoints beyond the newest
+    :data:`CHECKPOINT_KEEP` — and only owned ones: ``owned`` holds
+    exactly the paths this thread's current scope created via
+    :func:`cut_lineage`, so foreign checkpoints (other operators'
+    returned frames, other threads, direct ``df.checkpoint()`` users)
+    are never touched, per Spark ML's ``PeriodicCheckpointer``
+    contract. Spark's own cleaner does not help here:
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is read once
+    at ContextCleaner construction (session start) and only fires on
+    driver-side GC, so checkpoints otherwise accumulate forever.
+
+    A deleted entry's parent ``<uuid>`` directory is pruned when it
+    empties and is no longer the context's resolved dir (each
+    foreign-``setCheckpointDir`` correction mints a fresh UUID subdir,
+    so without pruning, ping-pong between this module and foreign code
+    would strand empty UUID dirs forever — round-8 ADVICE low). Owned
+    entries are only ever created while the context points at the knob
+    directory, whose UUID subdirs this module exclusively owns."""
+    jvm = sc._jvm
+    while len(owned) > CHECKPOINT_KEEP:
+        path_str = owned.popleft()
+        hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+        parent = hpath.getParent()
+        if (
+            str(parent) != (sc.getCheckpointDir() or "")
+            and fs.exists(parent)
+            and len(fs.listStatus(parent)) == 0
+        ):
+            fs.delete(parent, False)
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:
@@ -97,16 +192,21 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     preemptible/spot fleets, where the expected number of losses over
     the run exceeds one.
 
-    Ownership + retention (knob set): this function takes ownership of
-    the SparkContext's checkpoint directory — it re-points the context
-    at the knob path whenever the currently-resolved directory differs
-    (detected from the live context, so a foreign ``setCheckpointDir``
-    in between is corrected, not silently adopted), and after each new
-    checkpoint materializes it deletes all but the newest
-    :data:`CHECKPOINT_KEEP` checkpoints under that directory
-    (``PeriodicCheckpointer`` semantics). Callers that need more than
-    the last two checkpointed frames to stay resurrectable, or that
-    manage ``setCheckpointDir`` themselves, should leave the knob unset.
+    Ownership + retention (knob set): this function re-points the
+    context at the knob path whenever the currently-resolved directory
+    differs (detected from the live context, so a foreign
+    ``setCheckpointDir`` in between is corrected, not silently
+    adopted), records the ``rdd-*`` entries each ``checkpoint()`` call
+    creates in the current thread's ownership scope (see
+    :func:`checkpoint_scope`), and after each new checkpoint
+    materializes deletes the scope's OWNED entries beyond the newest
+    :data:`CHECKPOINT_KEEP` (``PeriodicCheckpointer`` semantics —
+    track what you made, delete only that). Checkpoints from other
+    scopes/threads and direct ``df.checkpoint()`` output are never
+    deleted. Direct callers outside any scope share a thread-ambient
+    window and should ``checkpoint_scope()`` their loop — or keep
+    references only to frames among their last ``CHECKPOINT_KEEP``
+    cuts.
     """
     spark = df.sparkSession
     target = spark.conf.get(CHECKPOINT_DIR_CONF, None)
@@ -114,8 +214,16 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         sc = spark.sparkContext
         if _resolved_checkpoint_parent(sc) != _qualified(sc, target):
             sc.setCheckpointDir(target)
+        resolved = sc.getCheckpointDir()
+        before = _list_rdd_paths(sc, resolved)
         out = df.checkpoint(eager=True)
-        _reap_old_checkpoints(sc)
+        created = _list_rdd_paths(sc, resolved) - before
+        owned = _active_owned()
+        # rdd ids increase monotonically: newest-by-id == newest-by-time
+        owned.extend(
+            sorted(created, key=lambda p: int(p.rsplit("rdd-", 1)[1]))
+        )
+        _reap_owned(sc, owned)
         return out
     return df.localCheckpoint(eager=True)
 

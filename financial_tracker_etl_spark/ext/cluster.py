@@ -28,9 +28,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import cut_lineage
+from . import checkpoint_scoped, cut_lineage
 
 
+@checkpoint_scoped
 def connected_components(
     edges: DataFrame,
     src: str = "doc1",

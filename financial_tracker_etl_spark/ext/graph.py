@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from . import cut_lineage
+from . import checkpoint_scoped, cut_lineage
 
 
 def stage_on_key(df: DataFrame, key: str) -> DataFrame:
@@ -61,6 +61,7 @@ def stage_on_key(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+@checkpoint_scoped
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -146,6 +147,7 @@ def pagerank(
     return p.select("node", F.col("p").alias("rank_ppm"))
 
 
+@checkpoint_scoped
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

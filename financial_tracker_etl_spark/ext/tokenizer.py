@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from . import cut_lineage
+from . import checkpoint_scoped, cut_lineage
 
 # end-of-word marker, appended as a terminal symbol so merges cannot
 # cross word boundaries and word-final units are distinguishable (the
@@ -107,6 +107,7 @@ def best_pair(symtab: DataFrame) -> tuple[str, str, int] | None:
     return (r["left"], r["right"], r["pair_count"])
 
 
+@checkpoint_scoped
 def train_merges(
     df: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:
