@@ -33,6 +33,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # box-state annotation: the cross-draw variance band is 17-28 s on
+    # this box with co-tenant episodes sometimes invisible in loadavg
+    # (BASELINE.md round-7/8 notes) — recording launch/end loadavg in
+    # the bench line gives the per-round adjudication its first signal
+    load_at_launch = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("bench")
     reg = registry()
     # headline = the stable 14-query set benched since round 1 (its
@@ -86,6 +92,8 @@ def main() -> None:
                 "tail_queries": sorted(tail),
                 "tail_total_sec": round(sum(timings[n] for n in tail), 3),
                 "sf": sf,
+                "loadavg_at_launch": load_at_launch,
+                "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
