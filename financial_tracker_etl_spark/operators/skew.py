@@ -65,3 +65,48 @@ def salted_agg(
         .agg(*partial_exprs)
     )
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_window_count(
+    df: DataFrame,
+    keys: list[str],
+    salt_from: list[str],
+    buckets: int = 16,
+    out_col: str = "count",
+) -> DataFrame:
+    """Skew-safe equivalent of attaching
+    ``F.count(lit(1)).over(Window.partitionBy(*keys))`` to every row.
+
+    A whole-partition window is NOT splittable by AQE skew handling: a
+    head key carrying p% of the stream concentrates p% of the rows in
+    one task, and that task grows linearly with corpus size. This form
+    bounds per-task key mass at ~1/buckets: a (keys, salt) window
+    computes partials over the balanced exchange, the distinct
+    (keys, salt, partial) rows (|keys|*buckets, tiny) reduce to per-key
+    totals, and the totals join back on the key — a sort-merge join
+    AQE CAN skew-split, unlike the window.
+
+    Measured (scripts/skew_probe_r9.py, 40%-hub corpus, medians of
+    interleaved draws): plain-window/salted = 1.45x at 2M rows, 2.07x
+    at 4M — the gap grows with scale. On NATURALLY distributed keys
+    the plain window is cheaper (no distinct+join; see the
+    BASELINE.md round-9 note for the crossover threshold: salt when
+    the top key's row count exceeds ~10x the mean per-shuffle-partition
+    rows).
+
+    The salt is deterministic (``with_salt``), so retried tasks and
+    replayed batches attach identical counts.
+    """
+    from pyspark.sql import Window
+
+    salted = with_salt(df, salt_from, buckets).withColumn(
+        "_partial",
+        F.count(F.lit(1)).over(Window.partitionBy(*keys, "_salt")),
+    )
+    totals = (
+        salted.select(*keys, "_salt", "_partial")
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.sum("_partial").cast("long").alias(out_col))
+    )
+    return salted.join(totals, list(keys)).drop("_salt", "_partial")

@@ -835,3 +835,46 @@ def test_salted_join_rejects_degenerate_salt_sources(spark):
         (r.k, r.seq, r.v) for r in large.join(small, "k").collect()
     )
     assert got == want
+
+
+def test_salted_window_count_equals_plain_window(spark):
+    """salted_window_count must be a semantic no-op vs attaching the
+    per-key count with a whole-partition window — same rows, same
+    attached counts, for hot-key and tail-key rows alike (round-9
+    skew probe's variant B, promoted to a library helper)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.operators.skew import salted_window_count
+
+    rows = [("hot", i) for i in range(400)] + [
+        (f"k{i % 20}", 1000 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int")
+
+    plain = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "n", F.count(F.lit(1)).over(Window.partitionBy("k"))
+            ).collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_window_count(
+                df, ["k"], salt_from=["seq"], buckets=8, out_col="n"
+            ).collect(),
+        )
+    )
+    assert salted == plain
+    # deterministic across replays: identical result on a second run
+    assert salted == sorted(
+        map(
+            tuple,
+            salted_window_count(
+                df, ["k"], salt_from=["seq"], buckets=8, out_col="n"
+            ).collect(),
+        )
+    )
