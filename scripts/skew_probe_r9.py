@@ -100,26 +100,25 @@ def variant_window(pairs):
 
 
 def variant_salted(pairs):
-    salted = (
-        pairs.withColumn(
-            "pair_count",
-            F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")),
-        )
-        .withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id", "w2"), F.lit(SALT)).cast("int")
-        )
-        .withColumn(
-            "_partial",
-            F.count(F.lit(1)).over(Window.partitionBy("w1", "_salt")),
+    # the library form of this variant (promoted after the probe's
+    # first run): (w1,salt) window partials -> tiny totals -> AQE-
+    # splittable join back
+    from financial_tracker_etl_spark.operators.skew import (
+        salted_window_count,
+    )
+
+    with_pairs = pairs.withColumn(
+        "pair_count", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    )
+    return _final_agg(
+        salted_window_count(
+            with_pairs,
+            ["w1"],
+            salt_from=["doc_id", "w2"],
+            buckets=SALT,
+            out_col="w1_count",
         )
     )
-    w1_tot = (
-        salted.select("w1", "_salt", "_partial")
-        .distinct()
-        .groupBy("w1")
-        .agg(F.sum("_partial").alias("w1_count"))
-    )
-    return _final_agg(salted.join(w1_tot, "w1"))
 
 
 def timed(df) -> float:
