@@ -138,6 +138,24 @@ def _list_rdd_paths(sc, resolved: str) -> set[str]:
     }
 
 
+def _created_checkpoint_path(out: DataFrame) -> str | None:
+    """The exact checkpoint directory backing an eagerly checkpointed
+    DataFrame — race-free ownership attribution.
+
+    ``df.checkpoint(eager=True)`` returns a frame whose analyzed plan
+    is a ``LogicalRDD`` over the just-checkpointed RDD;
+    ``RDD.getCheckpointFile`` yields its ``.../<uuid>/rdd-<id>`` path.
+    Unlike a before/after directory-listing diff, this cannot claim an
+    entry a concurrent thread's cut created in the same window. Returns
+    None if the internal plan shape ever changes (caller falls back to
+    the listing diff)."""
+    try:
+        f = out._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return str(f.get()) if f.isDefined() else None
+    except Exception:
+        return None
+
+
 def _reap_owned(sc, owned: deque) -> None:
     """Delete the oldest OWNED checkpoints beyond the newest
     :data:`CHECKPOINT_KEEP` — and only owned ones: ``owned`` holds
@@ -217,12 +235,20 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         resolved = sc.getCheckpointDir()
         before = _list_rdd_paths(sc, resolved)
         out = df.checkpoint(eager=True)
-        created = _list_rdd_paths(sc, resolved) - before
         owned = _active_owned()
-        # rdd ids increase monotonically: newest-by-id == newest-by-time
-        owned.extend(
-            sorted(created, key=lambda p: int(p.rsplit("rdd-", 1)[1]))
-        )
+        created = _created_checkpoint_path(out)
+        if created is not None:
+            owned.append(created)
+        else:
+            # fallback attribution: before/after listing diff. Exact in
+            # a single-threaded driver; under concurrent knob-set cuts
+            # it could misattribute a sibling thread's entry, which the
+            # precise path above exists to avoid.
+            diff = _list_rdd_paths(sc, resolved) - before
+            # rdd ids increase monotonically: newest-by-id == newest
+            owned.extend(
+                sorted(diff, key=lambda p: int(p.rsplit("rdd-", 1)[1]))
+            )
         _reap_owned(sc, owned)
         return out
     return df.localCheckpoint(eager=True)

@@ -1507,3 +1507,27 @@ def test_reliable_checkpoint_value_identity_matrix(spark, tmp_path, op):
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
     assert reliable == local
+
+
+def test_checkpoint_ownership_attribution_is_precise(spark, tmp_path):
+    """The race-free attribution path (LogicalRDD -> getCheckpointFile)
+    must actually engage on this Spark version — if it silently fell
+    back to the listing diff, concurrent knob-set cuts could
+    misattribute a sibling thread's checkpoint."""
+    from financial_tracker_etl_spark.ext import (
+        CHECKPOINT_DIR_CONF,
+        _created_checkpoint_path,
+        checkpoint_scope,
+        cut_lineage,
+    )
+
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "attr"))
+    try:
+        with checkpoint_scope() as owned:
+            out = cut_lineage(spark.range(7))
+            assert len(owned) == 1
+            path = _created_checkpoint_path(out)
+            assert path is not None and "rdd-" in path
+            assert owned[-1] == path
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
