@@ -89,10 +89,11 @@ def salted_window_count(
     Measured (scripts/skew_probe_r9.py, 40%-hub corpus, medians of
     interleaved draws): plain-window/salted = 1.45x at 2M rows, 2.07x
     at 4M — the gap grows with scale. On NATURALLY distributed keys
-    the plain window is cheaper (no distinct+join; see the
-    BASELINE.md round-9 note for the crossover threshold: salt when
-    the top key's row count exceeds ~10x the mean per-shuffle-partition
-    rows).
+    the plain window is cheaper (no distinct+join): the measured
+    crossover sits between 10% and 20% head share at 32 shuffle
+    partitions, i.e. salt when the top key's row share exceeds ~5x
+    the mean per-shuffle-partition share; full sweep table in the
+    BASELINE.md round-9 note.
 
     The salt is deterministic (``with_salt``), so retried tasks and
     replayed batches attach identical counts.
