@@ -1531,3 +1531,24 @@ def test_checkpoint_ownership_attribution_is_precise(spark, tmp_path):
             assert owned[-1] == path
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_checkpoint_ownership_listing_fallback(spark, tmp_path, monkeypatch):
+    """If the precise LogicalRDD attribution ever returns None (plan
+    shape change in a future Spark), the listing-diff fallback must
+    still attribute and reap correctly in a single-threaded driver."""
+    import financial_tracker_etl_spark.ext as ext
+
+    monkeypatch.setattr(ext, "_created_checkpoint_path", lambda out: None)
+    knob = tmp_path / "fallback"
+    spark.conf.set(ext.CHECKPOINT_DIR_CONF, str(knob))
+    try:
+        with ext.checkpoint_scope() as owned:
+            last = None
+            for i in range(5):
+                last = ext.cut_lineage(spark.range(i + 1))
+            assert len(owned) == ext.CHECKPOINT_KEEP
+        assert len(_rdd_dirs_under(knob)) <= ext.CHECKPOINT_KEEP
+        assert last.count() == 5
+    finally:
+        spark.conf.unset(ext.CHECKPOINT_DIR_CONF)
