@@ -1,4 +1,7 @@
-"""Shared staging helpers for the pair-producing ext operators."""
+"""Shared staging helpers for the pair-producing ext operators, plus
+the lineage-cut machinery for the iterative ones: localCheckpoint by
+default, ownership-scoped reliable checkpoints (with
+PeriodicCheckpointer-style retention) under the checkpointDir knob."""
 
 from __future__ import annotations
 
