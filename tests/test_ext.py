@@ -1552,3 +1552,51 @@ def test_checkpoint_ownership_listing_fallback(spark, tmp_path, monkeypatch):
         assert last.count() == 5
     finally:
         spark.conf.unset(ext.CHECKPOINT_DIR_CONF)
+
+
+def test_checkpoint_scopes_are_thread_isolated(spark, tmp_path):
+    """Round-8 ADVICE low (concurrency): Spark supports concurrent
+    driver-thread jobs on one context, so two knob-set iterative
+    operators may interleave cuts. Ownership scopes are thread-local:
+    neither thread may reap a checkpoint the other materialized — both
+    threads' final frames must stay collectable after 4 cuts each
+    (enough that a shared retention window WOULD have reaped the other
+    thread's survivors)."""
+    import threading
+
+    from financial_tracker_etl_spark.ext import (
+        CHECKPOINT_DIR_CONF,
+        checkpoint_scope,
+        cut_lineage,
+    )
+
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "threads"))
+    results: dict[str, object] = {}
+
+    def worker(name: str, base: int) -> None:
+        try:
+            with checkpoint_scope():
+                df = None
+                for i in range(4):
+                    df = cut_lineage(spark.range(base + i + 1))
+                results[name] = df
+        except Exception as e:  # surfaced to the main thread below
+            results[name] = e
+
+    try:
+        threads = [
+            threading.Thread(target=worker, args=("a", 10)),
+            threading.Thread(target=worker, args=("b", 20)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not isinstance(results["a"], Exception), results["a"]
+        assert not isinstance(results["b"], Exception), results["b"]
+        # both final checkpoints must still be readable: a cross-thread
+        # reap would fail here with a missing checkpoint file
+        assert results["a"].count() == 14
+        assert results["b"].count() == 24
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)

@@ -1106,3 +1106,38 @@ def test_histogram_quantiles_match_native_percentile(spark, rows, tmp_path):
         .collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["hot", "k1", "k2"]),  # head key + tail
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    buckets=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_salted_window_count_matches_model(spark, rows, buckets):
+    """salted_window_count attaches exactly the per-key row count a
+    driver-side model computes, for any key mix (duplicate salts,
+    singleton keys, buckets=1 degenerate) — the salt must never leak
+    into the attached counts."""
+    from collections import Counter
+
+    from financial_tracker_etl_spark.operators.skew import salted_window_count
+
+    df = spark.createDataFrame(rows, "k string, seq long")
+    got = sorted(
+        map(
+            tuple,
+            salted_window_count(
+                df, ["k"], salt_from=["seq"], buckets=buckets, out_col="n"
+            ).collect(),
+        )
+    )
+    model = Counter(k for k, _ in rows)
+    want = sorted((k, s, model[k]) for k, s in rows)
+    assert got == want
