@@ -1600,3 +1600,22 @@ def test_checkpoint_scopes_are_thread_isolated(spark, tmp_path):
         assert results["b"].count() == 24
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_registry_pagerank_knob_value_identity(spark, tmp_path):
+    """Registry-level knob differential: the REAL purchase-graph
+    pagerank query (full TPC-H edge build + @checkpoint_scoped
+    iteration + ownership reaping) returns bitwise-identical rows with
+    the reliable-checkpoint knob set and unset — the toy-frame matrix
+    test, upgraded to the shipped query plumbing."""
+    from financial_tracker_etl_spark.ext import CHECKPOINT_DIR_CONF
+    from financial_tracker_etl_spark.queries import registry
+
+    fn = registry()["purchase_graph_pagerank"].fn
+    local = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "reg_knob"))
+    try:
+        reliable = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable == local and len(local) > 0
