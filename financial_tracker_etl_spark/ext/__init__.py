@@ -41,6 +41,19 @@ CHECKPOINT_KEEP = 2
 # window and never reap a checkpoint another thread just materialized.
 _TLS = threading.local()
 
+# Round-9 ADVICE (low): the before-listing in :func:`cut_lineage`
+# exists only to feed the listing-diff FALLBACK attribution, yet it
+# costs a listStatus round-trip per cut — an extra remote listing per
+# iteration on the knob's target scenario (S3/HDFS). Precise
+# attribution via ``LogicalRDD → getCheckpointFile`` works on this
+# Spark version (pinned by test), so after its first success we stop
+# taking the before-listing; if precise attribution EVER returns None
+# (an internal plan-shape change), the flag flips back off and every
+# later cut lists again. Process-global on purpose: it probes an
+# engine capability, not per-thread state, and the write race is
+# benign (monotone until a failure is observed).
+_PRECISE_ATTRIBUTION_OK = False
+
 
 def _active_owned() -> deque:
     """The deque of owned checkpoint paths for the current thread:
@@ -229,6 +242,7 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     references only to frames among their last ``CHECKPOINT_KEEP``
     cuts.
     """
+    global _PRECISE_ATTRIBUTION_OK
     spark = df.sparkSession
     target = spark.conf.get(CHECKPOINT_DIR_CONF, None)
     if target:
@@ -236,22 +250,37 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         if _resolved_checkpoint_parent(sc) != _qualified(sc, target):
             sc.setCheckpointDir(target)
         resolved = sc.getCheckpointDir()
-        before = _list_rdd_paths(sc, resolved)
+        # the before-listing only feeds the fallback attribution below;
+        # once precise attribution has succeeded in this process, skip
+        # the extra listStatus per cut (round-9 ADVICE low).
+        before = (
+            None if _PRECISE_ATTRIBUTION_OK else _list_rdd_paths(sc, resolved)
+        )
         out = df.checkpoint(eager=True)
         owned = _active_owned()
         created = _created_checkpoint_path(out)
         if created is not None:
+            _PRECISE_ATTRIBUTION_OK = True
             owned.append(created)
         else:
-            # fallback attribution: before/after listing diff. Exact in
-            # a single-threaded driver; under concurrent knob-set cuts
-            # it could misattribute a sibling thread's entry, which the
-            # precise path above exists to avoid.
-            diff = _list_rdd_paths(sc, resolved) - before
-            # rdd ids increase monotonically: newest-by-id == newest
-            owned.extend(
-                sorted(diff, key=lambda p: int(p.rsplit("rdd-", 1)[1]))
-            )
+            _PRECISE_ATTRIBUTION_OK = False
+            if before is not None:
+                # fallback attribution: before/after listing diff.
+                # Exact in a single-threaded driver; under concurrent
+                # knob-set cuts it could misattribute a sibling
+                # thread's entry, which the precise path above exists
+                # to avoid.
+                diff = _list_rdd_paths(sc, resolved) - before
+                # rdd ids increase monotonically: newest-by-id == newest
+                owned.extend(
+                    sorted(diff, key=lambda p: int(p.rsplit("rdd-", 1)[1]))
+                )
+            # else: precise attribution had always worked (so no
+            # before-listing was taken) and just failed for the first
+            # time — leave THIS entry unowned. Unowned entries are
+            # never reaped: the safe failure direction is one leaked
+            # checkpoint dir, never a misattributed delete. Listing
+            # resumes from the next cut.
         _reap_owned(sc, owned)
         return out
     return df.localCheckpoint(eager=True)

@@ -97,6 +97,13 @@ def salted_window_count(
 
     The salt is deterministic (``with_salt``), so retried tasks and
     replayed batches attach identical counts.
+
+    NULL keys (round-9 ADVICE medium): ``Window.partitionBy`` — like
+    the ``groupBy``/``distinct`` below — treats NULL as one ordinary
+    group, but a name-based equi-join-back would silently DROP every
+    null-key row. The join-back therefore renames the totals side's
+    keys and joins on ``eqNullSafe``, so null-key rows get their group
+    count attached exactly as the plain window attaches it.
     """
     from pyspark.sql import Window
 
@@ -110,4 +117,15 @@ def salted_window_count(
         .groupBy(*keys)
         .agg(F.sum("_partial").cast("long").alias(out_col))
     )
-    return salted.join(totals, list(keys)).drop("_salt", "_partial")
+    prefix = "__swc_"
+    cols = set(df.columns) | {out_col}
+    while any(prefix + k in cols for k in keys):
+        prefix = "_" + prefix
+    tagged = [prefix + k for k in keys]
+    totals = totals.select(
+        *[F.col(k).alias(t) for k, t in zip(keys, tagged)], out_col
+    )
+    cond = F.lit(True)
+    for k, t in zip(keys, tagged):
+        cond = cond & F.col(k).eqNullSafe(F.col(t))
+    return salted.join(totals, cond).drop("_salt", "_partial", *tagged)

@@ -46,6 +46,13 @@ def _silence_benign_windowexec_warning(spark: SparkSession) -> None:
     logger, only WARN. An unbounded global window would still be
     caught by the plan guards (tests assert TakeOrderedAndProject /
     bounded inputs on every such site).
+
+    MAINTENANCE INVARIANT (round-9 ADVICE low, also noted in
+    COVERAGE.md): this logger pin is process-global, so the runtime
+    warning is gone for ANY partition-less window — including ones
+    added later. Every NEW global-window site must therefore ship its
+    own plan-guard test proving its input is bounded; the guards are
+    the only remaining tripwire.
     """
     try:
         jvm = spark.sparkContext._jvm

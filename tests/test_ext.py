@@ -1344,7 +1344,7 @@ def test_checkpoint_retention_invariant(spark, tmp_path):
         assert len(_rdd_dirs_under(knob)) <= CHECKPOINT_KEEP
         # the newest CHECKPOINT_KEEP frames (incl. the "returned" last
         # one) survive the scope and stay collectable
-        for want, df in zip(range(5, 6 - CHECKPOINT_KEEP, -1), frames[::-1]):
+        for want, df in zip(range(5, 5 - CHECKPOINT_KEEP, -1), frames[::-1]):
             assert df.count() == want + 1
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
@@ -1539,6 +1539,11 @@ def test_checkpoint_ownership_listing_fallback(spark, tmp_path, monkeypatch):
     still attribute and reap correctly in a single-threaded driver."""
     import financial_tracker_etl_spark.ext as ext
 
+    # start from the unproven state: with the round-10 probe gating, a
+    # True flag left by an earlier test would skip the before-listing
+    # on the first cut and deliberately leak that entry (the safe
+    # failure direction) — this test exercises the steady fallback.
+    monkeypatch.setattr(ext, "_PRECISE_ATTRIBUTION_OK", False)
     monkeypatch.setattr(ext, "_created_checkpoint_path", lambda out: None)
     knob = tmp_path / "fallback"
     spark.conf.set(ext.CHECKPOINT_DIR_CONF, str(knob))
@@ -1550,6 +1555,43 @@ def test_checkpoint_ownership_listing_fallback(spark, tmp_path, monkeypatch):
             assert len(owned) == ext.CHECKPOINT_KEEP
         assert len(_rdd_dirs_under(knob)) <= ext.CHECKPOINT_KEEP
         assert last.count() == 5
+    finally:
+        spark.conf.unset(ext.CHECKPOINT_DIR_CONF)
+
+
+def test_checkpoint_precise_probe_skips_before_listing(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE (low): the before-listing exists only to feed the
+    listing-diff fallback, so once precise LogicalRDD attribution has
+    succeeded in this process the per-cut listStatus round-trip (an
+    extra remote listing per iteration on an S3/HDFS knob dir) must be
+    skipped — and attribution/reaping must keep working without it."""
+    import financial_tracker_etl_spark.ext as ext
+
+    monkeypatch.setattr(ext, "_PRECISE_ATTRIBUTION_OK", False)
+    calls = []
+    real = ext._list_rdd_paths
+
+    def counting(sc, resolved):
+        calls.append(resolved)
+        return real(sc, resolved)
+
+    monkeypatch.setattr(ext, "_list_rdd_paths", counting)
+    knob = tmp_path / "probe"
+    spark.conf.set(ext.CHECKPOINT_DIR_CONF, str(knob))
+    try:
+        with ext.checkpoint_scope() as owned:
+            for i in range(4):
+                ext.cut_lineage(spark.range(i + 1))
+            # cut 1 lists (capability unproven), then precise
+            # attribution succeeds and cuts 2-4 take no listing at all
+            assert len(calls) == 1
+            assert ext._PRECISE_ATTRIBUTION_OK is True
+            assert len(owned) == ext.CHECKPOINT_KEEP
+        # reaping still worked with attribution coming solely from the
+        # precise path
+        assert len(_rdd_dirs_under(knob)) <= ext.CHECKPOINT_KEEP
     finally:
         spark.conf.unset(ext.CHECKPOINT_DIR_CONF)
 

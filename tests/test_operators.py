@@ -840,17 +840,24 @@ def test_salted_join_rejects_degenerate_salt_sources(spark):
 def test_salted_window_count_equals_plain_window(spark):
     """salted_window_count must be a semantic no-op vs attaching the
     per-key count with a whole-partition window — same rows, same
-    attached counts, for hot-key and tail-key rows alike (round-9
-    skew probe's variant B, promoted to a library helper)."""
+    attached counts, for hot-key, tail-key, and NULL-key rows alike
+    (round-9 skew probe's variant B promoted to a library helper;
+    null keys are the round-9 ADVICE medium — the window groups NULLs
+    together and keeps them, so the salted form must too)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from financial_tracker_etl_spark.operators.skew import salted_window_count
 
-    rows = [("hot", i) for i in range(400)] + [
-        (f"k{i % 20}", 1000 + i) for i in range(100)
-    ]
+    rows = (
+        [("hot", i) for i in range(400)]
+        + [(f"k{i % 20}", 1000 + i) for i in range(100)]
+        + [(None, 2000 + i) for i in range(7)]
+    )
     df = spark.createDataFrame(rows, "k string, seq int")
+
+    def _key(t):  # None-tolerant total order over (k, seq, n)
+        return (t[0] is None, t[0] or "", t[1], t[2])
 
     plain = sorted(
         map(
@@ -858,7 +865,8 @@ def test_salted_window_count_equals_plain_window(spark):
             df.withColumn(
                 "n", F.count(F.lit(1)).over(Window.partitionBy("k"))
             ).collect(),
-        )
+        ),
+        key=_key,
     )
     salted = sorted(
         map(
@@ -866,7 +874,8 @@ def test_salted_window_count_equals_plain_window(spark):
             salted_window_count(
                 df, ["k"], salt_from=["seq"], buckets=8, out_col="n"
             ).collect(),
-        )
+        ),
+        key=_key,
     )
     assert salted == plain
     # deterministic across replays: identical result on a second run
@@ -876,5 +885,6 @@ def test_salted_window_count_equals_plain_window(spark):
             salted_window_count(
                 df, ["k"], salt_from=["seq"], buckets=8, out_col="n"
             ).collect(),
-        )
+        ),
+        key=_key,
     )

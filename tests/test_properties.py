@@ -1111,7 +1111,7 @@ def test_histogram_quantiles_match_native_percentile(spark, rows, tmp_path):
 @given(
     rows=st.lists(
         st.tuples(
-            st.sampled_from(["hot", "k1", "k2"]),  # head key + tail
+            st.sampled_from(["hot", "k1", "k2", None]),  # head+tail+NULL
             st.integers(min_value=0, max_value=10_000),
         ),
         min_size=1,
@@ -1123,21 +1123,28 @@ def test_histogram_quantiles_match_native_percentile(spark, rows, tmp_path):
 def test_salted_window_count_matches_model(spark, rows, buckets):
     """salted_window_count attaches exactly the per-key row count a
     driver-side model computes, for any key mix (duplicate salts,
-    singleton keys, buckets=1 degenerate) — the salt must never leak
-    into the attached counts."""
+    singleton keys, NULL keys — the round-9 ADVICE medium, buckets=1
+    degenerate) — the salt must never leak into the attached counts
+    and null-key rows must survive the join-back with the NULL-group
+    count attached."""
     from collections import Counter
 
     from financial_tracker_etl_spark.operators.skew import salted_window_count
 
     df = spark.createDataFrame(rows, "k string, seq long")
+
+    def _key(t):  # None-tolerant total order over (k, seq, n)
+        return (t[0] is None, t[0] or "", t[1], t[2])
+
     got = sorted(
         map(
             tuple,
             salted_window_count(
                 df, ["k"], salt_from=["seq"], buckets=buckets, out_col="n"
             ).collect(),
-        )
+        ),
+        key=_key,
     )
     model = Counter(k for k, _ in rows)
-    want = sorted((k, s, model[k]) for k, s in rows)
+    want = sorted(((k, s, model[k]) for k, s in rows), key=_key)
     assert got == want
