@@ -8,6 +8,19 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect). A warmup run of the flagship amortizes JVM/codegen
 startup out of the numbers.
+
+Multi-draw self-adjudication (round-9 judge task 2): this box's
+cross-draw variance band is wide (17-28 s) and co-tenant episodes
+sometimes elevate every query uniformly, so a single draw cannot
+separate box state from tree state. ``--draws N`` (or
+$SPARK_GRAFT_BENCH_DRAWS; default 3) runs N full draws in one process
+and emits per-query MEDIANS and MINS alongside the single-draw keys.
+The legacy keys keep their exact semantics for cross-round
+comparability: "value"/"queries" are DRAW 1 alone, identical to what a
+--draws 1 run (or any pre-round-10 bench) would print; the medians and
+mins are additive. Adjudicate regressions on "queries_median" /
+"headline_median_total_sec" (and per-draw loadavg), not on draw-1
+numbers.
 """
 
 from __future__ import annotations
@@ -15,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -28,10 +42,30 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_draw(spark, bench_queries, sf_dir) -> dict[str, float]:
+    """One full measured draw over every bench query."""
+    timings: dict[str, float] = {}
+    for name, spec in bench_queries.items():
+        # drop persisted blocks left by the warmup / previous queries
+        # (outside the timed region): leftover cached RDDs are dead
+        # weight that shows up as GC pauses attributed to whichever
+        # query runs next — measured ±4 s noise on the upsert query.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(spec.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    draws = int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3"))
+    if "--draws" in sys.argv:
+        draws = int(sys.argv[sys.argv.index("--draws") + 1])
+    draws = max(1, draws)
 
     # box-state annotation: the cross-draw variance band is 17-28 s on
     # this box with co-tenant episodes sometimes invisible in loadavg
@@ -69,16 +103,18 @@ def main() -> None:
 
     staged_request_dir(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name, spec in bench_queries.items():
-        # drop persisted blocks left by the warmup / previous queries
-        # (outside the timed region): leftover cached RDDs are dead
-        # weight that shows up as GC pauses attributed to whichever
-        # query runs next — measured ±4 s noise on the upsert query.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        force(spec.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    all_draws: list[dict[str, float]] = []
+    loadavg_per_draw: list[list[float]] = []
+    for _ in range(draws):
+        loadavg_per_draw.append([round(x, 2) for x in os.getloadavg()])
+        all_draws.append(run_draw(spark, bench_queries, sf_dir))
+
+    timings = all_draws[0]  # legacy keys: draw 1 alone (see module doc)
+    med = {
+        n: round(statistics.median(d[n] for d in all_draws), 3)
+        for n in bench_queries
+    }
+    mn = {n: round(min(d[n] for d in all_draws), 3) for n in bench_queries}
 
     print(
         json.dumps(
@@ -91,8 +127,22 @@ def main() -> None:
                 "queries": timings,
                 "tail_queries": sorted(tail),
                 "tail_total_sec": round(sum(timings[n] for n in tail), 3),
+                "draws": draws,
+                "queries_median": med,
+                "queries_min": mn,
+                "headline_median_total_sec": round(
+                    sum(med[n] for n in headline), 3
+                ),
+                "headline_min_total_sec": round(
+                    sum(mn[n] for n in headline), 3
+                ),
+                "tail_median_total_sec": round(
+                    sum(med[n] for n in tail), 3
+                ),
+                "tail_min_total_sec": round(sum(mn[n] for n in tail), 3),
                 "sf": sf,
                 "loadavg_at_launch": load_at_launch,
+                "loadavg_per_draw": loadavg_per_draw,
                 "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
