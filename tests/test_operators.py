@@ -161,7 +161,11 @@ def test_upsert_newer_timestamp_wins(spark):
 
 def test_salted_aggregation_equals_plain(spark):
     """Two-phase salted aggregation must be a semantic no-op vs the
-    plain groupBy — only the shuffle layout differs."""
+    plain groupBy — only the shuffle layout differs. NULL keys
+    included (round-9 ADVICE medium symmetry): both phases are
+    groupBys, and groupBy keeps NULL as one ordinary group, so —
+    unlike the pre-fix salted_window_count join-back — no row can be
+    dropped; this pins that."""
     from pyspark.sql import functions as F
 
     from financial_tracker_etl_spark.operators.skew import (
@@ -169,10 +173,12 @@ def test_salted_aggregation_equals_plain(spark):
         salted_count,
     )
 
-    # one hot key ('hot' = 80% of rows) + a long tail
-    rows = [("hot", i, float(i % 7)) for i in range(400)] + [
-        (f"k{i % 20}", i, float(i)) for i in range(100)
-    ]
+    # one hot key ('hot' = 80% of rows) + a long tail + a NULL group
+    rows = (
+        [("hot", i, float(i % 7)) for i in range(400)]
+        + [(f"k{i % 20}", i, float(i)) for i in range(100)]
+        + [(None, 1000 + i, float(i)) for i in range(5)]
+    )
     df = spark.createDataFrame(rows, "k string, seq int, x double")
 
     plain = {(r["k"], r["count"]) for r in df.groupBy("k").count().collect()}
