@@ -142,6 +142,21 @@ def test_binned_range_join_avoids_nested_loop(spark, reg):
     assert "BroadcastHashJoin" in plan
 
 
+def test_salted_window_count_joins_hash_not_nested_loop(spark):
+    """The round-10 eqNullSafe join-back (NULL-key fix) must still
+    plan as a hash join: Spark rewrites null-safe equality into
+    coalesce/isnull hash keys, so the tiny totals side broadcasts —
+    a BNLJ or CartesianProduct here would be a scale-killer in the
+    helper's whole reason to exist (hot-key corpora)."""
+    from financial_tracker_etl_spark.operators.skew import salted_window_count
+
+    df = spark.range(10_000).selectExpr("cast(id % 97 as string) k", "id seq")
+    plan = plan_of(salted_window_count(df, ["k"], salt_from=["seq"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_skew_safe_distinct_spreads_first_shuffle(spark, reg):
     """The first exchange must partition on BOTH (event_type, user_id)
     — the skew-spreading composite key — never on event_type alone."""
