@@ -21,6 +21,23 @@ comparability: "value"/"queries" are DRAW 1 alone, identical to what a
 mins are additive. Adjudicate regressions on "queries_median" /
 "headline_median_total_sec" (and per-draw loadavg), not on draw-1
 numbers.
+
+Every draw pays the full streaming pipeline: the shared_pipeline memo
+(one run observed by both registry stream queries within a session) is
+reset at the start of each draw, so the stream query's median measures
+pipeline execution, not merge-on-read of draw 1's state (round-10
+judge finding — without the reset, draw-1 7.162 s vs "median" 0.572 s
+made the median series non-comparable to the legacy draw-1 series).
+
+Output contract (round-10 judge task 1): the driver captures only the
+LAST ~2 kB of output, and round 10's single all-keys JSON line outgrew
+that window (BENCH_r10.json "parsed": null). So the record is now
+split: the full record (per-query medians/mins, per-draw loadavg) goes
+to the BENCH_LOCAL.json sidecar next to this file and to a preceding
+"headline_queries_extended" stdout line, and the FINAL stdout line is
+a compact legacy record — value/queries (draw 1) plus the scalar
+median/min totals — sized well under the capture window so a tail
+capture always contains it whole.
 """
 
 from __future__ import annotations
@@ -44,6 +61,15 @@ def force(df) -> None:
 
 def run_draw(spark, bench_queries, sf_dir) -> dict[str, float]:
     """One full measured draw over every bench query."""
+    from financial_tracker_etl_spark.streaming.pipeline import (
+        reset_shared_pipeline,
+    )
+
+    # every draw re-executes the routed streaming pipeline (the memo
+    # would otherwise turn draws 2+ of the stream query into a
+    # merge-on-read no-op — see module doc); the reset also reclaims
+    # the previous draw's scratch state dirs
+    reset_shared_pipeline()
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():
         # drop persisted blocks left by the warmup / previous queries
@@ -62,9 +88,21 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # parse --draws BEFORE the expensive session launch, and fail fast
+    # with a message instead of an IndexError/ValueError traceback
+    # (round-10 ADVICE low: `--draws` as the last argument aborted the
+    # bench after launch)
     draws = int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3"))
     if "--draws" in sys.argv:
-        draws = int(sys.argv[sys.argv.index("--draws") + 1])
+        i = sys.argv.index("--draws")
+        if i + 1 >= len(sys.argv):
+            sys.exit("bench.py: --draws requires an integer argument")
+        try:
+            draws = int(sys.argv[i + 1])
+        except ValueError:
+            sys.exit(
+                f"bench.py: --draws expects an integer, got {sys.argv[i + 1]!r}"
+            )
     draws = max(1, draws)
 
     # box-state annotation: the cross-draw variance band is 17-28 s on
@@ -116,37 +154,51 @@ def main() -> None:
     }
     mn = {n: round(min(d[n] for d in all_draws), 3) for n in bench_queries}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(
-                    sum(timings[n] for n in headline), 3
-                ),
-                "unit": "sec",
-                "queries": timings,
-                "tail_queries": sorted(tail),
-                "tail_total_sec": round(sum(timings[n] for n in tail), 3),
-                "draws": draws,
-                "queries_median": med,
-                "queries_min": mn,
-                "headline_median_total_sec": round(
-                    sum(med[n] for n in headline), 3
-                ),
-                "headline_min_total_sec": round(
-                    sum(mn[n] for n in headline), 3
-                ),
-                "tail_median_total_sec": round(
-                    sum(med[n] for n in tail), 3
-                ),
-                "tail_min_total_sec": round(sum(mn[n] for n in tail), 3),
-                "sf": sf,
-                "loadavg_at_launch": load_at_launch,
-                "loadavg_per_draw": loadavg_per_draw,
-                "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+    loadavg_at_end = [round(x, 2) for x in os.getloadavg()]
+    # stop the session BEFORE printing so no JVM shutdown chatter can
+    # land after (and displace) the final line inside the driver's
+    # tail-capture window
+    spark.stop()
+
+    legacy = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings[n] for n in headline), 3),
+        "unit": "sec",
+        "queries": timings,
+        "tail_queries": sorted(tail),
+        "tail_total_sec": round(sum(timings[n] for n in tail), 3),
+        "draws": draws,
+        "headline_median_total_sec": round(
+            sum(med[n] for n in headline), 3
+        ),
+        "headline_min_total_sec": round(sum(mn[n] for n in headline), 3),
+        "tail_median_total_sec": round(sum(med[n] for n in tail), 3),
+        "tail_min_total_sec": round(sum(mn[n] for n in tail), 3),
+        "sf": sf,
+        "loadavg_at_launch": load_at_launch,
+    }
+    extended = {
+        "metric": "headline_queries_extended",
+        "queries_median": med,
+        "queries_min": mn,
+        "loadavg_per_draw": loadavg_per_draw,
+        "loadavg_at_end": loadavg_at_end,
+    }
+
+    # full record → sidecar file (committed with the round), so the
+    # per-query medians stay recoverable even when the driver's
+    # output capture keeps only the final line
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump({**legacy, **extended, "metric": legacy["metric"]}, f)
+        f.write("\n")
+
+    # extended line first, compact legacy line LAST (the driver parses
+    # the tail of the output — the final line must arrive whole)
+    print(json.dumps(extended))
+    print(json.dumps(legacy))
 
 
 if __name__ == "__main__":

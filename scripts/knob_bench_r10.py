@@ -41,8 +41,21 @@ def main() -> None:
     draws = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     spark = get_spark("knob-bench")
     reg = registry()
+    # the knob-ON checkpoint scopes intentionally leave their surviving
+    # CHECKPOINT_KEEP frames on disk; the measured frames have no use
+    # past this run, so reclaim the whole dir on exit (round-10 ADVICE
+    # low: interleaved multi-draw runs stranded checkpoint data)
     knob_dir = tempfile.mkdtemp(prefix="knob_bench_ckpt_")
+    try:
+        _run(spark, reg, knob_dir, draws)
+    finally:
+        spark.stop()
+        import shutil
 
+        shutil.rmtree(knob_dir, ignore_errors=True)
+
+
+def _run(spark, reg, knob_dir, draws) -> None:
     times: dict[tuple[str, str], list[float]] = {}
     for q in QUERIES:
         spec = reg[q]

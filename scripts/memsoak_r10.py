@@ -32,7 +32,36 @@ from financial_tracker_etl_spark.profile import collect_metrics  # noqa: E402
 from financial_tracker_etl_spark.queries import registry  # noqa: E402
 from financial_tracker_etl_spark.session import get_spark  # noqa: E402
 
-SPILL_KEYS = ("spillSize", "spillRecords", "shuffleSpillSize")
+# node-level SQLMetrics spill keys (sort/agg/join operators).
+# Shuffle-WRITE spill never appears in per-node SQLMetrics — it lands
+# in task-level memoryBytesSpilled/diskBytesSpilled (round-10 ADVICE
+# low) — so the soak also snapshots cumulative task-level spill via
+# the UI REST API (/api/v1/.../stages) around each query and reports
+# the delta; together the two passes cover operator AND shuffle spill.
+SPILL_KEYS = ("spillSize", "spillRecords")
+
+
+def task_spill_totals(spark) -> tuple[int, int] | None:
+    """Cumulative task-level (memoryBytesSpilled, diskBytesSpilled)
+    summed over every stage of this app, from the local UI REST API.
+    None when the UI is disabled (detection unavailable, not zero)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return None
+    return (
+        sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        sum(s.get("diskBytesSpilled", 0) for s in stages),
+    )
 
 
 def main() -> None:
@@ -52,10 +81,17 @@ def main() -> None:
     results = []
     for name, spec in bench.items():
         spark.catalog.clearCache()
+        task_before = task_spill_totals(spark)
         t0 = time.perf_counter()
         try:
             rows = collect_metrics(spec.fn(spark, sf_dir), execute=True)
             sec = round(time.perf_counter() - t0, 3)
+            task_after = task_spill_totals(spark)
+            task_spill = (
+                None
+                if task_before is None or task_after is None
+                else [a - b for a, b in zip(task_after, task_before)]
+            )
             spill = sum(
                 v
                 for r in rows
@@ -79,6 +115,9 @@ def main() -> None:
                 "sec": sec,
                 "spill_bytes": spill,
                 "spilling_ops": spilling_ops,
+                # [memoryBytesSpilled, diskBytesSpilled] delta across
+                # this query's stages; null = UI REST unavailable
+                "task_spill_bytes": task_spill,
             }
         except Exception as exc:  # OOM surfaces as Py4J/analysis errors
             rec = {
@@ -96,6 +135,14 @@ def main() -> None:
         for r in results
         if r.get("spill_bytes", 0) > 0
     }
+    task_spilled = {
+        r["query"]: r["task_spill_bytes"]
+        for r in results
+        if r.get("task_spill_bytes") and any(r["task_spill_bytes"])
+    }
+    task_detection = all(
+        r.get("task_spill_bytes") is not None for r in results if r["ok"]
+    )
     print(
         json.dumps(
             {
@@ -105,6 +152,8 @@ def main() -> None:
                 "failed": failed,
                 "spilled": spilled,
                 "total_spill_bytes": sum(spilled.values()),
+                "task_spilled": task_spilled,
+                "task_level_detection_available": task_detection,
                 "total_sec": round(sum(r["sec"] for r in results), 3),
             }
         )

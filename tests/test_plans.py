@@ -397,15 +397,15 @@ def test_registry_rotation_structure(reg):
     """The driver gate checks exactly the first 50 registry entries, so
     registry ORDER is load-bearing. Pin the steady 3-round rotation
     arithmetic (in effect since round 6): prefix = _CHECK_FIRST = the
-    block whose newest driver row is oldest (round 10: the
-    CORRECTNESS_r06.json key set, 3 rounds stale after the round-8
-    rotation slip and pre-verified 50/50 in round 9), suffix =
-    _CHECK_LAST = the freshest block (round 10: the r05 key set,
-    re-proven as the round-9 gate in CORRECTNESS_r09.json), no
+    block whose newest driver row is oldest (round 11: the
+    CORRECTNESS_r08.json key set, 3 rounds stale after coasting
+    through rounds 9-10 and pre-verified 50/50 on the round-10 tree),
+    suffix = _CHECK_LAST = the freshest block (round 11: the r06 key
+    set, re-proven as the round-10 gate in CORRECTNESS_r10.json), no
     duplicates, 150 total, and prefix/suffix disjoint so every
     query's driver row ends the round at most two rounds old.
-    Round-11 rotation: prefix = the r04/r07/r08 block (the middle
-    this round), suffix = this round's prefix (r06 keys)."""
+    Round-12 rotation: prefix = the r05/r09 block (the middle this
+    round), suffix = this round's prefix (r08 keys)."""
     import json
     import pathlib
 
@@ -417,11 +417,11 @@ def test_registry_rotation_structure(reg):
     assert names[:50] == _CHECK_FIRST
     assert names[-len(_CHECK_LAST):] == _CHECK_LAST
     root = pathlib.Path(__file__).resolve().parents[1]
+    r8 = root / "CORRECTNESS_r08.json"
     r6 = root / "CORRECTNESS_r06.json"
-    r5 = root / "CORRECTNESS_r05.json"
-    if r6.exists() and r5.exists():
-        assert set(_CHECK_FIRST) == set(json.loads(r6.read_text()))
-        assert set(_CHECK_LAST) == set(json.loads(r5.read_text()))
+    if r8.exists() and r6.exists():
+        assert set(_CHECK_FIRST) == set(json.loads(r8.read_text()))
+        assert set(_CHECK_LAST) == set(json.loads(r6.read_text()))
         assert not (set(_CHECK_FIRST) & set(_CHECK_LAST))
 
 
