@@ -82,7 +82,14 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (startup cost, port churn in tests); the
+        # memory soak sets SPARK_GRAFT_UI=1 to read task-level spill
+        # (memoryBytesSpilled/diskBytesSpilled) from the /api/v1 REST
+        # endpoint — shuffle-write spill never reaches node SQLMetrics
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         # managed tables (bucketed state) live in scratch space, never the repo
         .config(
             "spark.sql.warehouse.dir",

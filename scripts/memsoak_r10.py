@@ -15,8 +15,13 @@ that fails is a fix item. Output: one JSON line per query + a summary
 line, for the BASELINE.md round-10 note.
 
 Usage:
-    SPARK_GRAFT_DRIVER_MEM=2g SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_DRIVER_MEM=2g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_UI=1 \
         python scripts/memsoak_r10.py [sf_dir]
+    ... --probe   # detection-validity: force a sort spill, show it
+                  # through BOTH paths (SQLMetrics + task-level REST)
+
+SPARK_GRAFT_UI=1 enables the Spark UI so task-level spill is readable
+from the REST API; without it task_spill_bytes is null (unavailable).
 """
 
 from __future__ import annotations
@@ -64,7 +69,50 @@ def task_spill_totals(spark) -> tuple[int, int] | None:
     )
 
 
+def probe() -> None:
+    """Force a memory-overflow sort (20M rows into 1 partition under
+    the small heap) and report the spill through BOTH detection paths,
+    proving the soak's zeros mean 'fits in memory' for operator AND
+    task-level (shuffle) spill alike."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark("memsoak-probe")
+    before = task_spill_totals(spark)
+    df = (
+        spark.range(20_000_000)
+        .withColumn("pad", F.md5(F.col("id").cast("string")))
+        .repartition(1)
+        .sortWithinPartitions("pad")
+    )
+    rows = collect_metrics(df, execute=True)
+    op_spill = sum(
+        v
+        for r in rows
+        for k, v in r.metrics.items()
+        if k == "spillSize"
+    )
+    after = task_spill_totals(spark)
+    task_delta = (
+        None
+        if before is None or after is None
+        else [a - b for a, b in zip(after, before)]
+    )
+    print(
+        json.dumps(
+            {
+                "probe": True,
+                "heap": spark.conf.get("spark.driver.memory"),
+                "operator_spill_bytes": op_spill,
+                "task_spill_bytes": task_delta,
+            }
+        )
+    )
+
+
 def main() -> None:
+    if "--probe" in sys.argv:
+        probe()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark("memsoak")
