@@ -83,6 +83,54 @@ def run_draw(spark, bench_queries, sf_dir) -> dict[str, float]:
     return timings
 
 
+def build_records(
+    headline: set[str],
+    tail: set[str],
+    all_draws: list[dict[str, float]],
+    *,
+    sf: float | None,
+    loadavg_at_launch: list[float],
+    loadavg_per_draw: list[list[float]],
+    loadavg_at_end: list[float],
+) -> tuple[dict, dict]:
+    """The two stdout records (legacy-final, extended-preceding) from
+    raw per-draw timings. Pure, so the output contract is testable:
+    the legacy record must stay compact enough to arrive whole inside
+    the driver's ~2 kB tail capture (tests/test_plans.py pins this)."""
+    names = list(all_draws[0])
+    timings = all_draws[0]  # legacy keys: draw 1 alone (see module doc)
+    med = {
+        n: round(statistics.median(d[n] for d in all_draws), 3)
+        for n in names
+    }
+    mn = {n: round(min(d[n] for d in all_draws), 3) for n in names}
+    legacy = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings[n] for n in headline), 3),
+        "unit": "sec",
+        "queries": timings,
+        "tail_queries": sorted(tail),
+        "tail_total_sec": round(sum(timings[n] for n in tail), 3),
+        "draws": len(all_draws),
+        "headline_median_total_sec": round(
+            sum(med[n] for n in headline), 3
+        ),
+        "headline_min_total_sec": round(sum(mn[n] for n in headline), 3),
+        "tail_median_total_sec": round(sum(med[n] for n in tail), 3),
+        "tail_min_total_sec": round(sum(mn[n] for n in tail), 3),
+        "sf": sf,
+        "loadavg_at_launch": loadavg_at_launch,
+    }
+    extended = {
+        "metric": "headline_queries_extended",
+        "queries_median": med,
+        "queries_min": mn,
+        "loadavg_per_draw": loadavg_per_draw,
+        "loadavg_at_end": loadavg_at_end,
+    }
+    return legacy, extended
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -147,43 +195,21 @@ def main() -> None:
         loadavg_per_draw.append([round(x, 2) for x in os.getloadavg()])
         all_draws.append(run_draw(spark, bench_queries, sf_dir))
 
-    timings = all_draws[0]  # legacy keys: draw 1 alone (see module doc)
-    med = {
-        n: round(statistics.median(d[n] for d in all_draws), 3)
-        for n in bench_queries
-    }
-    mn = {n: round(min(d[n] for d in all_draws), 3) for n in bench_queries}
-
     loadavg_at_end = [round(x, 2) for x in os.getloadavg()]
     # stop the session BEFORE printing so no JVM shutdown chatter can
     # land after (and displace) the final line inside the driver's
     # tail-capture window
     spark.stop()
 
-    legacy = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings[n] for n in headline), 3),
-        "unit": "sec",
-        "queries": timings,
-        "tail_queries": sorted(tail),
-        "tail_total_sec": round(sum(timings[n] for n in tail), 3),
-        "draws": draws,
-        "headline_median_total_sec": round(
-            sum(med[n] for n in headline), 3
-        ),
-        "headline_min_total_sec": round(sum(mn[n] for n in headline), 3),
-        "tail_median_total_sec": round(sum(med[n] for n in tail), 3),
-        "tail_min_total_sec": round(sum(mn[n] for n in tail), 3),
-        "sf": sf,
-        "loadavg_at_launch": load_at_launch,
-    }
-    extended = {
-        "metric": "headline_queries_extended",
-        "queries_median": med,
-        "queries_min": mn,
-        "loadavg_per_draw": loadavg_per_draw,
-        "loadavg_at_end": loadavg_at_end,
-    }
+    legacy, extended = build_records(
+        set(headline),
+        set(tail),
+        all_draws,
+        sf=sf,
+        loadavg_at_launch=load_at_launch,
+        loadavg_per_draw=loadavg_per_draw,
+        loadavg_at_end=loadavg_at_end,
+    )
 
     # full record → sidecar file (committed with the round), so the
     # per-query medians stay recoverable even when the driver's

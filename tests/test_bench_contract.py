@@ -1,0 +1,132 @@
+"""Pins for the bench output contract and the per-draw pipeline reset
+(round-10 judge tasks 1-2).
+
+The driver records only the LAST ~2 kB of bench output; round 10's
+single all-keys JSON line outgrew that window and BENCH_r10.json came
+back ``parsed: null``. bench.py now emits a compact legacy record as
+the FINAL line — these tests pin that the record stays under the
+capture window with the real bench query set, that its keys keep
+their legacy semantics (value/queries = draw 1 exactly), and that the
+multi-draw medians come from every draw. reset_shared_pipeline is
+pinned to actually drop the memo and reclaim owned scratch dirs, so
+bench draws 2+ re-execute the streaming pipeline instead of timing a
+merge-on-read of draw 1's state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from bench import build_records  # noqa: E402
+
+# the driver's observed capture window is 2000 chars (BENCH_r09 tail
+# length); leave headroom for a trailing newline + any stray character
+CAPTURE_WINDOW = 2000
+HEADROOM = 200
+
+
+def _bench_names() -> tuple[set[str], set[str]]:
+    from financial_tracker_etl_spark.queries import registry
+
+    reg = registry()
+    return (
+        {n for n, s in reg.items() if s.bench},
+        {n for n, s in reg.items() if s.bench_tail},
+    )
+
+
+def test_legacy_record_fits_capture_window():
+    headline, tail = _bench_names()
+    names = sorted(headline | tail)
+    # worst realistic case: every timing needs maximal float width
+    draws = [{n: 123.456 for n in names} for _ in range(3)]
+    legacy, _ = build_records(
+        headline,
+        tail,
+        draws,
+        sf=0.1,
+        loadavg_at_launch=[11.76, 10.99, 10.55],
+        loadavg_per_draw=[[11.76, 10.99, 10.55]] * 3,
+        loadavg_at_end=[11.76, 10.99, 10.55],
+    )
+    line = json.dumps(legacy)
+    assert len(line) < CAPTURE_WINDOW - HEADROOM, (
+        f"legacy bench line is {len(line)} chars; it must stay well "
+        f"under the driver's {CAPTURE_WINDOW}-char tail capture or "
+        "BENCH_rN.json comes back parsed: null again (round 10)"
+    )
+    # the driver must be able to parse it back to the legacy keys
+    parsed = json.loads(line)
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "tail_total_sec",
+        "sf",
+        "headline_median_total_sec",
+        "tail_median_total_sec",
+    ):
+        assert key in parsed
+    # the bulky per-query median/min dicts belong to the extended
+    # record only — reintroducing them here is how round 10 broke
+    assert "queries_median" not in parsed
+    assert "queries_min" not in parsed
+
+
+def test_records_keep_draw1_and_median_semantics():
+    headline = {"a", "b"}
+    tail = {"c"}
+    draws = [
+        {"a": 1.0, "b": 2.0, "c": 3.0},
+        {"a": 5.0, "b": 2.0, "c": 1.0},
+        {"a": 9.0, "b": 2.0, "c": 2.0},
+    ]
+    legacy, extended = build_records(
+        headline,
+        tail,
+        draws,
+        sf=0.01,
+        loadavg_at_launch=[0.0, 0.0, 0.0],
+        loadavg_per_draw=[[0.0, 0.0, 0.0]] * 3,
+        loadavg_at_end=[0.0, 0.0, 0.0],
+    )
+    # legacy value/queries are DRAW 1 alone (cross-round comparability)
+    assert legacy["value"] == 3.0
+    assert legacy["queries"] == draws[0]
+    assert legacy["tail_total_sec"] == 3.0
+    # medians span all draws: a=5.0, b=2.0 → headline median total 7.0
+    assert legacy["headline_median_total_sec"] == 7.0
+    assert legacy["headline_min_total_sec"] == 3.0
+    assert legacy["tail_median_total_sec"] == 2.0
+    assert extended["queries_median"] == {"a": 5.0, "b": 2.0, "c": 2.0}
+    assert extended["queries_min"] == {"a": 1.0, "b": 2.0, "c": 1.0}
+
+
+def test_reset_shared_pipeline_drops_memo_and_owned_dirs():
+    from financial_tracker_etl_spark.streaming import pipeline as pl
+
+    owned = tempfile.mkdtemp(prefix="ftes_reset_test_")
+    unowned = tempfile.mkdtemp(prefix="ftes_reset_test_caller_")
+    try:
+        assert not pl._CACHE, "test requires a clean module-level memo"
+        pl._CACHE[("app", "/sf/a")] = pl.PipelineResult({}, None, 1, owned)
+        # a result whose caller passed its own work_dir records None
+        # and must NOT have its directory reclaimed by the reset
+        pl._CACHE[("app", "/sf/b")] = pl.PipelineResult({}, None, 1, None)
+        pl.reset_shared_pipeline()
+        assert not pl._CACHE
+        assert not os.path.exists(owned)
+        assert os.path.exists(unowned)
+    finally:
+        pl._CACHE.clear()
+        for d in (owned, unowned):
+            if os.path.exists(d):
+                os.rmdir(d)
