@@ -55,6 +55,7 @@ def test_legacy_record_fits_capture_window():
         loadavg_at_launch=[11.76, 10.99, 10.55],
         loadavg_per_draw=[[11.76, 10.99, 10.55]] * 3,
         loadavg_at_end=[11.76, 10.99, 10.55],
+        steal_pct_per_draw=[23.456, 23.456, 23.456],
     )
     line = json.dumps(legacy)
     assert len(line) < CAPTURE_WINDOW - HEADROOM, (
@@ -79,6 +80,43 @@ def test_legacy_record_fits_capture_window():
     # record only — reintroducing them here is how round 10 broke
     assert "queries_median" not in parsed
     assert "queries_min" not in parsed
+
+
+def test_steal_annotation():
+    from bench import steal_pct
+
+    # 50 of 1000 elapsed jiffies stolen → 5%
+    assert steal_pct((100, 10_000), (150, 11_000)) == 5.0
+    # unavailable or zero-elapsed snapshots → None, never a crash
+    assert steal_pct(None, (1, 2)) is None
+    assert steal_pct((1, 2), None) is None
+    assert steal_pct((1, 100), (1, 100)) is None
+    # the records carry the signal: max per-draw steal in the compact
+    # final line, the full series in the extended record
+    legacy, extended = build_records(
+        {"a"},
+        set(),
+        [{"a": 1.0}, {"a": 1.0}],
+        sf=0.1,
+        loadavg_at_launch=[0.0, 0.0, 0.0],
+        loadavg_per_draw=[[0.0, 0.0, 0.0]] * 2,
+        loadavg_at_end=[0.0, 0.0, 0.0],
+        steal_pct_per_draw=[0.5, 7.25],
+    )
+    assert legacy["steal_pct_max"] == 7.25
+    assert extended["steal_pct_per_draw"] == [0.5, 7.25]
+    # None-only series (non-Linux) degrades to a null scalar
+    legacy, _ = build_records(
+        {"a"},
+        set(),
+        [{"a": 1.0}],
+        sf=0.1,
+        loadavg_at_launch=[0.0, 0.0, 0.0],
+        loadavg_per_draw=[[0.0, 0.0, 0.0]],
+        loadavg_at_end=[0.0, 0.0, 0.0],
+        steal_pct_per_draw=[None],
+    )
+    assert legacy["steal_pct_max"] is None
 
 
 def test_records_keep_draw1_and_median_semantics():
