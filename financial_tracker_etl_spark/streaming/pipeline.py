@@ -22,6 +22,7 @@ the file source groups files into micro-batches.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 from dataclasses import dataclass
@@ -253,6 +254,14 @@ def run_routed_pipeline(
     jobs = tuple(j for j in JOBS if topics is None or j.topic in topics)
     owned_work_dir = work_dir is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="ftes_stream_")
+    if owned_work_dir:
+        # every self-allocated run leaves ~8 MB of state deltas that
+        # nothing reads after the process ends (a caller who wants the
+        # state to outlive the process passes its own work_dir); a
+        # long pytest/verify session otherwise strands hundreds of
+        # these. Reaped at interpreter exit — results stay readable
+        # for the whole process lifetime.
+        _OWNED_WORK_DIRS.add(work_dir)
     input_dir = staged_request_dir(spark, sf_dir, n_files=n_files, topics=topics)
     ckpt_dir = os.path.join(work_dir, "checkpoint")
 
@@ -408,6 +417,21 @@ def run_routed_pipeline(
 
 _CACHE: dict[tuple[str, str], PipelineResult] = {}
 
+# scratch work dirs allocated by run_routed_pipeline itself (callers
+# that pass work_dir own their dir's lifecycle and are never listed)
+_OWNED_WORK_DIRS: set[str] = set()
+
+
+def _reap_owned_work_dirs() -> None:
+    import shutil
+
+    for d in _OWNED_WORK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _OWNED_WORK_DIRS.clear()
+
+
+atexit.register(_reap_owned_work_dirs)
+
 
 def shared_pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -431,4 +455,5 @@ def reset_shared_pipeline() -> None:
     for res in _CACHE.values():
         if res.work_dir:
             shutil.rmtree(res.work_dir, ignore_errors=True)
+            _OWNED_WORK_DIRS.discard(res.work_dir)
     _CACHE.clear()

@@ -148,6 +148,18 @@ def test_records_keep_draw1_and_median_semantics():
     assert extended["queries_min"] == {"a": 1.0, "b": 2.0, "c": 1.0}
 
 
+def test_owned_work_dirs_reaped_at_exit():
+    """Self-allocated pipeline scratch dirs are reaped when the
+    interpreter exits; caller-owned dirs are never registered."""
+    from financial_tracker_etl_spark.streaming import pipeline as pl
+
+    d = tempfile.mkdtemp(prefix="ftes_reap_test_")
+    pl._OWNED_WORK_DIRS.add(d)
+    pl._reap_owned_work_dirs()
+    assert not os.path.exists(d)
+    assert not pl._OWNED_WORK_DIRS
+
+
 def test_reset_shared_pipeline_drops_memo_and_owned_dirs():
     from financial_tracker_etl_spark.streaming import pipeline as pl
 

@@ -174,6 +174,12 @@ def test_index_and_monthly_states_equal_batch_fixtures(spark):
     )
 
     pipe = shared_pipeline(spark, SF_DIR)
+    # the run's self-allocated scratch dir is registered for the
+    # atexit reaper (a test/verify session otherwise strands one
+    # ~8 MB state dir per pipeline run)
+    from financial_tracker_etl_spark.streaming import pipeline as pl
+
+    assert pipe.work_dir in pl._OWNED_WORK_DIRS
     idx = pipe.state_df(TOPIC_INDEX)
     want_idx = fixtures.market_index_data(
         load_table(spark, SF_DIR, "supplier")
