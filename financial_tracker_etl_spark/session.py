@@ -28,6 +28,19 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _ui_enabled() -> bool:
+    """SPARK_GRAFT_UI opt-in, with conventional falsey spellings
+    rejected: raw truthiness made ``SPARK_GRAFT_UI=0`` ENABLE the UI
+    (round-11 ADVICE low)."""
+    return os.environ.get("SPARK_GRAFT_UI", "").strip().lower() not in (
+        "",
+        "0",
+        "false",
+        "no",
+        "off",
+    )
+
+
 def _silence_benign_windowexec_warning(spark: SparkSession) -> None:
     """Drop the WindowExec ``No Partition Defined`` WARN to ERROR level.
 
@@ -86,9 +99,15 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         # memory soak sets SPARK_GRAFT_UI=1 to read task-level spill
         # (memoryBytesSpilled/diskBytesSpilled) from the /api/v1 REST
         # endpoint — shuffle-write spill never reaches node SQLMetrics
+        .config("spark.ui.enabled", "true" if _ui_enabled() else "false")
+        # keep the full stage history resolvable while the UI is on:
+        # the memory soak diffs cumulative task-level spill across the
+        # /api/v1 stages list, and the default retainedStages=1000 can
+        # evict stages mid-soak, silently corrupting the before/after
+        # deltas (round-11 ADVICE)
         .config(
-            "spark.ui.enabled",
-            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+            "spark.ui.retainedStages",
+            "20000" if _ui_enabled() else "1000",
         )
         # managed tables (bucketed state) live in scratch space, never the repo
         .config(

@@ -69,6 +69,24 @@ def task_spill_totals(spark) -> tuple[int, int] | None:
     )
 
 
+def task_spill_delta(
+    before: tuple[int, int] | None, after: tuple[int, int] | None
+) -> list[int] | None:
+    """Per-query [memory, disk] task-spill delta, or None when
+    detection is unavailable OR invalid. A NEGATIVE delta means the UI
+    evicted stages between the snapshots (the stages list is bounded
+    by spark.ui.retainedStages), so the cumulative sums are no longer
+    comparable — report detection-invalid rather than a silent wrong
+    'no spill' (round-11 ADVICE low; get_spark also raises
+    retainedStages to 20000 whenever the UI is on)."""
+    if before is None or after is None:
+        return None
+    delta = [a - b for a, b in zip(after, before)]
+    if any(d < 0 for d in delta):
+        return None
+    return delta
+
+
 def probe() -> None:
     """Force a memory-overflow sort (20M rows into 1 partition under
     the small heap) and report the spill through BOTH detection paths,
@@ -92,11 +110,7 @@ def probe() -> None:
         if k == "spillSize"
     )
     after = task_spill_totals(spark)
-    task_delta = (
-        None
-        if before is None or after is None
-        else [a - b for a, b in zip(after, before)]
-    )
+    task_delta = task_spill_delta(before, after)
     print(
         json.dumps(
             {
@@ -135,11 +149,7 @@ def main() -> None:
             rows = collect_metrics(spec.fn(spark, sf_dir), execute=True)
             sec = round(time.perf_counter() - t0, 3)
             task_after = task_spill_totals(spark)
-            task_spill = (
-                None
-                if task_before is None or task_after is None
-                else [a - b for a, b in zip(task_after, task_before)]
-            )
+            task_spill = task_spill_delta(task_before, task_after)
             spill = sum(
                 v
                 for r in rows
@@ -164,7 +174,8 @@ def main() -> None:
                 "spill_bytes": spill,
                 "spilling_ops": spilling_ops,
                 # [memoryBytesSpilled, diskBytesSpilled] delta across
-                # this query's stages; null = UI REST unavailable
+                # this query's stages; null = UI REST unavailable or
+                # detection-invalid (stage eviction between snapshots)
                 "task_spill_bytes": task_spill,
             }
         except Exception as exc:  # OOM surfaces as Py4J/analysis errors

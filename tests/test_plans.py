@@ -397,15 +397,16 @@ def test_registry_rotation_structure(reg):
     """The driver gate checks exactly the first 50 registry entries, so
     registry ORDER is load-bearing. Pin the steady 3-round rotation
     arithmetic (in effect since round 6): prefix = _CHECK_FIRST = the
-    block whose newest driver row is oldest (round 11: the
-    CORRECTNESS_r08.json key set, 3 rounds stale after coasting
-    through rounds 9-10 and pre-verified 50/50 on the round-10 tree),
-    suffix = _CHECK_LAST = the freshest block (round 11: the r06 key
-    set, re-proven as the round-10 gate in CORRECTNESS_r10.json), no
-    duplicates, 150 total, and prefix/suffix disjoint so every
-    query's driver row ends the round at most two rounds old.
-    Round-12 rotation: prefix = the r05/r09 block (the middle this
-    round), suffix = this round's prefix (r08 keys)."""
+    block whose newest driver row is oldest (round 12: the
+    CORRECTNESS_r09.json (== r05) key set, 2 rounds stale after
+    coasting through rounds 10-11 and pre-verified 50/50 on the
+    round-11 tree), suffix = _CHECK_LAST = the freshest block
+    (round 12: the r04/r07/r08 key set, re-proven as the round-11 gate
+    in CORRECTNESS_r11.json), no duplicates, 150 total, and
+    prefix/suffix disjoint so every query's driver row ends the round
+    at most two rounds old. Round-13 rotation: prefix = the r06/r10
+    block (the middle this round), suffix = this round's prefix
+    (r05/r09 keys)."""
     import json
     import pathlib
 
@@ -417,11 +418,11 @@ def test_registry_rotation_structure(reg):
     assert names[:50] == _CHECK_FIRST
     assert names[-len(_CHECK_LAST):] == _CHECK_LAST
     root = pathlib.Path(__file__).resolve().parents[1]
+    r9 = root / "CORRECTNESS_r09.json"
     r8 = root / "CORRECTNESS_r08.json"
-    r6 = root / "CORRECTNESS_r06.json"
-    if r8.exists() and r6.exists():
-        assert set(_CHECK_FIRST) == set(json.loads(r8.read_text()))
-        assert set(_CHECK_LAST) == set(json.loads(r6.read_text()))
+    if r9.exists() and r8.exists():
+        assert set(_CHECK_FIRST) == set(json.loads(r9.read_text()))
+        assert set(_CHECK_LAST) == set(json.loads(r8.read_text()))
         assert not (set(_CHECK_FIRST) & set(_CHECK_LAST))
 
 
