@@ -246,11 +246,15 @@ def run_routed_pipeline(
     files_per_trigger: int = 2,
     seed_market_state: bool = True,
     topics: tuple[str, ...] | None = None,
+    input_dir: str | None = None,
 ) -> PipelineResult:
     """Execute the full §3.1 loop over the testdata-derived request
     traffic and return the final merged states + completion events.
     ``topics`` restricts the run to a subset of jobs (e.g. the ST6
-    scheduled index tick); None = all jobs."""
+    scheduled index tick); None = all jobs. ``input_dir`` overrides
+    the staged request-topic directory (same JSON message layout) —
+    the harness hook the traffic scale-ladder uses to replay
+    k-replicated traffic through the identical consume pipeline."""
     jobs = tuple(j for j in JOBS if topics is None or j.topic in topics)
     owned_work_dir = work_dir is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="ftes_stream_")
@@ -262,7 +266,10 @@ def run_routed_pipeline(
         # these. Reaped at interpreter exit — results stay readable
         # for the whole process lifetime.
         _OWNED_WORK_DIRS.add(work_dir)
-    input_dir = staged_request_dir(spark, sf_dir, n_files=n_files, topics=topics)
+    if input_dir is None:
+        input_dir = staged_request_dir(
+            spark, sf_dir, n_files=n_files, topics=topics
+        )
     ckpt_dir = os.path.join(work_dir, "checkpoint")
 
     # log-structured: each batch appends O(batch) deltas instead of

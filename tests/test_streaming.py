@@ -557,3 +557,44 @@ def test_scheduler_reuses_one_work_dir_across_ticks(spark):
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "ftes_sched_*")))
     assert rc == 0
     assert len(after - before) == 1  # exactly ONE shared scratch dir
+
+
+def test_input_dir_override_replays_identical_traffic(spark, tmp_path, pipeline):
+    """`run_routed_pipeline(input_dir=...)` (the traffic-ladder harness
+    hook, scripts/stream_ladder_r12.py) must feed the identical consume
+    pipeline: an explicitly staged copy of the same traffic produces
+    byte-identical final states and completion totals as the default
+    staged path."""
+    from financial_tracker_etl_spark.streaming.pipeline import (
+        request_messages,
+    )
+
+    indir = str(tmp_path / "traffic")
+    msgs = request_messages(spark, SF_DIR)
+    msgs.repartition(6, F.col("payload")).write.mode("overwrite").json(indir)
+    res = run_routed_pipeline(
+        spark,
+        SF_DIR,
+        work_dir=str(tmp_path / "work"),
+        input_dir=indir,
+        files_per_trigger=2,
+        n_files=6,
+    )
+    for topic in res.states:
+        got = res.state_df(topic)
+        want = pipeline.state_df(topic)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    got_tot = (
+        res.completions.groupBy("topic")
+        .agg(F.sum("records").alias("n"))
+        .collect()
+    )
+    want_tot = (
+        pipeline.completions.groupBy("topic")
+        .agg(F.sum("records").alias("n"))
+        .collect()
+    )
+    assert {(r["topic"], r["n"]) for r in got_tot} == {
+        (r["topic"], r["n"]) for r in want_tot
+    }
