@@ -94,6 +94,18 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # compiled-codegen class cache: the 100-entry default thrashes in
+        # any multi-query session — one bench draw's ~18 other queries
+        # generate >100 codegen units, evicting each query's compiled
+        # classes so every draw pays Janino recompile + cold JIT again.
+        # Measured (scripts/codecache_ab_r12.py): in-context pagerank
+        # 6.1-6.2 s at the default vs 3.8-4.6 s at 5000 — this knob, not
+        # "indivisible JVM context cost", was the round-11/12 bench-vs-
+        # isolated gap. Static conf: applies when this factory launches
+        # the JVM; metaspace stays bounded by the distinct plans actually
+        # compiled (code cache measured at <65% of its 240 MB reserve
+        # with full_count=0 over a full bench context).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # UI off by default (startup cost, port churn in tests); the
         # memory soak sets SPARK_GRAFT_UI=1 to read task-level spill

@@ -240,3 +240,13 @@ def test_memsoak_negative_task_delta_is_detection_invalid():
     assert mod.task_spill_delta(None, (1, 2)) is None
     assert mod.task_spill_delta((1, 2), None) is None
     assert mod.task_spill_delta((0, 0), (0, 0)) == [0, 0]
+
+
+def test_codegen_class_cache_sized_for_multi_query_sessions(spark):
+    """The 100-entry default codegen class cache thrashes across a
+    bench draw's ~19 queries, forcing Janino recompile + cold JIT of
+    every query's generated classes on every draw — measured as the
+    round-11/12 pagerank bench-vs-isolated gap (6.1-6.2 s in-context
+    at the default vs 3.8-4.6 s at 5000; scripts/codecache_ab_r12.py).
+    Static conf, so it must come from the session factory."""
+    assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "5000"
