@@ -15,12 +15,16 @@ twice from the shell:
 
     python scripts/codecache_ab_r12.py                    # default JVM
     JAVA_TOOL_OPTIONS="-XX:ReservedCodeCacheSize=512m" \
-        python scripts/codecache_ab_r12.py                # big cache
+        python scripts/codecache_ab_r12.py                # bigger JIT cache
+    PYSPARK_SUBMIT_ARGS="--conf spark.sql.codegen.cache.maxEntries=5000 \
+        pyspark-shell" python scripts/codecache_ab_r12.py # bigger CLASS cache
 
-If the big-cache arm's C times drop toward its A times, the gap is
-code-cache pressure and the knob belongs in session.py; if C stays
-slow while jcmd shows the cache far from full, code-cache is ruled
-out alongside the rest and the context cost stands as accepted.
+Round-12 result: jcmd showed the JIT code cache never near full
+(72/119 MB profiled, full_count=0) — JIT pressure ruled out — but the
+CLASS-cache arm took in-context pagerank from 6.107/6.215 s to
+4.628/3.835 s: the gap was Spark's 100-entry compiled-codegen class
+cache evicting every query's generated classes across a ~19-query
+draw. The knob is now a session.py default (5000).
 """
 
 from __future__ import annotations
@@ -102,7 +106,11 @@ def main() -> None:
             spark.catalog.clearCache()
             force(spec.fn(spark, SF_DIR))
 
-    opts = os.environ.get("JAVA_TOOL_OPTIONS", "(default)")
+    opts = " ".join(
+        f"{var}={os.environ[var]}"
+        for var in ("JAVA_TOOL_OPTIONS", "PYSPARK_SUBMIT_ARGS")
+        if os.environ.get(var)
+    ) or "(default)"
     a = [timed_pagerank() for _ in range(2)]
     print(json.dumps({"arm": "A_isolated", "sec": a, "opts": opts}),
           flush=True)
