@@ -104,7 +104,8 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         # isolated gap. Static conf: applies when this factory launches
         # the JVM; metaspace stays bounded by the distinct plans actually
         # compiled (code cache measured at <65% of its 240 MB reserve
-        # with full_count=0 over a full bench context).
+        # with full_count=0 over a full bench context). Cluster sizing
+        # rule + at-scale rationale: README "Cluster deployment" notes.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # UI off by default (startup cost, port churn in tests); the
@@ -128,5 +129,36 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         )
         .getOrCreate()
     )
+    _warn_if_static_conf_ignored(spark)
     _silence_benign_windowexec_warning(spark)
     return spark
+
+
+def _warn_if_static_conf_ignored(spark: SparkSession) -> None:
+    """Surface silently-unapplied static conf (round-12 ADVICE low).
+
+    ``spark.sql.codegen.cache.maxEntries`` is a static SQL conf: if a
+    SparkSession/JVM already exists when :func:`get_spark` runs (the
+    driver's vanilla-session path, a notebook), ``getOrCreate`` returns
+    the existing session and the multi-query perf fix silently does not
+    apply. Compare the live value to the requested one and WARN on
+    mismatch so the gap is visible in logs instead of showing up only
+    as a mysterious ~25% bench regression. Sizing rationale: README
+    "Deployment notes" and BASELINE.md "CURRENT STEADY STATE".
+    """
+    import warnings
+
+    try:
+        live = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+    except Exception:
+        return
+    if str(live) != "5000":
+        warnings.warn(
+            "spark.sql.codegen.cache.maxEntries is "
+            f"{live!r}, not the requested 5000 — a pre-existing "
+            "SparkSession ignored the static conf; multi-query sessions "
+            "will thrash the compiled-codegen class cache "
+            "(see session.py / README deployment notes)",
+            RuntimeWarning,
+            stacklevel=3,
+        )

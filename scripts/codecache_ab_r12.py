@@ -25,6 +25,12 @@ CLASS-cache arm took in-context pagerank from 6.107/6.215 s to
 4.628/3.835 s: the gap was Spark's 100-entry compiled-codegen class
 cache evicting every query's generated classes across a ~19-query
 draw. The knob is now a session.py default (5000).
+
+Round-13 (ADVICE low): arm A always ran before arm C in the same JVM,
+so C benefited from strictly more JIT warmup — an order confound. The
+script now re-runs arm A after arm C ("A2"): A2-A isolates the warmup
+drift, C-A2 is the order-clean eviction effect. Round-13 measurement:
+see BASELINE.md "Round-13 order-confound control".
 """
 
 from __future__ import annotations
@@ -125,7 +131,17 @@ def main() -> None:
           flush=True)
     print(json.dumps({"codecache_after_C": codecache_stats(pid)}),
           flush=True)
+
+    # arm A re-run AFTER arm C (round-12 ADVICE low): A always
+    # preceding C gives C strictly more JIT/tier-up warmup, so the
+    # A-vs-C delta conflates eviction cost with warmup drift. A2-A is
+    # the warmup drift alone (same isolated protocol, fully-warm JVM);
+    # the eviction effect is C-A2, not C-A.
+    a2 = [timed_pagerank() for _ in range(2)]
+    print(json.dumps({"arm": "A2_isolated_rerun", "sec": a2,
+                      "opts": opts}), flush=True)
     print(json.dumps({"summary": True, "opts": opts, "A": a, "C": c,
+                      "A2": a2,
                       "loadavg": list(os.getloadavg())}), flush=True)
 
 

@@ -22,6 +22,14 @@ compact_every raw batches + one snapshot. At 100 TB the same curve is
 the table format's compaction policy (OPTIMIZE cadence vs MERGE
 frequency); the miniature demonstrates the same economics end-to-end.
 
+Round-13 (ADVICE low): 16/64 are exact multiples of compact_every, so
+those reads saw a pure post-compaction snapshot — best case. Added
+mid-cadence points 20/68 (snapshot + 4 pending deltas). Measured:
+overlapping 16/20/64/68 compacted -> 0.368/0.510/0.338/0.443 s vs
+0.856 s at 64 uncompacted — mid-cadence is ~1.5x the post-compaction
+floor, still ~1.7-1.9x faster than uncompacted, bounded by
+snapshot + <=7 deltas (full table in BASELINE.md).
+
 Usage: SPARK_GRAFT_CPUS=32 python scripts/state_read_probe_r12.py
 """
 
@@ -85,7 +93,12 @@ def main() -> None:
     for disjoint in (True, False):
         for nd in (4, 16, 64):
             print(json.dumps(probe(spark, nd, NO_COMPACT, disjoint)), flush=True)
-        for nd in (16, 64):
+        # 16/64 are exact multiples of compact_every=8, so the timed
+        # read sees a pure post-compaction snapshot (best case); 20/68
+        # are mid-cadence — snapshot + 4 pending raw deltas — the
+        # steady state a reader actually sees between compactions
+        # (round-12 ADVICE low)
+        for nd in (16, 20, 64, 68):
             print(json.dumps(probe(spark, nd, 8, disjoint)), flush=True)
 
 

@@ -250,3 +250,33 @@ def test_codegen_class_cache_sized_for_multi_query_sessions(spark):
     at the default vs 3.8-4.6 s at 5000; scripts/codecache_ab_r12.py).
     Static conf, so it must come from the session factory."""
     assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "5000"
+
+
+def test_static_conf_mismatch_warns(spark):
+    """Round-12 ADVICE low: a pre-existing SparkSession silently
+    ignores the static codegen-cache conf, so get_spark() must compare
+    the live value and WARN on mismatch. Pin both directions using the
+    real session (matching value → silent) and a stub whose conf.get
+    returns the 100-entry default (mismatch → RuntimeWarning naming the
+    knob)."""
+    import warnings
+
+    from financial_tracker_etl_spark.session import _warn_if_static_conf_ignored
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # matching value must not warn
+        _warn_if_static_conf_ignored(spark)
+
+    class _Conf:
+        def get(self, key):
+            assert key == "spark.sql.codegen.cache.maxEntries"
+            return "100"
+
+    class _Stub:
+        conf = _Conf()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _warn_if_static_conf_ignored(_Stub())
+    assert len(caught) == 1 and issubclass(caught[0].category, RuntimeWarning)
+    assert "codegen.cache.maxEntries" in str(caught[0].message)

@@ -397,16 +397,16 @@ def test_registry_rotation_structure(reg):
     """The driver gate checks exactly the first 50 registry entries, so
     registry ORDER is load-bearing. Pin the steady 3-round rotation
     arithmetic (in effect since round 6): prefix = _CHECK_FIRST = the
-    block whose newest driver row is oldest (round 12: the
-    CORRECTNESS_r09.json (== r05) key set, 2 rounds stale after
-    coasting through rounds 10-11 and pre-verified 50/50 on the
-    round-11 tree), suffix = _CHECK_LAST = the freshest block
-    (round 12: the r04/r07/r08 key set, re-proven as the round-11 gate
-    in CORRECTNESS_r11.json), no duplicates, 150 total, and
+    block whose newest driver row is oldest (round 13: the
+    CORRECTNESS_r10.json (== r06) key set, 2 rounds stale after
+    coasting through rounds 11-12 and pre-verified 50/50 on this tree
+    at commit 2a53471), suffix = _CHECK_LAST = the freshest block
+    (round 13: the r05/r09 key set, re-proven as the round-12 gate
+    in CORRECTNESS_r12.json), no duplicates, 150 total, and
     prefix/suffix disjoint so every query's driver row ends the round
-    at most two rounds old. Round-13 rotation: prefix = the r06/r10
-    block (the middle this round), suffix = this round's prefix
-    (r05/r09 keys)."""
+    at most two rounds old. Round-14 rotation: prefix = the r04/r07/
+    r08/r11 block (the middle this round), suffix = this round's
+    prefix (r06/r10 keys)."""
     import json
     import pathlib
 
@@ -418,11 +418,11 @@ def test_registry_rotation_structure(reg):
     assert names[:50] == _CHECK_FIRST
     assert names[-len(_CHECK_LAST):] == _CHECK_LAST
     root = pathlib.Path(__file__).resolve().parents[1]
-    r9 = root / "CORRECTNESS_r09.json"
-    r8 = root / "CORRECTNESS_r08.json"
-    if r9.exists() and r8.exists():
-        assert set(_CHECK_FIRST) == set(json.loads(r9.read_text()))
-        assert set(_CHECK_LAST) == set(json.loads(r8.read_text()))
+    r10 = root / "CORRECTNESS_r10.json"
+    r12 = root / "CORRECTNESS_r12.json"
+    if r10.exists() and r12.exists():
+        assert set(_CHECK_FIRST) == set(json.loads(r10.read_text()))
+        assert set(_CHECK_LAST) == set(json.loads(r12.read_text()))
         assert not (set(_CHECK_FIRST) & set(_CHECK_LAST))
 
 
