@@ -28,6 +28,12 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# Compiled-codegen class-cache size: one value, used by both the
+# builder config and the post-getOrCreate mismatch warning so the two
+# can never drift (see the .config() comment below for the rationale).
+CODEGEN_CACHE_MAX_ENTRIES = "5000"
+
+
 def _ui_enabled() -> bool:
     """SPARK_GRAFT_UI opt-in, with conventional falsey spellings
     rejected: raw truthiness made ``SPARK_GRAFT_UI=0`` ENABLE the UI
@@ -106,7 +112,7 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         # compiled (code cache measured at <65% of its 240 MB reserve
         # with full_count=0 over a full bench context). Cluster sizing
         # rule + at-scale rationale: README "Cluster deployment" notes.
-        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        .config("spark.sql.codegen.cache.maxEntries", CODEGEN_CACHE_MAX_ENTRIES)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # UI off by default (startup cost, port churn in tests); the
         # memory soak sets SPARK_GRAFT_UI=1 to read task-level spill
@@ -152,13 +158,13 @@ def _warn_if_static_conf_ignored(spark: SparkSession) -> None:
         live = spark.conf.get("spark.sql.codegen.cache.maxEntries")
     except Exception:
         return
-    if str(live) != "5000":
+    if str(live) != CODEGEN_CACHE_MAX_ENTRIES:
         warnings.warn(
             "spark.sql.codegen.cache.maxEntries is "
-            f"{live!r}, not the requested 5000 — a pre-existing "
-            "SparkSession ignored the static conf; multi-query sessions "
-            "will thrash the compiled-codegen class cache "
-            "(see session.py / README deployment notes)",
+            f"{live!r}, not the requested {CODEGEN_CACHE_MAX_ENTRIES} — "
+            "a pre-existing SparkSession ignored the static conf; "
+            "multi-query sessions will thrash the compiled-codegen "
+            "class cache (see session.py / README deployment notes)",
             RuntimeWarning,
             stacklevel=3,
         )
