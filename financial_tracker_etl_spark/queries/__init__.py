@@ -40,20 +40,77 @@ class QuerySpec:
 # cover the registry). From here the gate runs a steady 3-round
 # rotation so no query's green evidence is ever older than two rounds:
 #
-# ROUND-13 prefix: the round-6/10 block — exactly the
-# CORRECTNESS_r10.json (== r06) key set, whose newest driver rows are
-# now the oldest (2 rounds stale after coasting through rounds 11-12)
-# and which was pre-verified 50/50 at sf0.01 on this tree (commit
-# 2a53471; COVERAGE.md). Suffix: the round-5/9 block (re-proven as the
-# round-12 gate — CORRECTNESS_r12.json — the freshest evidence, coasts
-# this round); the round-4/7/8/11 block sits in the middle and becomes
-# the round-14 prefix.
+# ROUND-14 prefix: the round-4/7/8/11 block — exactly the
+# CORRECTNESS_r11.json key set, whose newest driver rows are now the
+# oldest (3 rounds stale after coasting through rounds 12-13), as the
+# round-13 VERDICT task 1 mandates. Suffix: the round-6/10/13 block
+# (re-proven as the round-13 gate — CORRECTNESS_r13.json — the
+# freshest evidence, coasts this round); the round-5/9/12 block sits
+# in the middle and becomes the round-15 prefix.
 #
 # Registry remains FROZEN at 150 (round-4 judge task 2; reaffirmed by
 # the round-4/5/6 VERDICTs). The thirteen round-4 twin retirements and
 # their named covering queries are recorded in COVERAGE.md.
 #
 _CHECK_FIRST = [
+    "binned_range_join",
+    "bloom_pruned_anti_join",
+    "bm25_doc_ranking",
+    "bpe_pair_counts",
+    "brand_price_regression",
+    "brand_supplier_concentration",
+    "brand_triangle_counts",
+    "bucketed_colocated_join",
+    "cdc_apply_roundtrip",
+    "cms_token_frequencies",
+    "cogroup_state_reconciliation",
+    "copurchase_brand_pairs",
+    "curation_pipeline_v2",
+    "curriculum_difficulty_buckets",
+    "dq_expectations_report",
+    "embedding_ann_ivfpq",
+    "event_type_transitions",
+    "hierarchical_time_rollup",
+    "histogram_quantile_sketch",
+    "hll_shard_merge",
+    "ivm_maintained_agg",
+    "key_skew_report",
+    "nb_quality_filter",
+    "ngram_novelty_scores",
+    "order_fulfillment_latency",
+    "per_stratum_sample",
+    "phrase_search_index",
+    "pit_customer_features",
+    "pps_weighted_sample",
+    "purchase_graph_bfs_hops",
+    "purchase_graph_pagerank",
+    "referential_integrity_audit",
+    "salted_skew_join_revenue",
+    "scd2_part_prices",
+    "skew_safe_count_distinct",
+    "source_length_gini",
+    "state_time_travel",
+    "stream_cdc_apply",
+    "stream_docs_ingest_dedup",
+    "stream_sliding_window_counts",
+    "table_diff_buckets",
+    "target_encoding_loo",
+    "top_supplier_revenue",
+    "udaf_event_value_median",
+    "unpivot_market_measures",
+    "user_activity_streaks",
+    "value_drift_report",
+    "weekly_growth_accounting",
+    "winsorized_quantity_stats",
+    "zorder_layout_stats",
+]
+
+# Suffix: the 50 round-6/10/13-block queries — re-proven as the
+# round-13 gate (CORRECTNESS_r13.json, 50/50 green), the freshest
+# driver evidence, so they coast this round. The loop in registry()
+# places the round-5/9/12-green block between the prefix and this
+# suffix; the gate never reaches either.
+_CHECK_LAST = [
     "a1_historical_batches",
     "a4_latest_monthly_price",
     "asof_quote_join",
@@ -104,64 +161,6 @@ _CHECK_FIRST = [
     "udtf_month_spine",
     "upsert_market_data",
     "x1_exact_dedup",
-]
-
-# Suffix: the 50 round-5/9-block queries — re-proven as the
-# round-12 gate (CORRECTNESS_r12.json, 50/50 green), the freshest
-# driver evidence, so they coast this round. The loop in registry()
-# places the round-4/7/8/11-green block between the prefix and this
-# suffix; the gate never reaches either.
-_CHECK_LAST = [
-    "activity_heatmap_cells",
-    "benchmark_contamination",
-    "bloom_source_overlap",
-    "brand_association_rules",
-    "chunk_level_dedup",
-    "cohort_funnel_conversion",
-    "corpus_curation_summary",
-    "dedup_impact_by_source",
-    "doc_lm_perplexity",
-    "doc_price_indicators",
-    "doc_token_chunks",
-    "dormant_rich_customers",
-    "dsir_importance_weights",
-    "embedding_ann_ivf",
-    "embedding_cosine_near_dups",
-    "embedding_int8_quantize",
-    "embedding_label_centroids",
-    "flagship_historical_repair",
-    "funnel_latency_quantiles",
-    "historical_missing_months",
-    "incremental_dedup_new_docs",
-    "kmeans_assign_step",
-    "lang_id_confusion_matrix",
-    "leakage_safe_splits",
-    "length_outlier_filter",
-    "mad_quantity_by_flag",
-    "minhash_lsh_near_dups",
-    "nation_share_of_region",
-    "pareto_top_decile_share",
-    "pii_scrub_stats",
-    "rolling_week_user_activity",
-    "semantic_dedup_pairs",
-    "seq_packing_plan",
-    "sequence_bigram_support",
-    "sessions_in_anomalous_hours",
-    "simhash_near_dup_pairs",
-    "source_vocab_divergence",
-    "stream_pipeline_completions",
-    "stream_stateful_ewma",
-    "stream_upsert_market_data",
-    "text_repetition_stats",
-    "text_stratified_sample",
-    "tfidf_keywords",
-    "token_budget_mix",
-    "top_parts_per_brand_with_ties",
-    "user_modal_event_type",
-    "user_type_diversity",
-    "vocab_oov_rate",
-    "weekly_stickiness",
-    "winnow_overlap_pairs",
 ]
 
 

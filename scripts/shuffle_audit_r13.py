@@ -1,5 +1,11 @@
 """Full bench-set shuffle/spill audit (round 13).
 
+SUPERSEDED in round 14 by scripts/shuffle_audit_r14.py, which dedupes
+ReusedExchange subtrees, adds the stage-level REST path (covers jobs
+behind persisted intermediates + shuffle-write spill), and never
+crashes on an empty max() (the three round-13 ADVICE lows). Kept for
+ledger history; run the r14 script.
+
 Earlier rounds audited the 5 most expensive bench queries' runtime
 SQLMetrics by hand; this script makes the audit exhaustive and
 repeatable: every bench query (headline + tail, 19 total) executed at
