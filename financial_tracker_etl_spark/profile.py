@@ -72,8 +72,13 @@ def collect_metrics(df: DataFrame, execute: bool = True) -> list[NodeMetrics]:
 
     def walk(node, depth: int, reused: bool) -> None:
         name = node.nodeName()
-        rows.append(NodeMetrics(depth, name, _node_metrics(node), reused))
+        # The ReusedExchange wrapper row itself is flagged, not just its
+        # descendants: ReusedExchangeExec exposes no SQLMetrics today,
+        # but if a future Spark surfaced the original's aliased
+        # accumulators on the wrapper, an unflagged wrapper row would
+        # double-count in plan_io_summary (round-14 ADVICE low).
         into_reuse = reused or name.startswith("Reused")
+        rows.append(NodeMetrics(depth, name, _node_metrics(node), into_reuse))
         for kid in _subplans(node):
             walk(kid, depth + 1, into_reuse)
 

@@ -40,19 +40,77 @@ class QuerySpec:
 # cover the registry). From here the gate runs a steady 3-round
 # rotation so no query's green evidence is ever older than two rounds:
 #
-# ROUND-14 prefix: the round-4/7/8/11 block — exactly the
-# CORRECTNESS_r11.json key set, whose newest driver rows are now the
-# oldest (3 rounds stale after coasting through rounds 12-13), as the
-# round-13 VERDICT task 1 mandates. Suffix: the round-6/10/13 block
-# (re-proven as the round-13 gate — CORRECTNESS_r13.json — the
-# freshest evidence, coasts this round); the round-5/9/12 block sits
-# in the middle and becomes the round-15 prefix.
+# ROUND-15 prefix: the round-5/9/12 block — exactly the
+# CORRECTNESS_r12.json key set, whose newest driver rows are now the
+# oldest (3 rounds stale after coasting through rounds 13-14), as the
+# round-14 VERDICT task 1 mandates. Suffix: the round-4/7/8/11/14
+# block (re-proven as the round-14 gate — CORRECTNESS_r14.json — the
+# freshest evidence, coasts this round); the round-6/10/13 block sits
+# in the middle and becomes the round-16 prefix.
 #
 # Registry remains FROZEN at 150 (round-4 judge task 2; reaffirmed by
 # the round-4/5/6 VERDICTs). The thirteen round-4 twin retirements and
 # their named covering queries are recorded in COVERAGE.md.
 #
 _CHECK_FIRST = [
+    "activity_heatmap_cells",
+    "benchmark_contamination",
+    "bloom_source_overlap",
+    "brand_association_rules",
+    "chunk_level_dedup",
+    "cohort_funnel_conversion",
+    "corpus_curation_summary",
+    "dedup_impact_by_source",
+    "doc_lm_perplexity",
+    "doc_price_indicators",
+    "doc_token_chunks",
+    "dormant_rich_customers",
+    "dsir_importance_weights",
+    "embedding_ann_ivf",
+    "embedding_cosine_near_dups",
+    "embedding_int8_quantize",
+    "embedding_label_centroids",
+    "flagship_historical_repair",
+    "funnel_latency_quantiles",
+    "historical_missing_months",
+    "incremental_dedup_new_docs",
+    "kmeans_assign_step",
+    "lang_id_confusion_matrix",
+    "leakage_safe_splits",
+    "length_outlier_filter",
+    "mad_quantity_by_flag",
+    "minhash_lsh_near_dups",
+    "nation_share_of_region",
+    "pareto_top_decile_share",
+    "pii_scrub_stats",
+    "rolling_week_user_activity",
+    "semantic_dedup_pairs",
+    "seq_packing_plan",
+    "sequence_bigram_support",
+    "sessions_in_anomalous_hours",
+    "simhash_near_dup_pairs",
+    "source_vocab_divergence",
+    "stream_pipeline_completions",
+    "stream_stateful_ewma",
+    "stream_upsert_market_data",
+    "text_repetition_stats",
+    "text_stratified_sample",
+    "tfidf_keywords",
+    "token_budget_mix",
+    "top_parts_per_brand_with_ties",
+    "user_modal_event_type",
+    "user_type_diversity",
+    "vocab_oov_rate",
+    "weekly_stickiness",
+    "winnow_overlap_pairs",
+]
+
+# Suffix: the 50 round-4/7/8/11/14-block queries — re-proven as the
+# round-14 gate (CORRECTNESS_r14.json, 50/50 green), the freshest
+# driver evidence, so they coast this round. The loop in registry()
+# places the round-6/10/13-green block between the prefix and this
+# suffix; the gate never reaches either.
+_CHECK_LAST = [
     "binned_range_join",
     "bloom_pruned_anti_join",
     "bm25_doc_ranking",
@@ -103,64 +161,6 @@ _CHECK_FIRST = [
     "weekly_growth_accounting",
     "winsorized_quantity_stats",
     "zorder_layout_stats",
-]
-
-# Suffix: the 50 round-6/10/13-block queries — re-proven as the
-# round-13 gate (CORRECTNESS_r13.json, 50/50 green), the freshest
-# driver evidence, so they coast this round. The loop in registry()
-# places the round-5/9/12-green block between the prefix and this
-# suffix; the gate never reaches either.
-_CHECK_LAST = [
-    "a1_historical_batches",
-    "a4_latest_monthly_price",
-    "asof_quote_join",
-    "brand_revenue_share",
-    "cdc_market_changes",
-    "cube_monthly_summary",
-    "dedup_clusters",
-    "doc_fingerprints",
-    "duplicate_span_stats",
-    "embedding_ann_pq",
-    "embedding_topk_cosine",
-    "events_funnel_stages",
-    "events_hourly_anomalies",
-    "events_hourly_rollup",
-    "events_props_rollup",
-    "events_sessionization",
-    "events_weekly_retention",
-    "historical_fetch_windows",
-    "historical_repair_summary",
-    "hll_distinct_users",
-    "j1_symbols_needing_update",
-    "j2_existing_state_semi_join",
-    "j4_coverage_counts",
-    "j5_coverage_index",
-    "longest_month_gap",
-    "multimodal_decode_features",
-    "ngram_jaccard_near_dups",
-    "order_priority_count",
-    "p1_invalid_quote_rows",
-    "p2_index_quote_projection",
-    "p4_typed_quotes",
-    "p5_payload_envelopes",
-    "pivot_monthly_by_type",
-    "pricing_summary",
-    "quantiles_by_returnflag",
-    "region_nation_rollup",
-    "s6_asset_dispatch",
-    "stream_dedup_exact",
-    "stream_events_hourly_rollup",
-    "stream_interval_join",
-    "stream_session_windows",
-    "stream_static_enrichment",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "top_revenue_customers",
-    "training_shard_plan",
-    "udtf_month_spine",
-    "upsert_market_data",
-    "x1_exact_dedup",
 ]
 
 

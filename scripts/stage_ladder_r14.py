@@ -80,6 +80,15 @@ def main() -> None:
                 force(spec.fn(spark, args.sf_dir))
                 sec = round(time.perf_counter() - t0, 3)
                 stage = stage_delta_metrics(spark, before)
+            if stage is None:
+                # stage_snapshot swallows transient REST failures and
+                # returns None; the startup UI guard only runs once, so
+                # indexing unconditionally would TypeError mid-ladder
+                # (round-14 ADVICE low)
+                raise SystemExit(
+                    f"UI REST snapshot failed mid-run (query={name}, k={k}); "
+                    "re-run the ladder"
+                )
             rec = {
                 "query": name,
                 "k": k,

@@ -72,6 +72,12 @@ def main() -> None:
             before = stage_snapshot(spark)
             rung = _r12.run_rung(spark, args.sf_dir, indir)
             delta = stage_delta_metrics(spark, before)
+            if delta is None:
+                # transient REST failure mid-run (round-14 ADVICE low):
+                # fail loudly instead of TypeError-ing on delta[...]
+                raise SystemExit(
+                    f"UI REST snapshot failed mid-run (k={k}); re-run"
+                )
             rung["stage_shuffle_write_mb"] = round(
                 delta["shuffleWriteBytes"] / MB, 2
             )

@@ -138,16 +138,22 @@ def test_collect_metrics_flags_reused_descendants(spark):
         pytest.skip("plan produced no ReusedExchange on this version")
     reused = [r for r in rows if r.reused]
     assert reused, "Reused wrapper present but no descendant was flagged"
-    # the aliased subtree repeats nodes that also appear un-flagged
+    # the wrapper row ITSELF is flagged (round-14 ADVICE low: an
+    # unflagged wrapper would double-count if a future Spark surfaced
+    # the original's aliased accumulators on it)
+    assert all(r.reused for r in rows if r.name.startswith("Reused"))
+    # the aliased subtree repeats a real exchange whose aliased
+    # accumulators a naive sum double-counts — dedup must STRICTLY
+    # shrink the total, or it has silently become a no-op
     assert any(
-        r.reused and "shuffleBytesWritten" in r.metrics for r in rows
-    ) or any(r.reused for r in rows)
-    # dedup actually changes the sum for this plan
+        r.reused and r.metrics.get("shuffleBytesWritten", 0) > 0
+        for r in rows
+    ), "reused subtree carries no aliased shuffle metric to dedup"
     naive = sum(
         r.metrics.get("shuffleBytesWritten", 0) for r in rows
     )
     deduped = plan_io_summary(rows)["shuffle_total_bytes"]
-    assert deduped <= naive
+    assert deduped < naive
 
 
 def test_stage_delta_metrics_identifies_new_stages(monkeypatch):
