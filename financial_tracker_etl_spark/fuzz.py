@@ -1,0 +1,303 @@
+"""Fuzzed-input differential: seeded mutations of the parquet fixtures.
+
+Every correctness check before round 15 ran on the FIXED driver
+testdata, so a data-dependent latent bug — a tie-break that happens
+never to tie at sf0.01, a NULL path the generator never emits, an
+accidental dependence on key↔time correlation — would pass all 150
+oracles forever. This module derives deterministic seeded variants of
+an sf directory and re-runs the full Spark-vs-DuckDB differential on
+each. BOTH engines read the same mutated parquet, so the oracle stays
+exact: any FAIL is a genuine query/oracle non-equivalence or
+nondeterminism that the fixed fixture masked (round-14 VERDICT task 2).
+
+Mutation classes (each independently toggleable for bisection):
+
+- ``shuffle``   — permute row order of every table (catches accidental
+  dependence on parquet row order).
+- ``subsample`` — keep ~85% of fact-table rows (moves every boundary:
+  group sizes, quantile cut points, join hit rates; dangling foreign
+  keys become MORE common, exercising outer/anti-join miss paths).
+- ``dupes``     — re-insert ~2% of fact rows as exact duplicates
+  (exercises dedup survivors, count-vs-count-distinct, tie-breaks).
+- ``nulls``     — set ~2% of selected nullable NON-KEY columns to NULL
+  (exercises null-skipping aggregates, null ordering, null group
+  keys). Applied after ``dupes``, so a duplicated row pair can differ
+  only in null pattern — a key-tie with differing payload, the
+  sharpest deterministic-survivor test.
+- ``permute``   — apply a seeded bijection to each key family
+  consistently across every table referencing it (customer↔orders,
+  orders↔lineitem, part/supplier/nation/region FKs, events/documents/
+  embeddings ids). Equijoin structure is exactly preserved while key
+  order, key hashing, and key↔time correlation all change.
+
+Determinism: same (seed, base dir, mutation set) → byte-identical
+output tables. No wall-clock or process randomness (numpy
+``default_rng`` seeded from the seed plus a crc32 of the salt path).
+
+CLI::
+
+    python -m financial_tracker_etl_spark.fuzz \
+        [--sf-dir /root/testdata/sf0.01] [--seeds 1 2 3] \
+        [--mutations shuffle,subsample,dupes,nulls,permute] [names...]
+
+Exit 0 iff every (seed × query) differential passes.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .catalog import TABLES, table_path
+
+MUTATIONS = ("shuffle", "subsample", "dupes", "nulls", "permute")
+
+# fact tables eligible for row-level mutation; dims stay full so the
+# dim side of every FK keeps resolving at the fixture's hit rate
+SUBSAMPLE_TABLES = {
+    "customer",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+}
+SUBSAMPLE_KEEP = 0.85
+DUPE_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+DUPE_RATE = 0.02
+NULL_RATE = 0.02
+
+# nullable NON-KEY columns per table (keys and join columns excluded:
+# the goal is payload-null coverage, not FK breakage — subsample
+# already provides dangling keys)
+NULLABLE_COLS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_acctbal", "c_mktsegment"),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice", "p_size"),
+    "orders": ("o_totalprice",),
+    "lineitem": ("l_tax", "l_discount"),
+    "events": ("value",),
+    "documents": ("n_chars",),
+    "embeddings": ("label",),
+}
+
+# key families permuted with ONE bijection each, applied to every
+# (table, column) that stores the family (join structure is invariant
+# under a value bijection applied consistently to both sides)
+KEY_FAMILIES: tuple[tuple[tuple[str, str], ...], ...] = (
+    (("customer", "c_custkey"), ("orders", "o_custkey")),
+    (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+    (("part", "p_partkey"), ("lineitem", "l_partkey")),
+    (("supplier", "s_suppkey"), ("lineitem", "l_suppkey")),
+    (
+        ("nation", "n_nationkey"),
+        ("customer", "c_nationkey"),
+        ("supplier", "s_nationkey"),
+    ),
+    (("region", "r_regionkey"), ("nation", "n_regionkey")),
+    (("events", "event_id"),),
+    (("events", "user_id"),),
+    (("documents", "doc_id"),),
+    (("embeddings", "vec_id"),),
+)
+
+
+def _rng(seed: int, *salt: str) -> np.random.Generator:
+    # crc32, not hash(): str hash is per-process randomized
+    return np.random.default_rng(
+        [int(seed)] + [zlib.crc32(s.encode()) for s in salt]
+    )
+
+
+def _key_bijections(
+    tables: dict[str, pa.Table], seed: int
+) -> dict[tuple[str, str], tuple[np.ndarray, np.ndarray]]:
+    """For each key family: (sorted unique observed values, their
+    permuted images), shared by every column in the family."""
+    out: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+    for family in KEY_FAMILIES:
+        vals = []
+        for tname, col in family:
+            arr = tables[tname][col]
+            if arr.null_count:
+                raise ValueError(f"key column {tname}.{col} has nulls")
+            vals.append(arr.combine_chunks().to_numpy(zero_copy_only=False))
+        uniq = np.unique(np.concatenate(vals).astype(np.int64))
+        fam_name = "+".join(f"{t}.{c}" for t, c in family)
+        images = uniq[_rng(seed, "permute", fam_name).permutation(len(uniq))]
+        for tname, col in family:
+            out[(tname, col)] = (uniq, images)
+    return out
+
+
+def _apply_permute(
+    tbl: pa.Table,
+    name: str,
+    bijections: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]],
+) -> pa.Table:
+    for (tname, col), (uniq, images) in bijections.items():
+        if tname != name:
+            continue
+        field = tbl.schema.field(col)
+        old = tbl[col].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(uniq, old.astype(np.int64))
+        mapped = images[idx].astype(old.dtype)  # keep int32 vs int64
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index(col), field, pa.array(mapped, field.type)
+        )
+    return tbl
+
+
+def _apply_nulls(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+    for col in NULLABLE_COLS.get(name, ()):
+        n = len(tbl)
+        mask = _rng(seed, "nulls", name, col).random(n) < NULL_RATE
+        field = tbl.schema.field(col)
+        arr = pc.if_else(
+            pa.array(mask),
+            pa.scalar(None, type=field.type),
+            tbl[col].combine_chunks(),
+        )
+        tbl = tbl.set_column(tbl.schema.get_field_index(col), field, arr)
+    return tbl
+
+
+def mutate_table(
+    tbl: pa.Table,
+    name: str,
+    seed: int,
+    mutations: tuple[str, ...] = MUTATIONS,
+    bijections: dict | None = None,
+) -> pa.Table:
+    """Apply the enabled mutation classes to one table, in a fixed
+    order (permute → subsample → dupes → nulls → shuffle) so class
+    toggling is well-defined."""
+    if "permute" in mutations and bijections:
+        tbl = _apply_permute(tbl, name, bijections)
+    if "subsample" in mutations and name in SUBSAMPLE_TABLES:
+        keep = _rng(seed, "subsample", name).random(len(tbl)) < SUBSAMPLE_KEEP
+        if not keep.any():
+            keep[0] = True
+        tbl = tbl.take(pa.array(np.flatnonzero(keep)))
+    if "dupes" in mutations and name in DUPE_TABLES:
+        rng = _rng(seed, "dupes", name)
+        n = len(tbl)
+        extra = np.flatnonzero(rng.random(n) < DUPE_RATE)
+        if extra.size:
+            order = np.concatenate([np.arange(n), extra])
+            tbl = tbl.take(pa.array(order))
+    if "nulls" in mutations:
+        tbl = _apply_nulls(tbl, name, seed)
+    if "shuffle" in mutations:
+        perm = _rng(seed, "shuffle", name).permutation(len(tbl))
+        tbl = tbl.take(pa.array(perm))
+    return tbl
+
+
+def mutate_dir(
+    base_dir: str,
+    out_dir: str,
+    seed: int,
+    mutations: tuple[str, ...] = MUTATIONS,
+) -> dict[str, dict]:
+    """Write seeded variants of every catalog table from ``base_dir``
+    into ``out_dir``; returns a per-table manifest for the ledger."""
+    os.makedirs(out_dir, exist_ok=True)
+    tables = {
+        name: pq.read_table(table_path(base_dir, name)) for name in TABLES
+    }
+    bijections = (
+        _key_bijections(tables, seed) if "permute" in mutations else None
+    )
+    manifest: dict[str, dict] = {}
+    for name, tbl in tables.items():
+        out = mutate_table(tbl, name, seed, mutations, bijections)
+        if out.schema.metadata:
+            out = out.replace_schema_metadata(None)  # drop stale pandas index
+        pq.write_table(out, table_path(out_dir, name))
+        manifest[name] = {
+            "rows_in": len(tbl),
+            "rows_out": len(out),
+            "nulls_injected": sum(
+                out[c].null_count - tbl[c].null_count
+                for c in NULLABLE_COLS.get(name, ())
+                if "nulls" in mutations
+            ),
+        }
+    return manifest
+
+
+def main() -> int:
+    import argparse
+    import json
+    import shutil
+    import tempfile
+
+    from .queries import registry
+    from .session import get_spark
+    from .verify import duckdb_connection, run_one
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--mutations", default=",".join(MUTATIONS))
+    p.add_argument("--keep", action="store_true", help="keep mutated dirs")
+    p.add_argument("names", nargs="*")
+    args = p.parse_args()
+
+    mutations = tuple(m for m in args.mutations.split(",") if m)
+    unknown = set(mutations) - set(MUTATIONS)
+    if unknown:
+        raise SystemExit(f"unknown mutations: {sorted(unknown)}")
+    names = args.names or list(registry())
+    spark = get_spark("fuzz-differential")
+    total_failures = 0
+    for seed in args.seeds:
+        out_dir = tempfile.mkdtemp(prefix=f"ftes_fuzz_s{seed}_")
+        try:
+            manifest = mutate_dir(args.sf_dir, out_dir, seed, mutations)
+            print(
+                json.dumps(
+                    {
+                        "seed": seed,
+                        "mutations": list(mutations),
+                        "base": args.sf_dir,
+                        "tables": manifest,
+                    }
+                ),
+                flush=True,
+            )
+            con = duckdb_connection(out_dir)
+            failures = 0
+            for name in names:
+                try:
+                    ok, msg = run_one(spark, con, out_dir, name)
+                except Exception as e:  # noqa: BLE001
+                    ok, msg = False, f"EXC {type(e).__name__}: {e}"
+                print(f"{'PASS' if ok else 'FAIL'} seed={seed} {name}: {msg}")
+                failures += 0 if ok else 1
+            con.close()
+            print(
+                f"seed {seed}: {len(names) - failures}/{len(names)} passed",
+                flush=True,
+            )
+            total_failures += failures
+        finally:
+            if args.keep:
+                print(f"seed {seed} dir kept: {out_dir}")
+            else:
+                shutil.rmtree(out_dir, ignore_errors=True)
+    print(
+        f"fuzz differential: {len(args.seeds)} seed(s) x {len(names)} "
+        f"queries, {total_failures} failure(s)"
+    )
+    return 1 if total_failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Unit contract for the fuzzed-input mutator (round-14 VERDICT task 2).
+
+The fuzz differential's value rests on three properties the full run
+can't cheaply re-prove: determinism (same seed → byte-identical
+parquet), schema preservation (mutated tables are drop-in for both
+engines), and permute-only join invariance (the key bijection is
+applied consistently to every column of a family, so equijoin
+cardinalities are exactly preserved). Spark-free: pyarrow + duckdb.
+"""
+
+import hashlib
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from financial_tracker_etl_spark.catalog import TABLES, table_path
+from financial_tracker_etl_spark.fuzz import (
+    KEY_FAMILIES,
+    MUTATIONS,
+    NULLABLE_COLS,
+    SUBSAMPLE_TABLES,
+    mutate_dir,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _sha(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def test_mutator_is_deterministic_and_schema_preserving(tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = mutate_dir(SF_DIR, d1, seed=42)
+    m2 = mutate_dir(SF_DIR, d2, seed=42)
+    assert m1 == m2
+    for name in TABLES:
+        assert _sha(table_path(d1, name)) == _sha(table_path(d2, name))
+        base = pq.read_schema(table_path(SF_DIR, name))
+        mut = pq.read_schema(table_path(d1, name))
+        assert [(f.name, f.type) for f in base] == [
+            (f.name, f.type) for f in mut
+        ], name
+    # a different seed actually changes the data
+    d3 = str(tmp_path / "c")
+    mutate_dir(SF_DIR, d3, seed=43)
+    assert any(
+        _sha(table_path(d1, n)) != _sha(table_path(d3, n)) for n in TABLES
+    )
+
+
+def test_mutation_classes_do_what_the_manifest_claims(tmp_path):
+    out = str(tmp_path / "m")
+    manifest = mutate_dir(SF_DIR, out, seed=7)
+    for name in TABLES:
+        rec = manifest[name]
+        assert rec["rows_out"] == len(pq.read_table(table_path(out, name)))
+        if name in SUBSAMPLE_TABLES:
+            # subsample shrinks; dupes add back at most a few percent
+            assert rec["rows_out"] < rec["rows_in"]
+        else:
+            assert rec["rows_out"] == rec["rows_in"]
+        if NULLABLE_COLS.get(name) and rec["rows_in"] >= 100:
+            assert rec["nulls_injected"] > 0, name
+    # duplicate inflation is observable: at least one exact-dup row pair
+    con = duckdb.connect()
+    n_dup = con.execute(
+        f"""SELECT count(*) FROM (
+            SELECT l_orderkey, l_linenumber, count(*) c
+            FROM read_parquet('{table_path(out, "lineitem")}')
+            GROUP BY 1, 2 HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    assert n_dup > 0
+
+
+def test_permute_only_preserves_every_fk_join_cardinality(tmp_path):
+    out = str(tmp_path / "p")
+    mutate_dir(SF_DIR, out, seed=11, mutations=("permute",))
+    con = duckdb.connect()
+    joins = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    for lt, lk, rt, rk in joins:
+        q = (
+            "SELECT count(*) FROM read_parquet('{d}/" + lt + ".parquet') a "
+            "JOIN read_parquet('{d}/" + rt + ".parquet') b "
+            f"ON a.{lk} = b.{rk}"
+        )
+        nb = con.execute(q.format(d=SF_DIR)).fetchone()[0]
+        nm = con.execute(q.format(d=out)).fetchone()[0]
+        assert nb == nm, (lt, rt, nb, nm)
+    # row order/content outside key columns is untouched by permute
+    for name in TABLES:
+        base = pq.read_table(table_path(SF_DIR, name))
+        mut = pq.read_table(table_path(out, name))
+        keyed = {c for fam in KEY_FAMILIES for t, c in fam if t == name}
+        for col in base.column_names:
+            if col not in keyed:
+                assert base[col].equals(mut[col]), (name, col)
+
+
+def test_key_dtypes_survive_permutation(tmp_path):
+    out = str(tmp_path / "d")
+    mutate_dir(SF_DIR, out, seed=3, mutations=("permute",))
+    for fam in KEY_FAMILIES:
+        for tname, col in fam:
+            base = pq.read_schema(table_path(SF_DIR, tname)).field(col).type
+            mut = pq.read_schema(table_path(out, tname)).field(col).type
+            assert base == mut, (tname, col)
+
+
+def test_mutation_set_is_the_documented_universe():
+    assert MUTATIONS == ("shuffle", "subsample", "dupes", "nulls", "permute")
