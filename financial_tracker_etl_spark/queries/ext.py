@@ -843,8 +843,15 @@ def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = duplicate_span_stats(docs)
     keep = spans.filter(F.col("dup_ppm") < 500_000).select("doc_id")
     survivors = docs.join(keep, "doc_id")
-    sampled = pps_systematic_sample(survivors, n_select=50).select("doc_id")
-    sharded = shard_assignments(docs.join(sampled, "doc_id"), n_shards=8)
+    # shard the SAMPLED rows directly (they already carry doc_id +
+    # weight) instead of re-joining onto documents: re-joining
+    # multiplied a sampled doc by its duplicate count, diverging from
+    # the oracle's `FROM sampled` whenever doc_id rows are duplicated
+    # (round-15 fuzzed differential) — and one fewer join besides
+    sampled = pps_systematic_sample(survivors, n_select=50).select(
+        "doc_id", "weight"
+    )
+    sharded = shard_assignments(sampled, n_shards=8, token_col="weight")
     return sharded.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("weight").alias("total_weight"),
@@ -1814,7 +1821,14 @@ def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash identically."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL lengths excluded on BOTH engines: a percentile over unknown
+    # lengths is undefined, and nulls otherwise diverge the engines
+    # (Spark's equi-join back onto the histogram silently drops null
+    # keys while shifting the cumulative counts of real rows; DuckDB's
+    # percent_rank puts nulls last) — round-15 fuzzed differential
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     hist = docs.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -1858,7 +1872,7 @@ _LENGTH_FILTER_ORACLE = """
 WITH r AS (
   SELECT doc_id, source, n_chars,
          percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 )
 SELECT doc_id, source, n_chars, round(pr, 6) AS len_pct_rank
 FROM r
@@ -2241,8 +2255,14 @@ FROM q
 def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
+    # NULL difficulty (length) excluded on BOTH engines — a doc with
+    # unknown length has no defined curriculum stage, and nulls would
+    # otherwise silently vanish from the Spark side only (null keys
+    # never equi-join back onto the histogram) — round-15 fuzzer
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "lang", "n_chars")
     )
     hist = docs.groupBy("lang", "n_chars").agg(
         F.count(F.lit(1)).alias("_c")
@@ -2258,7 +2278,11 @@ def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
     ranked = (
-        docs.withColumn("_rb", F.row_number().over(wb))
+        # rank(), not row_number(): duplicate doc_ids must SHARE a rank
+        # exactly as the oracle's percent_rank shares tied ranks —
+        # row_number gave identical copies distinct percentiles, which
+        # can straddle a stage boundary (round-15 fuzzer)
+        docs.withColumn("_rb", F.rank().over(wb))
         # equi-join on the window's own partitioning keys: colocated
         # with the exchange the row_number already paid for
         .join(cum.select("lang", "n_chars", "_n", "_lt"), ["lang", "n_chars"])
@@ -2280,7 +2304,7 @@ SELECT doc_id, lang, n_chars,
        CAST(least(3, CAST(floor(percent_rank() OVER (
              PARTITION BY lang ORDER BY n_chars, doc_id) * 4) AS BIGINT))
          AS INTEGER) AS stage
-FROM documents
+FROM documents WHERE n_chars IS NOT NULL
 """
 
 
@@ -2569,8 +2593,13 @@ WITH fp AS (
   FROM documents
 ),
 tagged AS (
+  -- row_number, not doc_id = min(doc_id): exactly ONE survivor per
+  -- fingerprint. The min() form marked EVERY copy of the minimum
+  -- doc_id a survivor, over-counting n_kept when a doc_id is itself
+  -- duplicated (round-15 fuzzed differential). Ties on doc_id are
+  -- full-row duplicates, so either copy yields identical aggregates.
   SELECT source,
-         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY f)
+         CASE WHEN row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
               THEN 1 ELSE 0 END AS is_survivor
   FROM fp
 )
@@ -2808,8 +2837,15 @@ def _q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     KEEPS the rank formulation as an independent derivation."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", F.col("n_chars").cast("long").alias("x")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL lengths are excluded on BOTH engines: a document of
+        # unknown length has no place in a length-inequality metric,
+        # and leaving nulls in diverges the engines' rank treatment
+        # (Spark windows sort nulls first, DuckDB row_number defaults
+        # nulls last) — found by the round-15 fuzzed differential
+        .filter(F.col("n_chars").isNotNull())
+        .select("source", F.col("n_chars").cast("long").alias("x"))
     )
     hist = docs.groupBy("source", "x").agg(F.count(F.lit(1)).alias("_c"))
     wx = (
@@ -2862,7 +2898,7 @@ WITH ranked AS (
   SELECT source, CAST(n_chars AS BIGINT) AS x,
          row_number() OVER (PARTITION BY source
                             ORDER BY n_chars, doc_id) AS rk
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 ),
 agg AS (
   SELECT source,

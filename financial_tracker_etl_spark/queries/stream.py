@@ -326,8 +326,14 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_stateful_ewma": QuerySpec(_q_stream_ewma, _EWMA_ORACLE),
     "stream_dedup_exact": QuerySpec(
         lambda spark, sf_dir: stream_dedup_within_watermark(spark, sf_dir),
+        # DISTINCT states the dedup: one row per event_id. The bare
+        # SELECT relied on the fixture's event_id uniqueness and broke
+        # the moment the fuzzer duplicated rows (round-15). Duplicate
+        # event_ids are full-row copies, so DISTINCT over the output
+        # columns is exactly dropDuplicates(["event_id"]).
         """
-SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
 """,
     ),
     "stream_interval_join": QuerySpec(
