@@ -75,7 +75,17 @@ SELECT '{TOPIC_MARKET}' AS topic,
        count(*) FILTER (quote_id % 89 = 0) AS skipped_empty
 FROM quotes_raw
 UNION ALL
-SELECT '{TOPIC_INDEX}', count(*), 0, 0, 0 FROM supplier
+-- the index job's P1 guard requires regularMarketPrice (= s_acctbal):
+-- a null balance is an INVALID request, not a processed record. The
+-- hardcoded all-valid form relied on the fixture never shipping a null
+-- balance (round-15 fuzzed differential). to_json drops null fields,
+-- so the parsed payload fails the required-field check exactly when
+-- s_acctbal IS NULL.
+SELECT '{TOPIC_INDEX}',
+       count(*) FILTER (s_acctbal IS NOT NULL),
+       count(*) FILTER (s_acctbal IS NULL),
+       0, 0
+FROM supplier
 UNION ALL
 SELECT '{TOPIC_HISTORICAL}', count(*), 0, 0, 0 FROM market_data_monthly
 """
