@@ -124,3 +124,31 @@ def test_key_dtypes_survive_permutation(tmp_path):
 
 def test_mutation_set_is_the_documented_universe():
     assert MUTATIONS == ("shuffle", "subsample", "dupes", "nulls", "permute")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_RUN_FUZZ"),
+    reason="opt-in: set SPARK_GRAFT_RUN_FUZZ=1 (full differential on a "
+    "mutated fixture, ~6-8 min; the per-round certification runs the "
+    "CLI at sf0.01 x 3 seeds instead)",
+)
+def test_full_registry_differential_on_mutated_fixture(spark, tmp_path):
+    """Opt-in end-to-end: one seeded variant of sf0.001, full 150-query
+    Spark-vs-DuckDB differential. The CLI (`python -m
+    financial_tracker_etl_spark.fuzz`) is the per-round certification
+    path; this test makes the same check reachable from pytest."""
+    from financial_tracker_etl_spark.queries import registry
+    from financial_tracker_etl_spark.verify import duckdb_connection, run_one
+
+    out = str(tmp_path / "fuzzed")
+    mutate_dir(SF_DIR, out, seed=1)
+    con = duckdb_connection(out)
+    failures = []
+    for name in registry():
+        try:
+            ok, msg = run_one(spark, con, out, name)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        if not ok:
+            failures.append((name, msg))
+    assert not failures, failures
