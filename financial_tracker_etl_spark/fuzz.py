@@ -72,17 +72,21 @@ DUPE_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
 DUPE_RATE = 0.02
 NULL_RATE = 0.02
 
-# nullable NON-KEY columns per table (keys and join columns excluded:
-# the goal is payload-null coverage, not FK breakage — subsample
-# already provides dangling keys)
+# nullable NON-KEY columns per table (FK/id columns excluded: the goal
+# is payload-null coverage, not FK breakage — subsample already
+# provides dangling keys). Round-15 extension: group-key strings
+# (lang/source/brand/type/priority/segment) and the JSON props column
+# are in scope — null GROUP keys, JSON-parse-of-null, and
+# concat/ordering null semantics are exactly the cross-engine
+# divergence classes a fixed fixture never exercises.
 NULLABLE_COLS: dict[str, tuple[str, ...]] = {
-    "customer": ("c_acctbal", "c_mktsegment"),
+    "customer": ("c_acctbal", "c_mktsegment", "c_name"),
     "supplier": ("s_acctbal",),
-    "part": ("p_retailprice", "p_size"),
-    "orders": ("o_totalprice",),
+    "part": ("p_retailprice", "p_size", "p_brand", "p_type"),
+    "orders": ("o_totalprice", "o_orderpriority"),
     "lineitem": ("l_tax", "l_discount"),
-    "events": ("value",),
-    "documents": ("n_chars",),
+    "events": ("value", "props"),
+    "documents": ("n_chars", "lang", "source"),
     "embeddings": ("label",),
 }
 

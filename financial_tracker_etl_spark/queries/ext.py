@@ -2073,7 +2073,15 @@ def _q_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     All counts are integers — exact cross-engine hash."""
     from ..ext.sketches import bloom_position_array
 
-    docs = load_table(spark, sf_dir, "documents")
+    # documents with NULL source are excluded on BOTH engines: an
+    # overlap MATRIX is keyed by (probe_source, target_source), and a
+    # doc of unknown provenance can't be attributed to either axis —
+    # leaving them in diverged the engines (Spark's window-based
+    # fill/n_pos kept null-source rows that the oracle's equality
+    # joins dropped) — round-15 fuzzer, extended null classes
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
     key = F.substring(normalized_text(F.col("text")), 1, 60)
     pos = (
         docs.select(
@@ -2129,7 +2137,7 @@ _BLOOM_OVERLAP_ORACLE = """
 WITH k AS (
   SELECT doc_id, source,
          substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 60) AS key
-  FROM documents
+  FROM documents WHERE source IS NOT NULL
 ),
 pos AS (
   SELECT DISTINCT doc_id, source,
@@ -2255,13 +2263,16 @@ FROM q
 def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # NULL difficulty (length) excluded on BOTH engines — a doc with
-    # unknown length has no defined curriculum stage, and nulls would
-    # otherwise silently vanish from the Spark side only (null keys
-    # never equi-join back onto the histogram) — round-15 fuzzer
+    # NULL difficulty (length) and NULL lang excluded on BOTH engines —
+    # a doc with unknown length has no defined curriculum stage and a
+    # doc with unknown language has no cohort; nulls would otherwise
+    # silently vanish from the Spark side only (null keys never
+    # equi-join back onto the histogram — and keeping them would force
+    # a null-safe join that abandons the colocated exchange) —
+    # round-15 fuzzer, both null classes
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("n_chars").isNotNull())
+        .filter(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
         .select("doc_id", "lang", "n_chars")
     )
     hist = docs.groupBy("lang", "n_chars").agg(
@@ -2304,7 +2315,7 @@ SELECT doc_id, lang, n_chars,
        CAST(least(3, CAST(floor(percent_rank() OVER (
              PARTITION BY lang ORDER BY n_chars, doc_id) * 4) AS BIGINT))
          AS INTEGER) AS stage
-FROM documents WHERE n_chars IS NOT NULL
+FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
 """
 
 
