@@ -1821,13 +1821,16 @@ def _q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash identically."""
     from pyspark.sql import Window
 
-    # NULL lengths excluded on BOTH engines: a percentile over unknown
-    # lengths is undefined, and nulls otherwise diverge the engines
-    # (Spark's equi-join back onto the histogram silently drops null
-    # keys while shifting the cumulative counts of real rows; DuckDB's
-    # percent_rank puts nulls last) — round-15 fuzzed differential
+    # NULL lengths and NULL sources excluded on BOTH engines: a
+    # percentile over unknown lengths is undefined and a PER-SOURCE
+    # percentile of an unknown-source doc has no partition; either
+    # null otherwise diverges the engines (Spark's equi-join back onto
+    # the histogram silently drops null keys — while shifting real
+    # rows' cumulative counts for null lengths — where DuckDB's
+    # percent_rank ranks nulls last and keeps a null partition) —
+    # round-15 fuzzed differential, both null classes
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("n_chars").isNotNull()
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
     )
     hist = docs.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).alias("_c")
@@ -1872,7 +1875,7 @@ _LENGTH_FILTER_ORACLE = """
 WITH r AS (
   SELECT doc_id, source, n_chars,
          percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
-  FROM documents WHERE n_chars IS NOT NULL
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
 )
 SELECT doc_id, source, n_chars, round(pr, 6) AS len_pct_rank
 FROM r
