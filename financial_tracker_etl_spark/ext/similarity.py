@@ -49,8 +49,23 @@ def norm(a: Column) -> Column:
 
 
 def _corpus(df: DataFrame) -> DataFrame:
+    """Canonical ANN corpus: one row per (vec_id, embedding). An index
+    treats vec_id as the vector's identity — a duplicated ingest row
+    must not occupy two probe slots, two rank positions, or two
+    candidate entries. Without the distinct, a duplicated QUERY row
+    interacts with the oracles' join multiplicities quadratically
+    (corpus JOIN u ON vec_id → 4 copies vs Spark's 2), so
+    `row_number <= nprobe` probes a different number of DISTINCT
+    clusters per engine — found by the round-15 fuzzer at sf0.1
+    (subsample+dupes+permute, seed 777). Distinct on the raw
+    (vec_id, embedding) pair: exact ingest copies collapse; genuinely
+    conflicting payloads for one vec_id stay visible downstream."""
     v = as_double_vec(F.col("embedding"))
-    return df.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+    return (
+        df.select("vec_id", "embedding")
+        .distinct()
+        .select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+    )
 
 
 def topk_cosine_bruteforce(

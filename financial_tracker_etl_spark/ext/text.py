@@ -141,14 +141,29 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(
-    df: DataFrame, key: Column, id_col: str = "doc_id"
+    df: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    tiebreak: list | None = None,
 ) -> DataFrame:
     """X1 exact dedup: keep the lowest id per key — deterministic,
     unlike ``dropDuplicates`` whose survivor depends on partition
-    order. One shuffle on the dedup key."""
+    order. One shuffle on the dedup key.
+
+    ``tiebreak``: extra ordering columns appended after the id for
+    callers whose OUTPUT observes payload columns that can differ
+    between same-id rows (e.g. a corpus where a doc_id was ingested
+    twice with differing source metadata — the round-15 fuzzer's
+    null-perturbed duplicates). Ordering by the id alone leaves the
+    survivor's payload engine-dependent in that case; pass explicit
+    nulls-positioned columns (e.g. ``F.col("source").asc_nulls_last()``
+    to match SQL ``NULLS LAST``) to total-order exactly what the
+    output exposes."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("dedup_key").orderBy(F.col(id_col).asc())
+    w = Window.partitionBy("dedup_key").orderBy(
+        F.col(id_col).asc(), *(tiebreak or [])
+    )
     return (
         df.withColumn("dedup_key", key)
         .withColumn("_rn", F.row_number().over(w))

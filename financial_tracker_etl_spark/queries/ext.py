@@ -390,7 +390,10 @@ SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
 
 _CORPUS_CTE = """
 corpus AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  -- DISTINCT mirrors ext.similarity._corpus: one row per
+  -- (vec_id, embedding) — a duplicated ingest row must not occupy
+  -- two probe slots / rank positions (round-15 fuzzer)
+  SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
@@ -453,7 +456,10 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPK_ORACLE = """
 WITH corpus AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  -- DISTINCT mirrors ext.similarity._corpus (round-15 fuzzer): one
+  -- row per (vec_id, embedding), so a duplicated ingest row can't
+  -- fill two of the top-k rank slots
+  SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
@@ -1414,8 +1420,13 @@ def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = with_quality_score(docs).filter(F.col("quality_score") >= 0.3)
     scrubbed = with_pii_scrub(scored)  # no-op on this corpus; real pass shape
+    # the summary attributes each dup class to its SURVIVOR's source,
+    # so the survivor pick must total-order source too (same-doc_id
+    # copies can differ in source metadata — round-15 fuzzer)
     survivors = exact_dedup(
-        scrubbed, F.md5(normalized_text(F.col("text_scrubbed")))
+        scrubbed,
+        F.md5(normalized_text(F.col("text_scrubbed"))),
+        tiebreak=[F.col("source").asc_nulls_last()],
     )
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
@@ -1446,7 +1457,7 @@ d AS (
   SELECT *,
          row_number() OVER (
            PARTITION BY md5(lower(regexp_replace(trim(text_scrubbed), '\\s+', ' ', 'g')))
-           ORDER BY doc_id ASC) AS rn,
+           ORDER BY doc_id ASC, source NULLS LAST) AS rn,
          count(*) OVER (
            PARTITION BY md5(lower(regexp_replace(trim(text_scrubbed), '\\s+', ' ', 'g')))
          ) AS n_duplicates
@@ -2023,7 +2034,14 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("fingerprint"), "fingerprint", "left_anti"
     )
     return (
-        exact_dedup(fresh, F.col("fingerprint"))
+        # survivor output exposes `source`, so the tie-break must
+        # total-order it: same-doc_id copies can differ in source
+        # metadata (round-15 fuzzer) — NULLS LAST matches the oracle
+        exact_dedup(
+            fresh,
+            F.col("fingerprint"),
+            tiebreak=[F.col("source").asc_nulls_last()],
+        )
         .select(
             "doc_id", "source", "fingerprint",
             F.col("n_duplicates").cast("long").alias("batch_copies"),
@@ -2052,7 +2070,8 @@ fresh AS (
 SELECT doc_id, source, fingerprint, CAST(n AS BIGINT) AS batch_copies
 FROM (
   SELECT *,
-         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY doc_id, source NULLS LAST) AS rn,
          count(*) OVER (PARTITION BY fingerprint) AS n
   FROM fresh
 )
@@ -2586,7 +2605,12 @@ def _q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.md5(normalized_text(F.col("text"))).alias("_fp"),
     )
-    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    # survivor credit goes to a row's SOURCE, so same-doc_id copies
+    # with differing source metadata need the source in the total
+    # order (round-15 fuzzer) — NULLS LAST matches the oracle
+    w = Window.partitionBy("_fp").orderBy(
+        F.col("doc_id").asc(), F.col("source").asc_nulls_last()
+    )
     tagged = docs.withColumn(
         "_is_survivor", (F.row_number().over(w) == 1).cast("int")
     )
@@ -2613,7 +2637,8 @@ tagged AS (
   -- duplicated (round-15 fuzzed differential). Ties on doc_id are
   -- full-row duplicates, so either copy yields identical aggregates.
   SELECT source,
-         CASE WHEN row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+         CASE WHEN row_number() OVER (PARTITION BY f
+                ORDER BY doc_id, source NULLS LAST) = 1
               THEN 1 ELSE 0 END AS is_survivor
   FROM fp
 )
