@@ -52,7 +52,14 @@ def token_chunks(
     """
     staged = df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
-    )
+    ).filter(F.col("_toks").isNotNull())
+    # NULL text produces NO chunks: both engines previously emitted one
+    # PHANTOM chunk row (start 1, null hash) for a null-text doc by two
+    # different null-folding accidents (Spark's null sequence bound vs
+    # DuckDB's null-ignoring greatest/least), and every null-text doc
+    # shared the same null hash — so contentless docs counted as
+    # cross-document duplicates of each other in chunk_shared_stats
+    # (round-15 fuzzer, content nulls)
     n = F.size("_toks")
     last_start = F.least(
         n, F.greatest(F.lit(1), n - F.lit(chunk_size - stride))

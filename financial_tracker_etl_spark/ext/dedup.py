@@ -285,8 +285,14 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     step (``conv(hex,16,10)``) has an exact DuckDB twin
     (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``).
     """
+    # a contentless doc has no fingerprint: without the filter, every
+    # null-text doc hashed to fingerprint 0 (null token rows vanish in
+    # the bit-count sums), so contentless docs paired with each other
+    # AND with any low-bit-count fingerprint (round-15 fuzzer)
     toks = F.array_distinct(tokens_col(F.col(text_col)))
-    exploded = df.select("doc_id", F.explode_outer(toks).alias("_t"))
+    exploded = df.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", F.explode_outer(toks).alias("_t")
+    )
     h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
     hashed = exploded.select("doc_id", h.alias("_h"))
     g = hashed.groupBy("doc_id").agg(

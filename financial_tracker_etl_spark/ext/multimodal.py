@@ -77,13 +77,39 @@ def real_decode(payload: bytes) -> dict:
     )
 
 
+_NULL_FEATURES = {
+    "n_bytes": None,
+    "first_byte": None,
+    "fake_width": None,
+    "fake_height": None,
+}
+
+
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
+    """Arrow-batched feature extraction over the binary column.
+
+    A NULL payload yields a row with NULL features — the row is
+    preserved so downstream audit joins don't lose items (and so one
+    corrupt/missing blob can't kill a 100 TB decode job: the bare
+    ``len(payload)`` previously raised TypeError inside the Arrow
+    batch, failing the whole task — round-15 fuzzer, content nulls).
+    Pandas nullable integer dtypes carry the Nones through Arrow into
+    the LongType/IntegerType schema."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [fake_decode(p) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
+            feats = [
+                fake_decode(p) if p is not None else _NULL_FEATURES
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(feats).astype(
+                {
+                    "n_bytes": "Int64",
+                    "first_byte": "Int32",
+                    "fake_width": "Int32",
+                    "fake_height": "Int32",
+                }
+            )
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 

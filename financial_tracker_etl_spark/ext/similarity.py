@@ -62,7 +62,14 @@ def _corpus(df: DataFrame) -> DataFrame:
     conflicting payloads for one vec_id stay visible downstream."""
     v = as_double_vec(F.col("embedding"))
     return (
-        df.select("vec_id", "embedding")
+        # NULL vectors are excluded with the same identity rationale:
+        # a vector-less row can't be indexed, probed, or ranked — and
+        # the SQL twin's list_inner_product THROWS on null lists, so a
+        # null reaching either engine's distance math is a crash or a
+        # silent null-rank, not a result (round-15 fuzzer, content
+        # nulls)
+        df.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
         .distinct()
         .select("vec_id", v.alias("v"), norm(v).alias("nrm"))
     )

@@ -86,8 +86,16 @@ NULLABLE_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_totalprice", "o_orderpriority"),
     "lineitem": ("l_tax", "l_discount"),
     "events": ("value", "props"),
-    "documents": ("n_chars", "lang", "source"),
-    "embeddings": ("label",),
+    "documents": ("n_chars", "lang", "source", "text"),
+    "embeddings": ("label", "embedding"),
+}
+# content columns get a LOWER rate: a null text/vector disables the
+# whole row for most operators, so 1% keeps the mutated corpus
+# representative while still forcing every text/ANN operator through
+# its null path
+NULL_RATE_OVERRIDES: dict[tuple[str, str], float] = {
+    ("documents", "text"): 0.01,
+    ("embeddings", "embedding"): 0.01,
 }
 
 # key families permuted with ONE bijection each, applied to every
@@ -160,7 +168,8 @@ def _apply_permute(
 def _apply_nulls(tbl: pa.Table, name: str, seed: int) -> pa.Table:
     for col in NULLABLE_COLS.get(name, ()):
         n = len(tbl)
-        mask = _rng(seed, "nulls", name, col).random(n) < NULL_RATE
+        rate = NULL_RATE_OVERRIDES.get((name, col), NULL_RATE)
+        mask = _rng(seed, "nulls", name, col).random(n) < rate
         field = tbl.schema.field(col)
         arr = pc.if_else(
             pa.array(mask),

@@ -285,9 +285,12 @@ def _simhash_oracle() -> str:
     )
     return f"""
 WITH t AS (
+  -- text IS NOT NULL mirrors simhash_fingerprints: a contentless doc
+  -- has no fingerprint (the unnest already dropped these rows; the
+  -- predicate makes the semantics explicit — round-15 fuzzer)
   SELECT doc_id,
          unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 h AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -396,7 +399,7 @@ corpus AS (
   SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )"""
 
 
@@ -462,7 +465,7 @@ WITH corpus AS (
   SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 queries AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM corpus WHERE vec_id % 97 = 0
@@ -1682,7 +1685,10 @@ def _q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_CHUNKS_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  -- text IS NOT NULL mirrors token_chunks: a contentless doc has no
+  -- chunks (DuckDB's null-ignoring greatest/least otherwise emits a
+  -- phantom start=1 row — round-15 fuzzer)
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
 ),
 e AS (
   SELECT doc_id, toks,
@@ -1709,7 +1715,7 @@ def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_DEDUP_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
 ),
 e AS (
   SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 32)) AS start FROM t
@@ -2100,9 +2106,12 @@ def _q_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc of unknown provenance can't be attributed to either axis —
     # leaving them in diverged the engines (Spark's window-based
     # fill/n_pos kept null-source rows that the oracle's equality
-    # joins dropped) — round-15 fuzzer, extended null classes
+    # joins dropped) — round-15 fuzzer, extended null classes.
+    # NULL text likewise: a contentless doc has no content key to
+    # probe (and DuckDB's concat('0x', substr(md5(NULL),...)) folds to
+    # the unparseable '0x' — content nulls, round-15 fuzzer)
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isNotNull()
+        F.col("source").isNotNull() & F.col("text").isNotNull()
     )
     key = F.substring(normalized_text(F.col("text")), 1, 60)
     pos = (
@@ -2159,7 +2168,7 @@ _BLOOM_OVERLAP_ORACLE = """
 WITH k AS (
   SELECT doc_id, source,
          substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 60) AS key
-  FROM documents WHERE source IS NOT NULL
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
 ),
 pos AS (
   SELECT DISTINCT doc_id, source,
@@ -2173,7 +2182,7 @@ matched AS (
   FROM pos p JOIN filters f ON p.pos = f.pos
   GROUP BY p.doc_id, p.source, f.target_source
 ),
-srcs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+srcs AS (SELECT source, count(*) AS n_docs FROM k GROUP BY source),
 fill AS (SELECT target_source, count(*) AS fill_bits FROM filters GROUP BY target_source),
 hits AS (
   SELECT m.source, m.target_source,
