@@ -152,3 +152,22 @@ def test_full_registry_differential_on_mutated_fixture(spark, tmp_path):
         if not ok:
             failures.append((name, msg))
     assert not failures, failures
+
+
+def test_content_null_rate_override_is_lower(tmp_path):
+    """documents.text carries the 1% content rate, not the 2% payload
+    rate: a content null disables the whole row for most operators, so
+    the override keeps the mutated corpus representative. Expected
+    counts at sf0.001 (500 docs): ~5 text nulls vs ~10 n_chars nulls."""
+    import pyarrow.compute as pc
+
+    from financial_tracker_etl_spark.fuzz import NULL_RATE_OVERRIDES
+
+    assert NULL_RATE_OVERRIDES[("documents", "text")] < 0.02
+    assert NULL_RATE_OVERRIDES[("embeddings", "embedding")] < 0.02
+    out = str(tmp_path / "cn")
+    mutate_dir(SF_DIR, out, seed=5, mutations=("nulls",))
+    docs = pq.read_table(table_path(out, "documents"))
+    emb = pq.read_table(table_path(out, "embeddings"))
+    assert 0 < docs["text"].null_count < docs["n_chars"].null_count
+    assert emb["embedding"].null_count > 0
