@@ -85,7 +85,7 @@ NULLABLE_COLS: dict[str, tuple[str, ...]] = {
     "part": ("p_retailprice", "p_size", "p_brand", "p_type"),
     "orders": ("o_totalprice", "o_orderpriority"),
     "lineitem": ("l_tax", "l_discount"),
-    "events": ("value", "props"),
+    "events": ("value", "props", "event_type", "ts"),
     "documents": ("n_chars", "lang", "source", "text"),
     "embeddings": ("label", "embedding"),
 }
@@ -96,6 +96,8 @@ NULLABLE_COLS: dict[str, tuple[str, ...]] = {
 NULL_RATE_OVERRIDES: dict[tuple[str, str], float] = {
     ("documents", "text"): 0.01,
     ("embeddings", "embedding"): 0.01,
+    # a null event time removes the row from every time-based analysis
+    ("events", "ts"): 0.01,
 }
 
 # key families permuted with ONE bijection each, applied to every

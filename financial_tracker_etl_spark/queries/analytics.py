@@ -204,7 +204,14 @@ def _q_resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     class's ppm share of the week's actives."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    # a timeless event is not activity in any week; a null week also
+    # diverges the engines' lag() ordering (Spark nulls first makes the
+    # real first week look 'resurrected') — round-15 fuzzer, time nulls
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_us")
+        .filter(F.col("ts_us").isNotNull())
+    )
     weeks = ev.select(
         "user_id", F.expr(f"(ts_us div {_DAY_US}) div 7").alias("week")
     ).distinct()
@@ -232,7 +239,7 @@ def _q_resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESURRECTED_ORACLE = f"""
 WITH weeks AS (
   SELECT DISTINCT user_id, (epoch_us(ts) // {_DAY_US}) // 7 AS week
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 classed AS (
   SELECT week,
@@ -962,7 +969,14 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after >30 min of
     user inactivity. Integer-microsecond arithmetic for exact parity."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "value")
+    # an event without a timestamp can't be placed in a session; nulls
+    # otherwise diverge the engines' lag() ordering (Spark sorts nulls
+    # first, DuckDB last) — round-15 fuzzer, time-null class
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_us", "value")
+        .filter(F.col("ts_us").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us")
     gapped = ev.withColumn(
         "new_session",
@@ -990,6 +1004,7 @@ def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSIONS_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+  WHERE ts IS NOT NULL
 ),
 gapped AS (
   SELECT *,
@@ -2192,9 +2207,12 @@ _WEEK_ROLL_US = 7 * _DAY_ROLL_US
 
 
 def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a time rollup of a timeless event is undefined — and a null hour
+    # counts as an "active hour" in Spark's count(1) while the
+    # oracle's count(DISTINCT ...) ignores nulls (round-15 fuzzer)
     ev = load_table(spark, sf_dir, "events").select(
         "ts_us", "event_type", "value"
-    )
+    ).filter(F.col("ts_us").isNotNull())
     hourly = ev.groupBy(
         (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
         "event_type",
@@ -2225,6 +2243,7 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TIME_ROLLUP_ORACLE = f"""
 WITH ev AS (
   SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT (ts_us - ts_us % {_WEEK_ROLL_US}) AS week_us, event_type,
        count(*) AS n_events,
@@ -2902,8 +2921,13 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|² rows."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_us", "event_id"
+    # a step needs a position in time: null ts_us reorders the
+    # sequence differently per engine (Spark nulls first, DuckDB
+    # last), shifting adjacent pairs — round-15 fuzzer, time nulls
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .filter(F.col("ts_us").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     pairs = (
@@ -2930,6 +2954,7 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TRANSITIONS_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+  WHERE ts IS NOT NULL
 ),
 pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -3073,8 +3098,13 @@ _COPURCHASE_MIN_SUPPORT = 20
 def _q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_us", "event_id"
+    # a step needs a position in time: null ts_us reorders the
+    # sequence differently per engine (Spark nulls first, DuckDB
+    # last), shifting adjacent pairs — round-15 fuzzer, time nulls
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .filter(F.col("ts_us").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     steps = (
@@ -3104,6 +3134,7 @@ def _q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEQUENCE_SUPPORT_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+  WHERE ts IS NOT NULL
 ),
 steps AS (
   SELECT DISTINCT user_id,

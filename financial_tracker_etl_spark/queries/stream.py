@@ -149,7 +149,8 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_SESSIONS_ORACLE = f"""
-WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+            WHERE ts IS NOT NULL),
 mx AS (SELECT max(ts_us) AS max_us FROM ev),
 flags AS (
   SELECT user_id, ts_us,
@@ -336,14 +337,17 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_stateful_ewma": QuerySpec(_q_stream_ewma, _EWMA_ORACLE),
     "stream_dedup_exact": QuerySpec(
         lambda spark, sf_dir: stream_dedup_within_watermark(spark, sf_dir),
-        # DISTINCT states the dedup: one row per event_id. The bare
-        # SELECT relied on the fixture's event_id uniqueness and broke
-        # the moment the fuzzer duplicated rows (round-15). Duplicate
-        # event_ids are full-row copies, so DISTINCT over the output
-        # columns is exactly dropDuplicates(["event_id"]).
+        # DISTINCT over the full output record states the dedup
+        # exactly: the engine keys dropDuplicatesWithinWatermark on
+        # the same four columns, so retransmitted (byte-identical)
+        # copies collapse while genuinely differing payloads for one
+        # event_id all survive — deterministic on both engines
+        # (round-15 fuzzer: id-only keying made the surviving payload
+        # arrival-order-dependent). Null event times can't enter
+        # watermarked dedup state; excluded on both sides.
         """
 SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-FROM events
+FROM events WHERE ts IS NOT NULL
 """,
     ),
     "stream_interval_join": QuerySpec(

@@ -164,9 +164,19 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id", "user_id", "event_type", "ts_us", "event_time"
     )
     doubled = ev.unionByName(events_stream(spark, sf_dir).select(*ev.columns))
+    # EXACT dedup: the key is the full output record, not event_id
+    # alone — at-least-once retransmissions are byte-identical copies,
+    # and keying on event_id alone made the surviving PAYLOAD
+    # engine/arrival-order-dependent when same-id rows differ (the
+    # round-15 fuzzer's null-perturbed duplicates). Rows without an
+    # event time can't enter watermarked dedup state; excluded
+    # explicitly, matching the oracle.
     out = (
-        doubled.withWatermark("event_time", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        doubled.filter(F.col("event_time").isNotNull())
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(
+            ["event_id", "user_id", "event_type", "ts_us"]
+        )
         .select("event_id", "user_id", "event_type", "ts_us")
     )
     return _run_to_table(out, spark, "append")
@@ -250,8 +260,14 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window``'s close condition (watermark past last_event+gap)
     mirrors the batch lag-based islands in analytics.events_sessionization,
     restricted to sessions the final watermark closed."""
-    ev = events_stream(spark, sf_dir).withWatermark(
-        "event_time", WATERMARK_DELAY
+    # explicit event-time contract: a record without a timestamp can't
+    # be placed in a session window (Spark would otherwise fold it into
+    # a null window whose eviction-vs-watermark comparison is
+    # undefined) — round-15 fuzzer, time nulls
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_time").isNotNull())
+        .withWatermark("event_time", WATERMARK_DELAY)
     )
     agg = ev.groupBy(
         F.session_window(F.col("event_time"), SESSION_GAP).alias("w"),
