@@ -2929,7 +2929,13 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts_us", "event_id")
         .filter(F.col("ts_us").isNotNull())
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # event_type completes the total order: duplicated event_ids tie
+    # on (ts_us, event_id), and if the copies differ in event_type the
+    # lag sequence becomes engine-dependent (round-15 fuzzer at sf0.1,
+    # null-perturbed duplicates) — NULLS LAST matches the oracle
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_us", "event_id", F.col("event_type").asc_nulls_last()
+    )
     pairs = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
@@ -2958,7 +2964,8 @@ WITH seq AS (
 ),
 pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts_us, event_id) AS prev_type,
+                               ORDER BY ts_us, event_id,
+                                        event_type NULLS LAST) AS prev_type,
          event_type
   FROM seq
 ),
@@ -3106,7 +3113,13 @@ def _q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts_us", "event_id")
         .filter(F.col("ts_us").isNotNull())
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # event_type completes the total order: duplicated event_ids tie
+    # on (ts_us, event_id), and if the copies differ in event_type the
+    # lag sequence becomes engine-dependent (round-15 fuzzer at sf0.1,
+    # null-perturbed duplicates) — NULLS LAST matches the oracle
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_us", "event_id", F.col("event_type").asc_nulls_last()
+    )
     steps = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
@@ -3139,7 +3152,8 @@ WITH seq AS (
 steps AS (
   SELECT DISTINCT user_id,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts_us, event_id) AS prev_type,
+                               ORDER BY ts_us, event_id,
+                                        event_type NULLS LAST) AS prev_type,
          event_type
   FROM seq
 )
