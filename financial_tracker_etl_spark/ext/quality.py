@@ -158,12 +158,24 @@ def doc_shingle_sets(
     toks = tokens_col(F.col(text_col))
     staged = df.withColumn("_toks", toks).filter(F.size(F.col("_toks")) >= k)
     t = F.col("_toks")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.array_join(F.slice(t, i, k), " "),
-        )
-    )
+    # when()-guarded so the expression is TOTAL even though the filter
+    # already excludes short docs: InferFiltersFromGenerate adds
+    # size/notnull conjuncts on the shingles expression and codegen's
+    # subexpression elimination hoists the shared expression ABOVE the
+    # short-circuiting AND — so for a size-1 doc the unguarded
+    # sequence(1, size-4) went DESCENDING ([1, 0, ...]) and
+    # slice(_, 0, _) threw at runtime, killing the whole job on one
+    # degenerate row (round-15 fuzzer, empty-string class). The guard
+    # restores conditional evaluation; same idiom as dedup.shingles_col.
+    shingles = F.when(
+        F.size(t) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return staged.select("doc_id", shingles.alias("shingles"))
 
 

@@ -55,7 +55,7 @@ import pyarrow.parquet as pq
 
 from .catalog import TABLES, table_path
 
-MUTATIONS = ("shuffle", "subsample", "dupes", "nulls", "permute")
+MUTATIONS = ("shuffle", "subsample", "dupes", "nulls", "empties", "permute")
 
 # fact tables eligible for row-level mutation; dims stay full so the
 # dim side of every FK keeps resolving at the fixture's hit rate
@@ -99,6 +99,17 @@ NULL_RATE_OVERRIDES: dict[tuple[str, str], float] = {
     # a null event time removes the row from every time-based analysis
     ("events", "ts"): 0.01,
 }
+
+# ``empties``: string columns set to '' or whitespace-only — a boundary
+# family nulls can't reach: ''.split → [''], ascii('') vs a stub's
+# sentinel, trim-to-empty, zero-length normalized text. ~1% per column,
+# half empty / half three spaces.
+EMPTY_COLS: dict[str, tuple[str, ...]] = {
+    "documents": ("text",),
+    "events": ("props",),
+    "customer": ("c_mktsegment",),
+}
+EMPTY_RATE = 0.01
 
 # key families permuted with ONE bijection each, applied to every
 # (table, column) that stores the family (join structure is invariant
@@ -182,6 +193,23 @@ def _apply_nulls(tbl: pa.Table, name: str, seed: int) -> pa.Table:
     return tbl
 
 
+def _apply_empties(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+    for col in EMPTY_COLS.get(name, ()):
+        n = len(tbl)
+        rng = _rng(seed, "empties", name, col)
+        u = rng.random(n)
+        field = tbl.schema.field(col)
+        arr = tbl[col].combine_chunks()
+        arr = pc.if_else(pa.array(u < EMPTY_RATE / 2), pa.scalar("", type=field.type), arr)
+        arr = pc.if_else(
+            pa.array((u >= EMPTY_RATE / 2) & (u < EMPTY_RATE)),
+            pa.scalar("   ", type=field.type),
+            arr,
+        )
+        tbl = tbl.set_column(tbl.schema.get_field_index(col), field, arr)
+    return tbl
+
+
 def mutate_table(
     tbl: pa.Table,
     name: str,
@@ -208,6 +236,12 @@ def mutate_table(
             tbl = tbl.take(pa.array(order))
     if "nulls" in mutations:
         tbl = _apply_nulls(tbl, name, seed)
+    if "empties" in mutations:
+        # after nulls: a slot already nulled stays null (if_else keeps
+        # null where the condition row is valid-false; where the
+        # condition hits a nulled row, overwriting null with '' is
+        # also acceptable fuzz), order fixed for determinism
+        tbl = _apply_empties(tbl, name, seed)
     if "shuffle" in mutations:
         perm = _rng(seed, "shuffle", name).permutation(len(tbl))
         tbl = tbl.take(pa.array(perm))

@@ -1061,13 +1061,23 @@ def _q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROPS_ORACLE = """
+WITH p AS (
+  -- NULLIF(trim(...), '') mirrors Spark's permissive from_json (a
+  -- blank payload parses to null, it does not fail the query):
+  -- DuckDB's json_extract_string THROWS on a zero-length input —
+  -- round-15 fuzzer, empty-string class
+  SELECT event_type,
+         CAST(json_extract_string(NULLIF(trim(props), ''), '$.k')
+              AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
        count(*) AS n_events,
-       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-FROM events
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_total,
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM p
 GROUP BY event_type
 """
 

@@ -1105,7 +1105,13 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       -- -1 is the decoder's documented empty-payload sentinel
+       -- (payload[0] does not exist); DuckDB's ascii('') folds to 0,
+       -- which would invent a NUL first byte (round-15 fuzzer,
+       -- empty-string class)
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                 ELSE ascii(substr(text, 1, 1)) END AS INTEGER)
+         AS first_byte,
        CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_width,
        CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS fake_height
 FROM documents
@@ -1596,13 +1602,21 @@ def _q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
     t = F.col("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.struct(
-            F.element_at(t, i.cast("int")).alias("w1"),
-            F.element_at(t, (i + 1).cast("int")).alias("w2"),
+    # when()-guarded total expression: the filter alone does not
+    # protect a generator input from being hoisted above the AND by
+    # subexpression elimination (see quality.doc_shingle_sets) — an
+    # unguarded sequence(1, size-1) goes descending for a 1-token doc
+    # and element_at(t, 0) throws
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i.cast("int")).alias("w1"),
+                F.element_at(t, (i + 1).cast("int")).alias("w2"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     doc_pairs = (
         toked.filter(F.size(t) >= 2)
         .select("doc_id", F.explode(grams).alias("g"))

@@ -123,7 +123,21 @@ def test_key_dtypes_survive_permutation(tmp_path):
 
 
 def test_mutation_set_is_the_documented_universe():
-    assert MUTATIONS == ("shuffle", "subsample", "dupes", "nulls", "permute")
+    assert MUTATIONS == (
+        "shuffle", "subsample", "dupes", "nulls", "empties", "permute",
+    )
+
+
+def test_empties_class_produces_empty_and_blank_strings(tmp_path):
+    import pyarrow.compute as pc
+
+    out = str(tmp_path / "e")
+    mutate_dir(SF_DIR, out, seed=9, mutations=("empties",))
+    text = pq.read_table(table_path(out, "documents"))["text"].combine_chunks()
+    n_empty = pc.sum(pc.equal(text, "")).as_py() or 0
+    n_blank = pc.sum(pc.equal(text, "   ")).as_py() or 0
+    assert n_empty + n_blank > 0
+    assert text.null_count == 0  # empties alone injects no nulls
 
 
 @pytest.mark.skipif(
