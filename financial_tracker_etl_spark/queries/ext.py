@@ -2515,10 +2515,17 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = toks.select(
         "doc_id",
+        # CASE-guarded total expression: for a 1-token doc the
+        # unguarded sequence(0, size-2) goes descending and
+        # _tok[i + 1] indexes past the array, ABORTING the job on one
+        # degenerate row (round-15 fuzzer, empty-string class — same
+        # hazard as quality.doc_shingle_sets)
         F.explode(
             F.expr(
-                "transform(sequence(0, size(_tok) - 2),"
+                "CASE WHEN size(_tok) >= 2 THEN"
+                " transform(sequence(0, size(_tok) - 2),"
                 " i -> concat(_tok[i], ' ', _tok[i + 1]))"
+                " ELSE array() END"
             )
         ).alias("bigram"),
     ).distinct()
