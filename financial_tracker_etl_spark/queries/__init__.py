@@ -40,19 +40,77 @@ class QuerySpec:
 # cover the registry). From here the gate runs a steady 3-round
 # rotation so no query's green evidence is ever older than two rounds:
 #
-# ROUND-15 prefix: the round-5/9/12 block — exactly the
-# CORRECTNESS_r12.json key set, whose newest driver rows are now the
-# oldest (3 rounds stale after coasting through rounds 13-14), as the
-# round-14 VERDICT task 1 mandates. Suffix: the round-4/7/8/11/14
-# block (re-proven as the round-14 gate — CORRECTNESS_r14.json — the
-# freshest evidence, coasts this round); the round-6/10/13 block sits
-# in the middle and becomes the round-16 prefix.
+# ROUND-16 prefix: the round-6/10/13 block — exactly the
+# CORRECTNESS_r13.json key set, whose newest driver rows are now the
+# oldest (3 rounds stale after coasting through rounds 14-15), as the
+# round-15 VERDICT task 1 mandates. Suffix: the round-5/9/12 block
+# (re-proven as the round-15 gate — CORRECTNESS_r15.json — the
+# freshest evidence, coasts this round); the round-4/7/8/11/14 block
+# sits in the middle and becomes the round-17 prefix.
 #
 # Registry remains FROZEN at 150 (round-4 judge task 2; reaffirmed by
 # the round-4/5/6 VERDICTs). The thirteen round-4 twin retirements and
 # their named covering queries are recorded in COVERAGE.md.
 #
 _CHECK_FIRST = [
+    "a1_historical_batches",
+    "a4_latest_monthly_price",
+    "asof_quote_join",
+    "brand_revenue_share",
+    "cdc_market_changes",
+    "cube_monthly_summary",
+    "dedup_clusters",
+    "doc_fingerprints",
+    "duplicate_span_stats",
+    "embedding_ann_pq",
+    "embedding_topk_cosine",
+    "events_funnel_stages",
+    "events_hourly_anomalies",
+    "events_hourly_rollup",
+    "events_props_rollup",
+    "events_sessionization",
+    "events_weekly_retention",
+    "historical_fetch_windows",
+    "historical_repair_summary",
+    "hll_distinct_users",
+    "j1_symbols_needing_update",
+    "j2_existing_state_semi_join",
+    "j4_coverage_counts",
+    "j5_coverage_index",
+    "longest_month_gap",
+    "multimodal_decode_features",
+    "ngram_jaccard_near_dups",
+    "order_priority_count",
+    "p1_invalid_quote_rows",
+    "p2_index_quote_projection",
+    "p4_typed_quotes",
+    "p5_payload_envelopes",
+    "pivot_monthly_by_type",
+    "pricing_summary",
+    "quantiles_by_returnflag",
+    "region_nation_rollup",
+    "s6_asset_dispatch",
+    "stream_dedup_exact",
+    "stream_events_hourly_rollup",
+    "stream_interval_join",
+    "stream_session_windows",
+    "stream_static_enrichment",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "top_revenue_customers",
+    "training_shard_plan",
+    "udtf_month_spine",
+    "upsert_market_data",
+    "x1_exact_dedup",
+]
+
+# Suffix: the 50 round-5/9/12-block queries — re-proven as the
+# round-15 gate (CORRECTNESS_r15.json, 50/50 green), the freshest
+# driver evidence, so they coast this round. The loop in registry()
+# places the round-4/7/8/11/14-green block between the prefix and this
+# suffix; the gate never reaches either.
+_CHECK_LAST = [
     "activity_heatmap_cells",
     "benchmark_contamination",
     "bloom_source_overlap",
@@ -103,64 +161,6 @@ _CHECK_FIRST = [
     "vocab_oov_rate",
     "weekly_stickiness",
     "winnow_overlap_pairs",
-]
-
-# Suffix: the 50 round-4/7/8/11/14-block queries — re-proven as the
-# round-14 gate (CORRECTNESS_r14.json, 50/50 green), the freshest
-# driver evidence, so they coast this round. The loop in registry()
-# places the round-6/10/13-green block between the prefix and this
-# suffix; the gate never reaches either.
-_CHECK_LAST = [
-    "binned_range_join",
-    "bloom_pruned_anti_join",
-    "bm25_doc_ranking",
-    "bpe_pair_counts",
-    "brand_price_regression",
-    "brand_supplier_concentration",
-    "brand_triangle_counts",
-    "bucketed_colocated_join",
-    "cdc_apply_roundtrip",
-    "cms_token_frequencies",
-    "cogroup_state_reconciliation",
-    "copurchase_brand_pairs",
-    "curation_pipeline_v2",
-    "curriculum_difficulty_buckets",
-    "dq_expectations_report",
-    "embedding_ann_ivfpq",
-    "event_type_transitions",
-    "hierarchical_time_rollup",
-    "histogram_quantile_sketch",
-    "hll_shard_merge",
-    "ivm_maintained_agg",
-    "key_skew_report",
-    "nb_quality_filter",
-    "ngram_novelty_scores",
-    "order_fulfillment_latency",
-    "per_stratum_sample",
-    "phrase_search_index",
-    "pit_customer_features",
-    "pps_weighted_sample",
-    "purchase_graph_bfs_hops",
-    "purchase_graph_pagerank",
-    "referential_integrity_audit",
-    "salted_skew_join_revenue",
-    "scd2_part_prices",
-    "skew_safe_count_distinct",
-    "source_length_gini",
-    "state_time_travel",
-    "stream_cdc_apply",
-    "stream_docs_ingest_dedup",
-    "stream_sliding_window_counts",
-    "table_diff_buckets",
-    "target_encoding_loo",
-    "top_supplier_revenue",
-    "udaf_event_value_median",
-    "unpivot_market_measures",
-    "user_activity_streaks",
-    "value_drift_report",
-    "weekly_growth_accounting",
-    "winsorized_quantity_stats",
-    "zorder_layout_stats",
 ]
 
 

@@ -397,16 +397,16 @@ def test_registry_rotation_structure(reg):
     """The driver gate checks exactly the first 50 registry entries, so
     registry ORDER is load-bearing. Pin the steady 3-round rotation
     arithmetic (in effect since round 6): prefix = _CHECK_FIRST = the
-    block whose newest driver row is oldest (round 15: the
-    CORRECTNESS_r12.json key set, 3 rounds stale after coasting
-    through rounds 13-14 — the round-14 VERDICT task 1 mandate),
-    suffix = _CHECK_LAST = the freshest block (round 15: the
-    r04/r07/r08/r11/r14 key set, re-proven as the round-14 gate in
-    CORRECTNESS_r14.json), no duplicates, 150 total, and
+    block whose newest driver row is oldest (round 16: the
+    CORRECTNESS_r13.json key set, 3 rounds stale after coasting
+    through rounds 14-15 — the round-15 VERDICT task 1 mandate),
+    suffix = _CHECK_LAST = the freshest block (round 16: the
+    r05/r09/r12 key set, re-proven as the round-15 gate in
+    CORRECTNESS_r15.json), no duplicates, 150 total, and
     prefix/suffix disjoint so every query's driver row ends the round
-    at most two rounds old. Round-16 rotation: prefix = the r06/r10/
-    r13 block (the middle this round), suffix = this round's prefix
-    (r12 keys)."""
+    at most two rounds old. Round-17 rotation: prefix = the r04/r07/
+    r08/r11/r14 block (the middle this round), suffix = this round's
+    prefix (r13 keys)."""
     import json
     import pathlib
 
@@ -418,11 +418,11 @@ def test_registry_rotation_structure(reg):
     assert names[:50] == _CHECK_FIRST
     assert names[-len(_CHECK_LAST):] == _CHECK_LAST
     root = pathlib.Path(__file__).resolve().parents[1]
-    r12 = root / "CORRECTNESS_r12.json"
-    r14 = root / "CORRECTNESS_r14.json"
-    if r12.exists() and r14.exists():
-        assert set(_CHECK_FIRST) == set(json.loads(r12.read_text()))
-        assert set(_CHECK_LAST) == set(json.loads(r14.read_text()))
+    r13 = root / "CORRECTNESS_r13.json"
+    r15 = root / "CORRECTNESS_r15.json"
+    if r13.exists() and r15.exists():
+        assert set(_CHECK_FIRST) == set(json.loads(r13.read_text()))
+        assert set(_CHECK_LAST) == set(json.loads(r15.read_text()))
         assert not (set(_CHECK_FIRST) & set(_CHECK_LAST))
 
 
