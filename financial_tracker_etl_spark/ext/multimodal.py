@@ -102,7 +102,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 fake_decode(p) if p is not None else _NULL_FEATURES
                 for p in pdf["payload"]
             ]
-            out = pd.DataFrame(feats).astype(
+            # explicit columns: pd.DataFrame([]) has NO columns, so the
+            # astype dtype map would KeyError on a zero-row Arrow batch
+            # (empty-relation inputs produce exactly those batches)
+            out = pd.DataFrame(feats, columns=list(_NULL_FEATURES)).astype(
                 {
                     "n_bytes": "Int64",
                     "first_byte": "Int32",

@@ -25,6 +25,57 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
+# Cross-engine-portable money→DECIMAL conversion
+# ---------------------------------------------------------------------------
+
+# Below this bound (2^26), |v|·10^8 < 2^53, so DuckDB's multiply-based
+# double→DECIMAL(·,8) cast is exact and agrees with Spark's
+# exact-binary-expansion BigDecimal cast. Above it DuckDB's multiply
+# rounds in double space (observed: CAST(9999999999.99 AS
+# DECIMAL(30,8)) → ….98999936 in DuckDB vs ….98999977 in Spark —
+# round-16 fuzzer, extreme-numeric class), so both engines switch to
+# the SAME alternative: cast through the shortest-roundtrip string
+# repr, which IEEE 754 makes identical on both sides. The branch
+# constant and both branch bodies must stay textually mirrored between
+# money_dec() and MONEY_DEC_SQL.
+MONEY_DEC_BAND = 67108864.0  # 2^26
+
+
+def money_dec(c: Column, typ: str = "decimal(30,8)") -> Column:
+    return F.when(F.abs(c) < F.lit(MONEY_DEC_BAND), c.cast(typ)).otherwise(
+        c.cast("string").cast(typ)
+    )
+
+
+def money_dec_sql(expr: str, typ: str = "DECIMAL(30,8)") -> str:
+    return (
+        f"(CASE WHEN abs({expr}) < 67108864.0 THEN CAST(({expr}) AS {typ}) "
+        f"ELSE CAST(CAST(({expr}) AS VARCHAR) AS {typ}) END)"
+    )
+
+
+# round(x, 6) is only cross-engine-exact while |x|·10^6 stays inside
+# 2^53: beyond that DuckDB's multiply-based double round perturbs the
+# value (observed: round(9495852999999898.0, 6) → …900.0) while
+# Spark's BigDecimal round is the identity. Above the guard, 6
+# decimals are below one ULP anyway, so both engines emit the raw
+# double. The 1e9 guard sits well inside the safe band and must stay
+# textually mirrored between _pct_round() and PCT_ROUND_SQL.
+_PCT_ROUND_BAND = 1e9
+
+
+def _pct_round(c: Column) -> Column:
+    return F.when(F.abs(c) < F.lit(_PCT_ROUND_BAND), F.round(c, 6)).otherwise(c)
+
+
+def _pct_round_sql(expr: str) -> str:
+    return (
+        f"(CASE WHEN abs({expr}) < 1000000000.0 THEN round({expr}, 6) "
+        f"ELSE ({expr}) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shared derivation rules
 # ---------------------------------------------------------------------------
 
@@ -96,9 +147,17 @@ def market_data(lineitem: DataFrame) -> DataFrame:
             asset_type_col(F.col("l_partkey")).alias("asset_type"),
             "price",
             (F.col("high") - F.col("low")).alias("change"),
-            F.round((F.col("high") - F.col("low")) / F.col("low") * 100.0, 6).alias(
-                "percent_change"
-            ),
+            # NULLIF base: a 0.0 low (zero prices are VALID, SURVEY §5)
+            # makes percent-change undefined → NULL on both engines;
+            # under ANSI the bare division THREW on one planted zero
+            # (round-16 fuzzer, extreme class). Pristine fixtures have
+            # strictly positive prices, so this is row-for-row
+            # identical there.
+            _pct_round(
+                (F.col("high") - F.col("low"))
+                / F.nullif(F.col("low"), F.lit(0.0))
+                * 100.0
+            ).alias("percent_change"),
             "high",
             "low",
             "updated_at",
@@ -112,7 +171,7 @@ market_data AS (
          {asset_type_sql('l_partkey')} AS asset_type,
          max(l_extendedprice) AS price,
          max(l_extendedprice) - min(l_extendedprice) AS change,
-         round((max(l_extendedprice) - min(l_extendedprice)) / min(l_extendedprice) * 100.0, 6) AS percent_change,
+         {_pct_round_sql('(max(l_extendedprice) - min(l_extendedprice)) / NULLIF(min(l_extendedprice), 0.0) * 100.0')} AS percent_change,
          max(l_extendedprice) AS high,
          min(l_extendedprice) AS low,
          max(l_shipdate) AS updated_at

@@ -29,6 +29,36 @@ Mutation classes (each independently toggleable for bisection):
   orders↔lineitem, part/supplier/nation/region FKs, events/documents/
   embeddings ids). Equijoin structure is exactly preserved while key
   order, key hashing, and key↔time correlation all change.
+- ``skew``      — remap ~35% of a fact table's FK/group key onto one
+  hub value drawn from the existing domain (events.user_id,
+  lineitem.l_partkey, documents.source). The round-15 classes perturb
+  presence/order/nulls but never the VALUE DISTRIBUTION; a hub key is
+  the shape that breaks per-key windows, mode/top-k tie logic, and —
+  at scale — shuffle-partition balance (round-15 VERDICT task 2).
+  Referential integrity is preserved: the hub is an observed value.
+- ``unicode``   — replace ~1% of documents.text with adversarial
+  multibyte strings (CJK, emoji+ZWJ, combining marks, control chars,
+  a 4 KiB single token, RTL, fullwidth) and wrap the same snippets
+  into still-VALID events.props JSON values. Grapheme-vs-codepoint
+  length, regex character classes, and split/substring paths are all
+  ASCII-tuned on fixed fixtures (round-15 VERDICT task 3).
+- ``extreme``   — plant boundary numerics in ~0.5% of price/quantity/
+  value doubles: zero, negative, DECIMAL(18,8)-edge 9999999999.99,
+  1.5e12 (overflows an 18-digit cast), 1e-9; rate-like columns
+  (discount/tax) get {0, 1, 2.5, -0.5} so (1-discount) goes negative.
+  SURVEY §5 pins zero/negative/huge as VALID inputs; round 5 found a
+  DECIMAL overflow only at 8× replication — planted extremes find
+  that class at 1× (round-15 VERDICT task 5).
+
+Orthogonal axis — ``--empty-table NAME`` (repeatable): after all row
+mutations, truncate the named fact table(s) to ZERO rows. Empty-input
+edge cases (empty spine, empty stream source, 0-group aggregates,
+unfittable k-means/IVF models) are classic first-crash territory that
+no probabilistic subsample reaches (round-15 VERDICT task 4). All 150
+registry queries are currently oracled, so both engines must agree on
+the (often empty) result; ``verify.run_one(allow_empty=True)``
+documents the carve-out for any future rows-only query whose empty
+result is legitimate under this axis.
 
 Determinism: same (seed, base dir, mutation set) → byte-identical
 output tables. No wall-clock or process randomness (numpy
@@ -38,7 +68,8 @@ CLI::
 
     python -m financial_tracker_etl_spark.fuzz \
         [--sf-dir /root/testdata/sf0.01] [--seeds 1 2 3] \
-        [--mutations shuffle,subsample,dupes,nulls,permute] [names...]
+        [--mutations shuffle,subsample,dupes,nulls,permute,...] \
+        [--empty-table events --empty-table documents] [names...]
 
 Exit 0 iff every (seed × query) differential passes.
 """
@@ -55,7 +86,17 @@ import pyarrow.parquet as pq
 
 from .catalog import TABLES, table_path
 
-MUTATIONS = ("shuffle", "subsample", "dupes", "nulls", "empties", "permute")
+MUTATIONS = (
+    "shuffle",
+    "subsample",
+    "dupes",
+    "nulls",
+    "empties",
+    "permute",
+    "skew",
+    "unicode",
+    "extreme",
+)
 
 # fact tables eligible for row-level mutation; dims stay full so the
 # dim side of every FK keeps resolving at the fixture's hit rate
@@ -110,6 +151,59 @@ EMPTY_COLS: dict[str, tuple[str, ...]] = {
     "customer": ("c_mktsegment",),
 }
 EMPTY_RATE = 0.01
+
+# ``skew``: one hub value absorbs SKEW_RATE of the column. The hub is
+# a seeded pick from the column's OBSERVED values so FK joins keep
+# resolving (l_partkey stays a real part). 35% sits in the judge-
+# mandated 30-40% band: at sf0.1 the hub user owns ~35k events — far
+# past the round-9 salting threshold (top-key share > ~5× the mean
+# partition share), so the skew-aware paths are exercised, not just
+# documented.
+SKEW_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("user_id",),
+    "lineitem": ("l_partkey",),
+    "documents": ("source",),
+}
+SKEW_RATE = 0.35
+
+# ``unicode``: adversarial text planted verbatim into documents.text
+# and wrapped into valid JSON string values for events.props (the
+# props twin keeps a parseable integer "k" so the payload still flows
+# THROUGH from_json/json_extract into the aggregate, instead of just
+# nulling out at the parse). Each snippet targets a failure family the
+# ASCII fixtures cannot reach.
+UNICODE_SNIPPETS = (
+    "漢字と中文の混在テキスト 模型 訓練 語料 品質",  # CJK multibyte
+    "👩‍👩‍👧‍👦 🚀 🔥 emoji zwj run",  # emoji + ZWJ cluster
+    "résumé näive coöperate",  # combining marks
+    "ctrl\x01chars\x02here\tmixed\x7fend",  # control characters
+    "Z" + "x" * 4096,  # one 4 KiB token: no whitespace for any splitter
+    "مرحبا بالعالم שלום עולם نص عربي",  # RTL scripts
+    "Ｆｕｌｌｗｉｄｔｈ　ｔｅｘｔ £¥€µ§¶™",  # fullwidth forms + symbols
+)
+UNICODE_COLS: dict[str, tuple[str, ...]] = {
+    "documents": ("text",),
+    "events": ("props",),
+}
+UNICODE_RATE = 0.01
+
+# ``extreme``: SURVEY §5 pins zero/negative/huge numerics as VALID.
+# 9999999999.99 is the last double below the DECIMAL(18,8) ceiling;
+# 1.5e12 overflows any 18-digit cast (the round-5 brand_revenue_share
+# failure class, found then only at 8× replication). Rate-like
+# columns get their own palette so (1 - l_discount) crosses zero.
+EXTREME_VALUES = (0.0, -1.0, -123456.789, 9999999999.99, 1.5e12, 1e-9)
+EXTREME_RATE_VALUES = (0.0, 1.0, 2.5, -0.5)
+EXTREME_COLS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "part": ("p_retailprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "events": ("value",),
+}
+EXTREME_RATE_COLS = {("lineitem", "l_discount"), ("lineitem", "l_tax")}
+EXTREME_RATE = 0.005
 
 # key families permuted with ONE bijection each, applied to every
 # (table, column) that stores the family (join structure is invariant
@@ -178,19 +272,23 @@ def _apply_permute(
     return tbl
 
 
-def _apply_nulls(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+def _apply_nulls(tbl: pa.Table, name: str, seed: int) -> tuple[pa.Table, int]:
+    """Null out ~NULL_RATE of each nullable column; the returned count
+    is the number of mask hits on previously NON-null slots — the
+    actual injection count, immune to the row-count drift (subsample/
+    dupes ran first) and the later '' overwrites that made the old
+    null_count-difference manifest field unreliable (round-15 ADVICE)."""
+    injected = 0
     for col in NULLABLE_COLS.get(name, ()):
         n = len(tbl)
         rate = NULL_RATE_OVERRIDES.get((name, col), NULL_RATE)
-        mask = _rng(seed, "nulls", name, col).random(n) < rate
+        mask = pa.array(_rng(seed, "nulls", name, col).random(n) < rate)
         field = tbl.schema.field(col)
-        arr = pc.if_else(
-            pa.array(mask),
-            pa.scalar(None, type=field.type),
-            tbl[col].combine_chunks(),
-        )
+        base = tbl[col].combine_chunks()
+        injected += pc.sum(pc.and_(mask, pc.is_valid(base))).as_py() or 0
+        arr = pc.if_else(mask, pa.scalar(None, type=field.type), base)
         tbl = tbl.set_column(tbl.schema.get_field_index(col), field, arr)
-    return tbl
+    return tbl, injected
 
 
 def _apply_empties(tbl: pa.Table, name: str, seed: int) -> pa.Table:
@@ -210,18 +308,101 @@ def _apply_empties(tbl: pa.Table, name: str, seed: int) -> pa.Table:
     return tbl
 
 
+def _apply_skew(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+    for col in SKEW_COLS.get(name, ()):
+        n = len(tbl)
+        rng = _rng(seed, "skew", name, col)
+        arr = tbl[col].combine_chunks()
+        uniq = arr.drop_null().unique()
+        uniq = uniq.take(pc.sort_indices(uniq))
+        if len(uniq) == 0 or n == 0:
+            continue
+        hub = uniq[int(rng.integers(len(uniq)))]
+        mask = pa.array(rng.random(n) < SKEW_RATE)
+        # null slots keep their null (mask only rewrites where it hits
+        # a valid value — a null group key must stay a null group key
+        # so the nulls-class coverage is not silently undone)
+        mask = pc.and_(mask, pc.is_valid(arr))
+        field = tbl.schema.field(col)
+        out = pc.if_else(mask, hub, arr)
+        tbl = tbl.set_column(tbl.schema.get_field_index(col), field, out)
+    return tbl
+
+
+def _apply_unicode(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+    import json as _json
+
+    for col in UNICODE_COLS.get(name, ()):
+        n = len(tbl)
+        rng = _rng(seed, "unicode", name, col)
+        mask = rng.random(n) < UNICODE_RATE
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            continue
+        choice = rng.integers(len(UNICODE_SNIPPETS), size=idx.size)
+        ks = rng.integers(0, 100, size=idx.size)  # props keeps a live "k"
+        vals = tbl[col].combine_chunks().to_pylist()
+        for i, c, k in zip(idx, choice, ks):
+            snippet = UNICODE_SNIPPETS[int(c)]
+            if col == "props":
+                vals[int(i)] = _json.dumps(
+                    {"k": int(k), "note": snippet}, ensure_ascii=False
+                )
+            else:
+                vals[int(i)] = snippet
+        field = tbl.schema.field(col)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index(col), field, pa.array(vals, field.type)
+        )
+    return tbl
+
+
+def _apply_extreme(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+    for col in EXTREME_COLS.get(name, ()):
+        n = len(tbl)
+        rng = _rng(seed, "extreme", name, col)
+        mask = rng.random(n) < EXTREME_RATE
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            continue
+        palette = (
+            EXTREME_RATE_VALUES
+            if (name, col) in EXTREME_RATE_COLS
+            else EXTREME_VALUES
+        )
+        choice = rng.integers(len(palette), size=idx.size)
+        base = tbl[col].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        base[idx] = np.array(palette, dtype=np.float64)[choice]
+        field = tbl.schema.field(col)
+        # re-apply the original validity: planted extremes never
+        # overwrite a null (the nulls class owns null coverage)
+        valid = pc.is_valid(tbl[col].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        arr = pa.array(base, field.type, mask=~valid)
+        tbl = tbl.set_column(tbl.schema.get_field_index(col), field, arr)
+    return tbl
+
+
 def mutate_table(
     tbl: pa.Table,
     name: str,
     seed: int,
     mutations: tuple[str, ...] = MUTATIONS,
     bijections: dict | None = None,
-) -> pa.Table:
+) -> tuple[pa.Table, dict]:
     """Apply the enabled mutation classes to one table, in a fixed
-    order (permute → subsample → dupes → nulls → shuffle) so class
-    toggling is well-defined."""
+    order (permute → skew → subsample → dupes → nulls → empties →
+    unicode → extreme → shuffle) so class toggling is well-defined.
+    Returns ``(table, stats)``; stats currently carries
+    ``nulls_injected`` (exact, counted inside :func:`_apply_nulls`)."""
+    stats = {"nulls_injected": 0}
     if "permute" in mutations and bijections:
         tbl = _apply_permute(tbl, name, bijections)
+    if "skew" in mutations:
+        # after permute (hub drawn from the post-bijection domain),
+        # before subsample (hub share survives row deletion)
+        tbl = _apply_skew(tbl, name, seed)
     if "subsample" in mutations and name in SUBSAMPLE_TABLES:
         keep = _rng(seed, "subsample", name).random(len(tbl)) < SUBSAMPLE_KEEP
         if not keep.any():
@@ -235,17 +416,23 @@ def mutate_table(
             order = np.concatenate([np.arange(n), extra])
             tbl = tbl.take(pa.array(order))
     if "nulls" in mutations:
-        tbl = _apply_nulls(tbl, name, seed)
+        tbl, stats["nulls_injected"] = _apply_nulls(tbl, name, seed)
     if "empties" in mutations:
         # after nulls: a slot already nulled stays null (if_else keeps
         # null where the condition row is valid-false; where the
         # condition hits a nulled row, overwriting null with '' is
         # also acceptable fuzz), order fixed for determinism
         tbl = _apply_empties(tbl, name, seed)
+    if "unicode" in mutations:
+        # after empties: a unicode hit may overwrite a planted '' —
+        # acceptable fuzz; both masks are ~1% so overlap is rare
+        tbl = _apply_unicode(tbl, name, seed)
+    if "extreme" in mutations:
+        tbl = _apply_extreme(tbl, name, seed)
     if "shuffle" in mutations:
         perm = _rng(seed, "shuffle", name).permutation(len(tbl))
         tbl = tbl.take(pa.array(perm))
-    return tbl
+    return tbl, stats
 
 
 def mutate_dir(
@@ -253,9 +440,15 @@ def mutate_dir(
     out_dir: str,
     seed: int,
     mutations: tuple[str, ...] = MUTATIONS,
+    empty_tables: tuple[str, ...] = (),
 ) -> dict[str, dict]:
     """Write seeded variants of every catalog table from ``base_dir``
-    into ``out_dir``; returns a per-table manifest for the ledger."""
+    into ``out_dir``; returns a per-table manifest for the ledger.
+    Tables named in ``empty_tables`` are truncated to zero rows AFTER
+    mutation (the empty-relation axis: schema intact, data gone)."""
+    unknown_empty = set(empty_tables) - set(TABLES)
+    if unknown_empty:
+        raise ValueError(f"unknown empty tables: {sorted(unknown_empty)}")
     os.makedirs(out_dir, exist_ok=True)
     tables = {
         name: pq.read_table(table_path(base_dir, name)) for name in TABLES
@@ -265,18 +458,18 @@ def mutate_dir(
     )
     manifest: dict[str, dict] = {}
     for name, tbl in tables.items():
-        out = mutate_table(tbl, name, seed, mutations, bijections)
+        out, stats = mutate_table(tbl, name, seed, mutations, bijections)
+        if name in empty_tables:
+            out = out.slice(0, 0)
+            stats["nulls_injected"] = 0
         if out.schema.metadata:
             out = out.replace_schema_metadata(None)  # drop stale pandas index
         pq.write_table(out, table_path(out_dir, name))
         manifest[name] = {
             "rows_in": len(tbl),
             "rows_out": len(out),
-            "nulls_injected": sum(
-                out[c].null_count - tbl[c].null_count
-                for c in NULLABLE_COLS.get(name, ())
-                if "nulls" in mutations
-            ),
+            "emptied": name in empty_tables,
+            **stats,
         }
     return manifest
 
@@ -296,6 +489,14 @@ def main() -> int:
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--mutations", default=",".join(MUTATIONS))
     p.add_argument("--keep", action="store_true", help="keep mutated dirs")
+    p.add_argument(
+        "--empty-table",
+        action="append",
+        default=[],
+        metavar="NAME",
+        help="truncate this table to zero rows after mutation "
+        "(repeatable; the empty-relation axis)",
+    )
     p.add_argument("names", nargs="*")
     args = p.parse_args()
 
@@ -303,18 +504,22 @@ def main() -> int:
     unknown = set(mutations) - set(MUTATIONS)
     if unknown:
         raise SystemExit(f"unknown mutations: {sorted(unknown)}")
+    empty_tables = tuple(args.empty_table)
     names = args.names or list(registry())
     spark = get_spark("fuzz-differential")
     total_failures = 0
     for seed in args.seeds:
         out_dir = tempfile.mkdtemp(prefix=f"ftes_fuzz_s{seed}_")
         try:
-            manifest = mutate_dir(args.sf_dir, out_dir, seed, mutations)
+            manifest = mutate_dir(
+                args.sf_dir, out_dir, seed, mutations, empty_tables
+            )
             print(
                 json.dumps(
                     {
                         "seed": seed,
                         "mutations": list(mutations),
+                        "empty_tables": list(empty_tables),
                         "base": args.sf_dir,
                         "tables": manifest,
                     }
@@ -325,7 +530,13 @@ def main() -> int:
             failures = 0
             for name in names:
                 try:
-                    ok, msg = run_one(spark, con, out_dir, name)
+                    ok, msg = run_one(
+                        spark,
+                        con,
+                        out_dir,
+                        name,
+                        allow_empty=bool(empty_tables),
+                    )
                 except Exception as e:  # noqa: BLE001
                     ok, msg = False, f"EXC {type(e).__name__}: {e}"
                 print(f"{'PASS' if ok else 'FAIL'} seed={seed} {name}: {msg}")

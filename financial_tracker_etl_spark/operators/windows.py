@@ -40,17 +40,31 @@ def with_price_analytics(
     (lag), month-over-month change/pct_change, SMA-20/SMA-50 rolling
     means, and cumulative min/max. Pure window frames — no UDFs.
 
-    The rolling means are computed as an exact DECIMAL(18,8) window SUM
-    divided by the window COUNT (both engine-exact), then cast to
-    double — `avg` over raw doubles accumulates in frame order, which
-    differs between engines (fixtures.py determinism rules)."""
+    The rolling means are computed as an exact DECIMAL window SUM
+    divided by the window COUNT — `avg` over raw doubles accumulates
+    in frame order, which differs between engines (fixtures.py
+    determinism rules). The sum is scaled ×10⁴ PER ROW (a (36,8)
+    product under Spark's precision-38 cap), floored into an exact
+    BIGINT, and the double rebuilt with the same correctly-rounded op
+    sequence on both engines — the direct wide-decimal→double cast
+    double-rounds in DuckDB once the int128 numerator passes 2^53,
+    which planted 1.5e12 prices reach inside one 20-row window
+    (round-16 fuzzer, extreme-numeric class; the old per-row
+    DECIMAL(18,8) cast simply threw under ANSI). On 2-decimal pristine
+    prices the 4-decimal floor is the identity, so this is
+    output-identical there."""
     w = Window.partitionBy(key).orderBy(order_col)
     price = F.col(price_col)
     prev = F.lag(price, 1).over(w)
 
     def _sma(n: int) -> Column:
+        from ..fixtures import money_dec
+
         frame = w.rowsBetween(-(n - 1), 0)
-        exact = F.sum(price.cast("decimal(18,8)")).over(frame).cast("double")
+        scaled = F.floor(
+            F.sum(money_dec(price) * F.lit(10000)).over(frame)
+        ).cast("long")
+        exact = scaled.cast("double") / F.lit(10000.0)
         return exact / F.count(price).over(frame)
 
     return (

@@ -5,7 +5,8 @@ broadcast joins, grouped aggregation, top-k windows, sessionization —
 the shapes a 100 TB warehouse actually runs, and the bench anchors.
 
 Cross-engine determinism rules (see fixtures.py): money sums go
-through per-row DECIMAL(18,8) casts (2dp source data → products ≤6dp →
+through per-row DECIMAL(30,8) casts (wide enough for SURVEY §5's VALID
+huge values; products stay ≤8dp so
 the cast never rounds), so SUM is exact in both engines and surfaces
 as DOUBLE identically. Time arithmetic uses integer microseconds.
 """
@@ -21,12 +22,20 @@ from . import QuerySpec
 
 
 def _dec(c: Column) -> Column:
-    return c.cast("decimal(18,8)")
+    # 22 integer digits: SURVEY §5 pins zero/negative/HUGE prices as
+    # VALID, and the round-16 extreme-numeric fuzz class plants 1.5e12
+    # — the old DECIMAL(18,8) per-row cast (10 integer digits) THREW
+    # under ANSI on one planted value. The conversion itself is the
+    # magnitude-branched portable cast (fixtures.money_dec): above 2^26
+    # DuckDB's multiply-based double→decimal cast diverges from
+    # Spark's exact-expansion cast, so both engines switch to the
+    # shortest-roundtrip string route there.
+    return fixtures.money_dec(c)
 
 
 def _dsum(c: Column) -> Column:
-    """Exact DECIMAL(18,8) sum emitted as a BIT-IDENTICAL double on
-    both engines. The naive ``CAST(sum AS DOUBLE)`` diverges at scale:
+    """Exact DECIMAL sum emitted as a BIT-IDENTICAL double on both
+    engines. The naive ``CAST(sum AS DOUBLE)`` diverges at scale:
     DuckDB's wide-decimal→double cast double-rounds (int128 numerator
     exceeds 2^53 once group sums pass ~9e7) while Spark's BigDecimal
     path is correctly rounded — observed as a 17th-significant-digit
@@ -34,17 +43,32 @@ def _dsum(c: Column) -> Column:
     Fix: floor the sum at 4 decimals into an exact BIGINT (floor on
     DECIMAL is exact on both engines), then rebuild the double with
     the SAME two correctly-rounded ops everywhere — int64→double and
-    one division by an exactly-representable 1e4. Headroom: sums to
-    ~9.2e14, i.e. TPC-H sf ~30000 for Q1."""
-    scaled = F.floor(F.sum(_dec(c)) * F.lit(10000)).cast("long")
+    one division by an exactly-representable 1e4.
+
+    The ×10000 scaling happens PER ROW, not on the sum: Spark's sum
+    over decimal(30,8) is already precision-38, so a post-sum multiply
+    hits the 38-precision cap and silently drops to scale 6 (a round
+    at the 6th decimal that can cross the floor boundary); the per-row
+    product is (36,8) → sum (38,8), exact end-to-end (round-16
+    extreme-numeric class). Headroom: Σ|x|·10⁴ < 9.2e18, i.e. ~6e14
+    of planted-extreme mass per group."""
+    scaled = F.floor(F.sum(_dec(c) * F.lit(10000))).cast("long")
     return scaled.cast("double") / F.lit(10000.0)
 
 
 def _dsum_sql(expr: str) -> str:
     return (
-        f"CAST(CAST(floor(sum(CAST({expr} AS DECIMAL(18,8))) * 10000) "
+        f"CAST(CAST(floor(sum({fixtures.money_dec_sql(expr)} * 10000)) "
         f"AS BIGINT) AS DOUBLE) / 10000.0"
     )
+
+
+# portable-cast snippets spliced into oracle f-strings below (the
+# Spark twins use fixtures.money_dec on the same expressions)
+MD_BREV = fixtures.money_dec_sql("brand_revenue")
+MD_REV = fixtures.money_dec_sql("l_extendedprice * (1 - l_discount)")
+MD_VALUE = fixtures.money_dec_sql("value")
+MD_BAL = fixtures.money_dec_sql("c_acctbal")
 
 
 # ---------------------------------------------------------------------------
@@ -122,11 +146,17 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # happens ONCE in the outer aggregation, so regrouping the exact
     # partials per customer is bit-identical to the flat aggregation
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-        .alias("_rev"),
+        # the partial is already ×10⁴-scaled (per-row (36,8) product):
+        # the outer re-aggregation then never multiplies a precision-38
+        # sum (Spark's cap would round at scale 6 — round-16 fuzzer,
+        # extreme-numeric class)
+        F.sum(
+            _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * F.lit(10000)
+        ).alias("_rev"),
         F.count(F.lit(1)).alias("_n"),
     )
-    outer_sum = F.floor(F.sum("_rev") * F.lit(10000)).cast("long")
+    outer_sum = F.floor(F.sum("_rev")).cast("long")
     revenue = (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -714,7 +744,9 @@ def _q_mad_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_ORACLE = """
 WITH li AS (
-  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+  -- trunc mirrors Spark's truncating double->long cast (DuckDB's
+  -- bare CAST rounds half-even; diverges on fractional quantities)
+  SELECT l_returnflag, CAST(trunc(l_quantity) AS BIGINT) AS x,
          l_orderkey, l_linenumber
   FROM lineitem
 ),
@@ -872,7 +904,7 @@ GROUP BY o_orderpriority
 # plans as a single-partition WindowExec — bounded here, but the
 # agg+broadcast shape keeps every bench plan free of unpartitioned
 # windows so the plan guard can assert a clean invariant). The total is
-# an exact DECIMAL(18,8) sum: summing the ~25 brand doubles in
+# an exact DECIMAL sum: summing the ~25 brand doubles in
 # arbitrary order would be accumulation-order-dependent cross-engine.
 # ---------------------------------------------------------------------------
 
@@ -889,17 +921,20 @@ def _q_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # the grand total sums ALREADY-AGGREGATED brand revenues, so the
-    # value cast must be wider than _dsum's per-row DECIMAL(18,8) —
-    # a single brand clears 1e10 around TPC-H sf 1 and the ANSI cast
-    # would throw (caught by the 8x replicated-input ladder, round 5).
-    # Same floor-to-4-decimals double reconstruction as _dsum so the
-    # share division stays bit-identical cross-engine.
+    # the grand total sums ALREADY-AGGREGATED brand revenues (a single
+    # brand clears 1e10 around TPC-H sf 1 — the round-5 ladder found
+    # the too-narrow cast throwing under ANSI). Scale per row BEFORE
+    # the sum, same as _dsum: (30,8)×10⁴ = (36,8) exact → sum (38,8)
+    # exact; a post-sum ×10⁴ would hit the precision-38 cap and round
+    # at scale 6. Same floor-to-4-decimals double reconstruction as
+    # _dsum so the share division stays bit-identical cross-engine.
     total = rev.agg(
         (
             F.floor(
-                F.sum(F.col("brand_revenue").cast("decimal(38,8)"))
-                * F.lit(10000)
+                F.sum(
+                    fixtures.money_dec(F.col("brand_revenue"))
+                    * F.lit(10000)
+                )
             )
             .cast("long")
             .cast("double")
@@ -924,8 +959,9 @@ WITH rev AS (
 )
 SELECT p_brand, brand_revenue,
        round(brand_revenue /
-             (CAST(CAST(floor(sum(CAST(brand_revenue AS DECIMAL(38,8))) OVER ()
-                          * 10000) AS BIGINT) AS DOUBLE) / 10000.0)
+             (CAST(CAST(floor(sum({MD_BREV}
+                                  * 10000) OVER ()) AS BIGINT) AS DOUBLE)
+              / 10000.0)
              * 100.0, 6) AS revenue_share_pct
 FROM rev
 """
@@ -1389,7 +1425,9 @@ def _q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINSORIZED_ORACLE = """
 WITH li AS (
-  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+  -- trunc mirrors Spark's truncating double->long cast (DuckDB's
+  -- bare CAST rounds half-even; diverges on fractional quantities)
+  SELECT l_returnflag, CAST(trunc(l_quantity) AS BIGINT) AS x,
          l_orderkey, l_linenumber
   FROM lineitem
 ),
@@ -2171,7 +2209,10 @@ def _q_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", "value")
         .filter(F.col("value").isNotNull())
-        .withColumn("bin", F.floor(F.col("value") / _BAND_STEP).cast("int"))
+        # LONG bin: a planted 1.5e12 value bins to 6e10, which
+        # overflows an INT cast under ANSI (round-16 fuzzer, extreme
+        # class); out-of-range bins simply never match a band
+        .withColumn("bin", F.floor(F.col("value") / _BAND_STEP))
     )
     return (
         ev.join(broadcast(binned_bands), "bin")
@@ -2228,7 +2269,11 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(_dec(F.col("value"))).alias("_v"),
+        # ×10⁴-scaled at the leaf (per-row (36,8) product): the rollup
+        # then sums pre-scaled values at every level, so no post-sum
+        # multiply ever hits Spark's precision-38 scale-loss cap
+        # (round-16 fuzzer, extreme-numeric class)
+        F.sum(_dec(F.col("value")) * F.lit(10000)).alias("_v"),
     )
     daily = hourly.groupBy(
         (F.col("hour_us") - F.col("hour_us") % _DAY_ROLL_US).alias("day_us"),
@@ -2238,7 +2283,7 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hours_active"),
         F.sum("_v").alias("_v"),
     )
-    scaled = F.floor(F.sum("_v") * F.lit(10000)).cast("long")
+    scaled = F.floor(F.sum("_v")).cast("long")
     return daily.groupBy(
         (F.col("day_us") - F.col("day_us") % _WEEK_ROLL_US).alias("week_us"),
         "event_type",
@@ -2363,9 +2408,14 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if not spark.catalog.tableExists(t_items):
         li = load_table(spark, sf_dir, "lineitem")
         per_order = li.groupBy("l_orderkey").agg(
+            # narrow the (38,8) sum back to (30,8) — runtime-safe (a
+            # single order is a handful of items) and it keeps the
+            # outer per-row ×10⁴ at (36,8), under the precision cap
             F.sum(
                 _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("_rev"),
+            )
+            .cast("decimal(30,8)")
+            .alias("_rev"),
             F.count(F.lit(1)).alias("_n_items"),
         )
         (
@@ -2387,7 +2437,7 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = bucketed_join(spark, sf_dir)
-    scaled = F.floor(F.sum("_rev") * F.lit(10000)).cast("long")
+    scaled = F.floor(F.sum(F.col("_rev") * F.lit(10000))).cast("long")
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("_n_items").alias("n_lineitems"),
@@ -2398,14 +2448,15 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_JOIN_ORACLE = f"""
 WITH per_order AS (
   SELECT l_orderkey,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS rev,
+         CAST(sum({MD_REV})
+              AS DECIMAL(30,8)) AS rev,
          count(*) AS n_items
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o_orderpriority,
        count(*) AS n_orders,
        CAST(sum(n_items) AS BIGINT) AS n_lineitems,
-       CAST(CAST(floor(sum(rev) * 10000) AS BIGINT) AS DOUBLE) / 10000.0
+       CAST(CAST(floor(sum(rev * 10000)) AS BIGINT) AS DOUBLE) / 10000.0
          AS revenue
 FROM orders JOIN per_order ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
@@ -2434,7 +2485,7 @@ def _q_rolling_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us")
         .rangeBetween(-_WEEK_RANGE_US, 0)
     )
-    scaled = F.floor(F.sum(_dec(F.col("value"))).over(w) * F.lit(10000)).cast(
+    scaled = F.floor(F.sum(_dec(F.col("value")) * F.lit(10000)).over(w)).cast(
         "long"
     )
     return ev.select(
@@ -2452,7 +2503,7 @@ SELECT user_id, epoch_us(ts) AS ts_us,
        count(*) OVER w AS n_7d,
        min(value) OVER w AS min_value_7d,
        max(value) OVER w AS max_value_7d,
-       CAST(CAST(floor(sum(CAST(value AS DECIMAL(18,8))) OVER w * 10000)
+       CAST(CAST(floor(sum({MD_VALUE} * 10000) OVER w)
             AS BIGINT) AS DOUBLE) / 10000.0 AS total_value_7d
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -2528,13 +2579,13 @@ def _q_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DORMANT_RICH_ORACLE = f"""
 WITH totals AS (
-  SELECT sum(CAST(c_acctbal AS DECIMAL(18,8))) AS s, count(*) AS n
+  SELECT sum({MD_BAL}) AS s, count(*) AS n
   FROM customer WHERE c_acctbal > 0
 ),
 rich AS (
   SELECT c_custkey, c_nationkey, c_acctbal
   FROM customer, totals
-  WHERE CAST(c_acctbal AS DECIMAL(18,8)) * n > s
+  WHERE {MD_BAL} * n > s
 )
 SELECT c_nationkey,
        count(*) AS n_customers,
@@ -2798,10 +2849,13 @@ _PIT_FEATURES_ORACLE = """
 WITH o AS (
   SELECT o_orderkey, o_custkey,
          epoch_us(o_orderdate) AS d_us,
-         -- floor, not bare CAST: DuckDB CAST rounds-to-nearest where
-         -- Spark's cast truncates; floor of the identical double
-         -- product agrees exactly on both engines
-         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         -- trunc, not bare CAST and not floor: DuckDB CAST rounds
+         -- half-even and floor rounds toward -inf, but Spark's
+         -- double→long cast truncates toward ZERO — the three only
+         -- agree on non-negative whole cents. Planted negative totals
+         -- split floor from trunc by one cent (round-16 fuzzer,
+         -- extreme class: -123456.789·100 → -12345678 vs -12345679)
+         CAST(trunc(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
 )
 SELECT o_orderkey AS order_key,
@@ -3492,7 +3546,11 @@ WITH stats AS (
          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
   FROM (
     SELECT p_brand,
-           CAST(l_quantity AS BIGINT) AS x,
+           -- trunc() mirrors Spark's double→long cast (truncation
+           -- toward zero); DuckDB's bare CAST rounds half-even, which
+           -- diverges on fractional quantities (round-16 fuzzer,
+           -- extreme class: -123456.789 → -123456 vs -123457)
+           CAST(trunc(l_quantity) AS BIGINT) AS x,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
     FROM lineitem JOIN part ON l_partkey = p_partkey
   )

@@ -477,9 +477,10 @@ def _q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_price",
         "price_change",
         F.round("pct_change", 6).alias("pct_change"),
-        # no rounding: the SMA is exact-decimal-sum / count, so the double
-        # quotient is bit-identical cross-engine; round(…,4) at a .5 tie
-        # is NOT (Spark HALF_UP vs DuckDB binary-value rounding)
+        # no rounding: the SMA is the floor-reconstructed exact decimal
+        # sum / count (operators/windows.py), so the double quotient is
+        # bit-identical cross-engine; round(…,4) at a .5 tie is NOT
+        # (Spark HALF_UP vs DuckDB binary-value rounding)
         "sma_20",
         "sma_50",
         "running_max",
@@ -489,7 +490,7 @@ def _q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INDICATORS_ORACLE = (
     fixtures.with_ctes(fixtures.MARKET_DATA_MONTHLY_SQL)
-    + """
+    + f"""
 SELECT symbol, date, price,
        lag(price, 1) OVER w AS prev_price,
        price - lag(price, 1) OVER w AS price_change,
@@ -497,14 +498,16 @@ SELECT symbol, date, price,
                    AND lag(price, 1) OVER w <> 0
                   THEN (price - lag(price, 1) OVER w) / lag(price, 1) OVER w * 100.0
              END, 6) AS pct_change,
-       CAST(sum(CAST(price AS DECIMAL(18,8)))
+       CAST(CAST(floor(sum({fixtures.money_dec_sql("price")} * 10000)
             OVER (PARTITION BY symbol ORDER BY date
-                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS BIGINT)
+            AS DOUBLE) / 10000.0
        / count(price) OVER (PARTITION BY symbol ORDER BY date
                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_20,
-       CAST(sum(CAST(price AS DECIMAL(18,8)))
+       CAST(CAST(floor(sum({fixtures.money_dec_sql("price")} * 10000)
             OVER (PARTITION BY symbol ORDER BY date
-                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)) AS BIGINT)
+            AS DOUBLE) / 10000.0
        / count(price) OVER (PARTITION BY symbol ORDER BY date
                             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_50,
        max(price) OVER (PARTITION BY symbol ORDER BY date
@@ -829,12 +832,16 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes (new − old), an insert (new − 0); count contributions
     ±1; DECIMAL addition is associative so the fold order never
     matters."""
+    # prices enter ×10⁴-scaled at (36,8): the whole retraction algebra
+    # then runs in scaled space so no post-aggregate multiply ever hits
+    # Spark's precision-38 cap (scale-6 rounding), and the (30,8)
+    # per-row cast absorbs planted 1.5e12 extremes that overflowed the
+    # old DECIMAL(18,8) under ANSI (round-16 fuzzer, extreme class)
+    _p = (fixtures.money_dec(F.col("price")) * F.lit(10000)).alias("p")
     old = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
-        "symbol", "asset_type", F.col("price").cast("decimal(18,8)").alias("p")
+        "symbol", "asset_type", _p
     )
-    new = _q_upsert(spark, sf_dir).select(
-        "symbol", "asset_type", F.col("price").cast("decimal(18,8)").alias("p")
-    )
+    new = _q_upsert(spark, sf_dir).select("symbol", "asset_type", _p)
     base = old.groupBy("asset_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("p").alias("s")
     )
@@ -856,8 +863,8 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.when(F.col("o.symbol").isNotNull(), 1).otherwise(0)
             ).alias("dn"),
             (
-                F.coalesce(F.col("n.p"), F.lit(0).cast("decimal(18,8)"))
-                - F.coalesce(F.col("o.p"), F.lit(0).cast("decimal(18,8)"))
+                F.coalesce(F.col("n.p"), F.lit(0).cast("decimal(36,8)"))
+                - F.coalesce(F.col("o.p"), F.lit(0).cast("decimal(36,8)"))
             ).alias("dp"),
         )
         .groupBy("asset_type")
@@ -871,13 +878,14 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows"
             ),
             (
-                F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,8)"))
-                + F.coalesce(F.col("dp"), F.lit(0).cast("decimal(18,8)"))
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,8)"))
+                + F.coalesce(F.col("dp"), F.lit(0).cast("decimal(38,8)"))
             ).alias("_t"),
         )
         .filter(F.col("n_rows") > 0)
     )
-    total = (F.floor(F.col("_t") * 10000).cast("long").cast("double") / 10000.0)
+    # _t is already the ×10⁴-scaled maintained sum; floor + rebuild
+    total = (F.floor(F.col("_t")).cast("long").cast("double") / 10000.0)
     return maintained.select(
         "asset_type", "n_rows", total.alias("total_price")
     )
@@ -885,9 +893,9 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVM_ORACLE = (
     fixtures.with_ctes(*_SNAPSHOT_CTES)
-    + """
+    + f"""
 SELECT asset_type, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(CAST(floor(sum(CAST(price AS DECIMAL(18,8))) * 10000) AS BIGINT)
+       CAST(CAST(floor(sum({fixtures.money_dec_sql("price")} * 10000)) AS BIGINT)
             AS DOUBLE) / 10000.0 AS total_price
 FROM merged
 GROUP BY asset_type

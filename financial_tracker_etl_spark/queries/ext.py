@@ -1108,9 +1108,17 @@ SELECT doc_id,
        -- -1 is the decoder's documented empty-payload sentinel
        -- (payload[0] does not exist); DuckDB's ascii('') folds to 0,
        -- which would invent a NUL first byte (round-15 fuzzer,
-       -- empty-string class)
+       -- empty-string class). The decoder reads the first BYTE of the
+       -- UTF-8 payload, not the first code point — ascii()/unicode()
+       -- return the code point, which diverges on any multibyte lead
+       -- char (round-16 fuzzer, unicode class: 👩 is byte 0xF0=240,
+       -- not U+1F469=128105), so the lead byte is derived from the
+       -- code point via the UTF-8 length-prefix arithmetic.
        CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-                 ELSE ascii(substr(text, 1, 1)) END AS INTEGER)
+                 WHEN unicode(text) < 128 THEN unicode(text)
+                 WHEN unicode(text) < 2048 THEN 192 + (unicode(text) // 64)
+                 WHEN unicode(text) < 65536 THEN 224 + (unicode(text) // 4096)
+                 ELSE 240 + (unicode(text) // 262144) END AS INTEGER)
          AS first_byte,
        CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_width,
        CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS fake_height

@@ -97,6 +97,25 @@ def test_multimodal_real_decode_is_explicit_stub():
         real_decode(b"\x89PNG")
 
 
+def test_multimodal_decode_survives_zero_row_input(spark):
+    """A zero-row media frame must produce a zero-row feature frame:
+    pd.DataFrame([]) has NO columns, so without the explicit column
+    list the dtype astype raised KeyError inside the Arrow batch
+    (round-15 ADVICE; the empty-relation fuzz axis produces exactly
+    these batches)."""
+    from financial_tracker_etl_spark.ext.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.lit(False))
+    out = extract_features(documents_as_media(docs))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_bytes", "first_byte", "fake_width", "fake_height",
+    ]
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF with nprobe=4 of ~9 clusters must recover most true top-10
     neighbors; with nprobe=all clusters it must recover ALL of them

@@ -125,6 +125,7 @@ def test_key_dtypes_survive_permutation(tmp_path):
 def test_mutation_set_is_the_documented_universe():
     assert MUTATIONS == (
         "shuffle", "subsample", "dupes", "nulls", "empties", "permute",
+        "skew", "unicode", "extreme",
     )
 
 
@@ -138,6 +139,85 @@ def test_empties_class_produces_empty_and_blank_strings(tmp_path):
     n_blank = pc.sum(pc.equal(text, "   ")).as_py() or 0
     assert n_empty + n_blank > 0
     assert text.null_count == 0  # empties alone injects no nulls
+
+
+def test_skew_class_creates_one_hub_key_with_fk_integrity(tmp_path):
+    """~35% of lineitem.l_partkey collapses onto ONE observed part key:
+    the hub share lands in the judge's 30-40% band and — because the
+    hub is drawn from the live domain — every skewed FK still joins."""
+    import collections
+
+    from financial_tracker_etl_spark.fuzz import SKEW_RATE
+
+    out = str(tmp_path / "s")
+    mutate_dir(SF_DIR, out, seed=21, mutations=("skew",))
+    li = pq.read_table(table_path(out, "lineitem"))
+    counts = collections.Counter(li["l_partkey"].to_pylist())
+    hub, hub_n = counts.most_common(1)[0]
+    assert 0.25 <= hub_n / len(li) <= 0.45, (hub, hub_n, len(li))
+    parts = set(pq.read_table(table_path(out, "part"))["p_partkey"].to_pylist())
+    assert set(counts) <= parts  # referential integrity preserved
+    assert 0.30 <= SKEW_RATE <= 0.40
+
+
+def test_unicode_class_plants_adversarial_text_and_valid_json(tmp_path):
+    """documents.text gets raw snippets; events.props stays VALID JSON
+    with a live integer "k" so the payload still parses on both
+    engines instead of short-circuiting to null at from_json."""
+    import json
+
+    from financial_tracker_etl_spark.fuzz import UNICODE_SNIPPETS
+
+    out = str(tmp_path / "u")
+    mutate_dir(SF_DIR, out, seed=23, mutations=("unicode",))
+    texts = pq.read_table(table_path(out, "documents"))["text"].to_pylist()
+    planted = [t for t in texts if t in UNICODE_SNIPPETS]
+    assert planted, "no unicode snippet planted in documents.text"
+    props = pq.read_table(table_path(out, "events"))["props"].to_pylist()
+    noted = [p for p in props if p and "note" in p]
+    assert noted, "no unicode note planted in events.props"
+    for p in noted:
+        parsed = json.loads(p)  # must remain valid JSON
+        assert isinstance(parsed["k"], int)
+        assert parsed["note"] in UNICODE_SNIPPETS
+
+
+def test_extreme_class_plants_boundary_numerics_only_on_valid_slots(
+    tmp_path,
+):
+    from financial_tracker_etl_spark.fuzz import (
+        EXTREME_RATE_VALUES,
+        EXTREME_VALUES,
+    )
+
+    out = str(tmp_path / "x")
+    mutate_dir(SF_DIR, out, seed=25, mutations=("extreme",))
+    li = pq.read_table(table_path(out, "lineitem"))
+    prices = li["l_extendedprice"].to_pylist()
+    assert any(v in EXTREME_VALUES for v in prices if v is not None)
+    discounts = li["l_discount"].to_pylist()
+    assert any(
+        v in EXTREME_RATE_VALUES[1:] for v in discounts if v is not None
+    )
+    # extreme alone injects no nulls (nulls class owns null coverage)
+    assert li["l_extendedprice"].null_count == 0
+
+
+def test_empty_table_axis_truncates_after_mutation(tmp_path):
+    out = str(tmp_path / "z")
+    manifest = mutate_dir(
+        SF_DIR, out, seed=27, empty_tables=("events", "documents")
+    )
+    for name in ("events", "documents"):
+        tbl = pq.read_table(table_path(out, name))
+        assert len(tbl) == 0 and manifest[name]["emptied"]
+        base = pq.read_schema(table_path(SF_DIR, name))
+        assert [(f.name, f.type) for f in base] == [
+            (f.name, f.type) for f in tbl.schema
+        ]
+    assert len(pq.read_table(table_path(out, "orders"))) > 0
+    with pytest.raises(ValueError):
+        mutate_dir(SF_DIR, str(tmp_path / "bad"), 1, empty_tables=("nope",))
 
 
 @pytest.mark.skipif(

@@ -173,3 +173,59 @@ def test_brand_share_total_exact_past_decimal18_per_value_cap(spark):
     )
     assert got["brand_revenue"].sum() > 1e12  # past the old cap
     assert abs(got["revenue_share_pct"].sum() - 100.0) < 1e-6
+
+
+def test_pricing_sums_exact_with_planted_extreme_prices(spark):
+    """Round-16 extreme-numeric class, two mechanisms in one pin:
+    (a) above ~2^26 DuckDB's multiply-based double→DECIMAL cast
+    diverges from Spark's exact-binary-expansion cast
+    (9999999999.99 → ….98999936 vs ….98999977), so fixtures.money_dec
+    branches both engines onto the shortest-repr string route there;
+    (b) a post-sum ×10⁴ hits Spark's precision-38 cap and rounds at
+    scale 6, so _dsum scales PER ROW. Plant the full palette —
+    including a 1.5e12 that overflowed the old DECIMAL(18,8) outright
+    — and assert TPC-H Q1 stays bit-identical."""
+    from financial_tracker_etl_spark.queries import analytics as am
+    from financial_tracker_etl_spark.queries import registry
+
+    li = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 6,
+            "l_linestatus": ["F"] * 6,
+            "l_quantity": [1.0, 2.0, -123456.789, 9999999999.99, 1.5e12, 1e-9],
+            "l_extendedprice": [9999999999.99, 1.5e12, -123456.789, 1e-9, 0.0, -1.0],
+            "l_discount": [0.0, 1.0, 2.5, -0.5, 0.05, 0.0],
+            "l_tax": [0.0, 2.5, -0.5, 0.08, 0.0, 1.0],
+            "l_shipdate": pd.to_datetime(["1995-01-01"] * 6),
+        }
+    )
+    spec = registry()["pricing_summary"]
+    got = _run_differential(spark, am, {"lineitem": li}, spec.fn, spec.oracle)
+    assert got["sum_base_price"].abs().max() > 1e12  # extremes really flowed
+
+
+def test_percent_change_null_base_and_beyond_round_band(spark):
+    """Round-16 extreme-numeric class on the shared market_data
+    fixture: a 0.0 low made (high−low)/low THROW under ANSI (now a
+    NULL percent via NULLIF on both engines), and a 1e-9 low drives
+    the percent past 1e9, where DuckDB's multiply-based round(x, 6)
+    perturbs the double (…898 → …900) while Spark's BigDecimal round
+    is the identity — both engines now emit the RAW double above the
+    shared guard (fixtures._pct_round / _pct_round_sql)."""
+    from financial_tracker_etl_spark.queries import analytics as am
+    from financial_tracker_etl_spark.queries import registry
+
+    li = pd.DataFrame(
+        {
+            # partkeys % 3 != 0 so market_data keeps them
+            "l_partkey": [1, 1, 2, 2, 5, 5],
+            "l_extendedprice": [100.0, 0.0, 94958.53, 1e-9, 10.0, 5.0],
+            "l_discount": [0.0] * 6,
+            "l_shipdate": pd.to_datetime(["1995-01-01"] * 6),
+        }
+    )
+    spec = registry()["unpivot_market_measures"]
+    got = _run_differential(spark, am, {"lineitem": li}, spec.fn, spec.oracle)
+    pct = got[got["measure"] == "percent_change"].set_index("symbol")["value"]
+    assert pd.isna(pct["SYM1"])  # zero base → NULL, not a crash
+    assert pct["SYM2"] > 1e9  # huge percent survived un-rounded

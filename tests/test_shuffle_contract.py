@@ -188,3 +188,39 @@ def test_stage_delta_metrics_identifies_new_stages(monkeypatch):
     assert stage_delta_metrics(None, None) is None
     monkeypatch.setattr(profile, "stage_snapshot", lambda spark: None)
     assert stage_delta_metrics(None, before) is None
+
+
+def test_bench_set_spill_free_on_skewed_input(spark, tmp_path):
+    """Round-16 VERDICT task 2(b): the zero-spill contract must hold
+    when ~35% of events.user_id / lineitem.l_partkey / documents.source
+    collapse onto one hub value (fuzz.py's ``skew`` class), not just on
+    the uniform fixtures — a hub key concentrates one window/group
+    partition with a third of the table, which is exactly where a
+    sort-window or hash-agg starts spilling first. Exchange ceilings
+    are rechecked too (totals move only marginally: the same rows
+    shuffle, just unevenly).
+
+    Ledger note (BASELINE.md round-16): at sf0.01 no bench query needs
+    the salted form under a 35% hub — zero spill across all 19; the
+    round-9 salting threshold rule stays an escape hatch, now tested
+    rather than documented-only."""
+    from financial_tracker_etl_spark.fuzz import mutate_dir
+
+    skew_dir = str(tmp_path / "skewed_sf001")
+    mutate_dir(SF_DIR, skew_dir, seed=16, mutations=("skew",))
+    specs = _bench_specs()
+    failures = []
+    for name, spec in specs.items():
+        spark.catalog.clearCache()
+        summary = plan_io_summary(collect_metrics(spec.fn(spark, skew_dir)))
+        ceiling = EXCHANGE_CEILING.get(name, DEFAULT_CEILING)
+        if summary["spill_bytes"] != 0:
+            failures.append(
+                f"{name}: operator spill {summary['spill_bytes']} B (skewed)"
+            )
+        if summary["shuffle_max_exchange_bytes"] > ceiling:
+            failures.append(
+                f"{name}: max exchange {summary['shuffle_max_exchange_bytes']} B"
+                f" > ceiling {ceiling} B (skewed)"
+            )
+    assert not failures, "\n".join(failures)
