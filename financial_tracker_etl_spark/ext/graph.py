@@ -117,6 +117,14 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: no sources, no ranks — return the result schema
+        # with zero rows instead of seeding 1e6/0 (the driver-side
+        # ZeroDivisionError the round-16 empty-relation fuzz axis hit;
+        # the unrolled SQL oracle yields zero rows on the same input)
+        ew.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return nodes.withColumn("rank_ppm", F.lit(0).cast("long"))
     teleport_ppm = (1_000_000 - damping_ppm) // n_nodes
     p = cut_lineage(
         nodes.withColumn("p", F.lit(1_000_000 // n_nodes).cast("long"))

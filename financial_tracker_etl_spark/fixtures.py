@@ -75,6 +75,22 @@ def _pct_round_sql(expr: str) -> str:
     )
 
 
+# same guard at 4 decimals: safe while |x|·10⁴ < 2^53, i.e. ~9e11;
+# 8e11 leaves margin (a planted 1.5e12 s_acctbal crosses it)
+_R4_BAND = 8e11
+
+
+def _r4(c: Column) -> Column:
+    return F.when(F.abs(c) < F.lit(_R4_BAND), F.round(c, 4)).otherwise(c)
+
+
+def _r4_sql(expr: str) -> str:
+    return (
+        f"(CASE WHEN abs({expr}) < 800000000000.0 THEN round({expr}, 4) "
+        f"ELSE ({expr}) END)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared derivation rules
 # ---------------------------------------------------------------------------
@@ -235,22 +251,26 @@ def market_index_data(supplier: DataFrame) -> DataFrame:
     return supplier.select(
         symbol_col("IDX", F.col("s_suppkey")).alias("symbol"),
         bal.alias("price"),
-        F.round(bal / 100.0, 4).alias("price_change"),
-        F.round(bal / 10000.0, 6).alias("percent_change"),
-        F.round(bal * 1.01, 4).alias("price_high"),
-        F.round(bal * 0.99, 4).alias("price_low"),
+        # magnitude-guarded rounds: a planted 1.5e12 balance (extreme
+        # fuzz class, SURVEY §5 huge-is-VALID) pushes |x|·10^d past
+        # 2^53, where DuckDB's multiply-based round perturbs the
+        # double while Spark's BigDecimal round is exact
+        _r4(bal / 100.0).alias("price_change"),
+        _pct_round(bal / 10000.0).alias("percent_change"),
+        _r4(bal * 1.01).alias("price_high"),
+        _r4(bal * 0.99).alias("price_low"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("updated_at"),
     )
 
 
-MARKET_INDEX_DATA_SQL = """
+MARKET_INDEX_DATA_SQL = f"""
 market_index_data AS (
   SELECT concat('IDX', s_suppkey) AS symbol,
          s_acctbal AS price,
-         round(s_acctbal / 100.0, 4) AS price_change,
-         round(s_acctbal / 10000.0, 6) AS percent_change,
-         round(s_acctbal * 1.01, 4) AS price_high,
-         round(s_acctbal * 0.99, 4) AS price_low,
+         {_r4_sql('s_acctbal / 100.0')} AS price_change,
+         {_pct_round_sql('s_acctbal / 10000.0')} AS percent_change,
+         {_r4_sql('s_acctbal * 1.01')} AS price_high,
+         {_r4_sql('s_acctbal * 0.99')} AS price_low,
          TIMESTAMP '2024-01-01 00:00:00' AS updated_at
   FROM supplier
 )

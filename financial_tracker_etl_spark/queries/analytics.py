@@ -944,8 +944,11 @@ def _q_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.crossJoin(broadcast(total)).select(
         "p_brand",
         "brand_revenue",
-        F.round(
-            F.col("brand_revenue") / F.col("_total") * 100.0, 6
+        # guarded round: adversarial cancellation (positive and
+        # negative extreme revenues netting near zero) can blow the
+        # share past 1e9, where DuckDB's round perturbs the double
+        fixtures._pct_round(
+            F.col("brand_revenue") / F.col("_total") * 100.0
         ).alias("revenue_share_pct"),
     )
 
@@ -958,11 +961,10 @@ WITH rev AS (
   GROUP BY p_brand
 )
 SELECT p_brand, brand_revenue,
-       round(brand_revenue /
-             (CAST(CAST(floor(sum({MD_BREV}
-                                  * 10000) OVER ()) AS BIGINT) AS DOUBLE)
-              / 10000.0)
-             * 100.0, 6) AS revenue_share_pct
+       {fixtures._pct_round_sql('''brand_revenue /
+             (CAST(CAST(floor(sum(''' + MD_BREV + ''' * 10000) OVER ())
+                   AS BIGINT) AS DOUBLE) / 10000.0) * 100.0''')}
+         AS revenue_share_pct
 FROM rev
 """
 
@@ -1230,6 +1232,12 @@ SELECT asset_type, yr,
        max(price) AS max_price
 FROM (SELECT asset_type, year(date) AS yr, price, symbol FROM market_data_monthly)
 GROUP BY CUBE (asset_type, yr)
+-- Spark's CUBE over a ZERO-row input emits nothing (even the ()
+-- grouping set), while DuckDB emits the standard grand-total row with
+-- count 0 (round-16 fuzzer, empty-relation axis). The engine ships
+-- Spark's semantics; this HAVING is a no-op on any non-empty input
+-- (a cube cell only materializes from existing rows, so count >= 1).
+HAVING count(*) > 0
 """
 )
 

@@ -2402,7 +2402,22 @@ def _q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("scope", F.lit("ALL"))
     )
-    return exact.join(est, "scope")
+    # LEFT join + empty-sketch coalesce: on a ZERO-row events table the
+    # global `exact` aggregate still yields one row (SQL semantics) but
+    # `merged` has no registers, so the old inner join dropped the row
+    # while the oracle emitted (0, 0, 256 empty buckets, NULL estimate)
+    # — round-16 fuzzer, empty-relation axis. An empty sketch is 256
+    # empty buckets and an undefined (NULL) estimate on both engines.
+    joined = exact.join(est, "scope", "left")
+    return joined.select(
+        "scope",
+        "n_exact",
+        "n_shards_merged",
+        F.coalesce(F.col("n_empty_buckets"), F.lit(256).cast("long")).alias(
+            "n_empty_buckets"
+        ),
+        "hll_estimate",
+    )
 
 
 _HLL_MERGE_ORACLE = """

@@ -1680,3 +1680,38 @@ def test_registry_pagerank_knob_value_identity(spark, tmp_path):
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
     assert reliable == local and len(local) > 0
+
+
+def test_pagerank_empty_graph_returns_empty_not_zerodivision(spark):
+    """Round-16 empty-relation axis: an empty edge list seeded
+    1e6 // n_nodes with n_nodes = 0 — a DRIVER-side ZeroDivisionError
+    that killed the whole query before any Spark job ran. An empty
+    graph now yields an empty (node, rank_ppm) frame, matching the
+    unrolled SQL oracle's zero rows on the same input."""
+    from financial_tracker_etl_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long, w long")
+    out = pagerank(edges, iters=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_ppm"]
+
+
+def test_hll_shard_merge_emits_empty_sketch_row_on_empty_events(spark):
+    """Round-16 empty-relation axis: the global exact aggregate yields
+    one row on zero input (SQL semantics) but the register relation is
+    empty, so the old inner join dropped the row while the oracle
+    emitted (0 users, 0 shards, 256 empty buckets, NULL estimate)."""
+    import financial_tracker_etl_spark.queries.ext as qe
+    from financial_tracker_etl_spark.queries import registry
+
+    empty = load_table(spark, SF_DIR, "events").filter(F.lit(False))
+    orig = qe.load_table
+    qe.load_table = lambda _s, _d, name: empty
+    try:
+        row = registry()["hll_shard_merge"].fn(spark, SF_DIR).collect()
+    finally:
+        qe.load_table = orig
+    assert len(row) == 1
+    r = row[0]
+    assert (r.n_exact, r.n_shards_merged, r.n_empty_buckets) == (0, 0, 256)
+    assert r.hll_estimate is None
