@@ -2774,7 +2774,18 @@ def _q_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_shipdate", "l_orderkey", "l_linenumber"
     )
-    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    # price joins the tie-break: a duplicated row whose copies then
+    # receive DIFFERENT planted prices (round-16 fuzzer, dupes×extreme
+    # interaction) ties on all of (shipdate, orderkey, linenumber), so
+    # the version chain's lag/lead order was engine-dependent; rows
+    # tied on all four are identical in every selected column, where
+    # order is immaterial (change-detection drops the second)
+    order_cols = [
+        F.col("l_shipdate"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_extendedprice"),
+    ]
     w = Window.partitionBy("l_partkey").orderBy(*order_cols)
     changes = li.withColumn(
         "prev_price", F.lag("l_extendedprice").over(w)
@@ -2799,7 +2810,8 @@ WITH ordered AS (
   SELECT l_partkey, l_extendedprice, l_shipdate, l_orderkey, l_linenumber,
          lag(l_extendedprice) OVER (
            PARTITION BY l_partkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+           ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                    l_extendedprice) AS prev_price
   FROM lineitem
 ), changes AS (
   SELECT * FROM ordered
@@ -2810,10 +2822,12 @@ SELECT l_partkey AS part_key,
        l_shipdate AS valid_from,
        lead(l_shipdate) OVER (
          PARTITION BY l_partkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS valid_to,
+         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                  l_extendedprice) AS valid_to,
        CAST(CASE WHEN lead(l_shipdate) OVER (
          PARTITION BY l_partkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber) IS NULL
+         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                  l_extendedprice) IS NULL
          THEN 1 ELSE 0 END AS INTEGER) AS is_current
 FROM changes
 """

@@ -331,12 +331,15 @@ def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = supplier.select(
         fixtures.symbol_col("IDX", F.col("s_suppkey")).alias("symbol"),
         F.col("s_acctbal").alias("regularMarketPrice"),
-        F.round(F.col("s_acctbal") / 100.0, 4).alias("regularMarketChange"),
-        F.round(F.col("s_acctbal") / 10000.0, 6).alias(
+        # guarded rounds, textually mirroring fixtures.market_index_data
+        # (the oracle side): a planted 1.5e12 balance sits past the
+        # band where the two engines' double rounds agree
+        fixtures._r4(F.col("s_acctbal") / 100.0).alias("regularMarketChange"),
+        fixtures._pct_round(F.col("s_acctbal") / 10000.0).alias(
             "regularMarketChangePercent"
         ),
-        F.round(F.col("s_acctbal") * 1.01, 4).alias("regularMarketDayHigh"),
-        F.round(F.col("s_acctbal") * 0.99, 4).alias("regularMarketDayLow"),
+        fixtures._r4(F.col("s_acctbal") * 1.01).alias("regularMarketDayHigh"),
+        fixtures._r4(F.col("s_acctbal") * 0.99).alias("regularMarketDayLow"),
     )
     return rename_project(
         raw,
@@ -476,7 +479,10 @@ def _q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "prev_price",
         "price_change",
-        F.round("pct_change", 6).alias("pct_change"),
+        # guarded: DuckDB's multiply-based round(x,6) perturbs the
+        # double once |x| clears ~1e9 (a planted 1e-9 prev price puts
+        # pct in the e15 range — round-16 fuzzer, extreme class)
+        fixtures._pct_round(F.col("pct_change")).alias("pct_change"),
         # no rounding: the SMA is the floor-reconstructed exact decimal
         # sum / count (operators/windows.py), so the double quotient is
         # bit-identical cross-engine; round(…,4) at a .5 tie is NOT
@@ -494,10 +500,10 @@ _INDICATORS_ORACLE = (
 SELECT symbol, date, price,
        lag(price, 1) OVER w AS prev_price,
        price - lag(price, 1) OVER w AS price_change,
-       round(CASE WHEN lag(price, 1) OVER w IS NOT NULL
+       {fixtures._pct_round_sql('''CASE WHEN lag(price, 1) OVER w IS NOT NULL
                    AND lag(price, 1) OVER w <> 0
                   THEN (price - lag(price, 1) OVER w) / lag(price, 1) OVER w * 100.0
-             END, 6) AS pct_change,
+             END''')} AS pct_change,
        CAST(CAST(floor(sum({fixtures.money_dec_sql("price")} * 10000)
             OVER (PARTITION BY symbol ORDER BY date
                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS BIGINT)
