@@ -247,13 +247,23 @@ def duplicate_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # instance key: duplicate doc_ids whose copies carry DIFFERENT
+    # texts (the round-16 dupes x unicode/extreme fuzz interaction)
+    # would otherwise share one pos-window — tied positions with
+    # divergent tokens make lead()'s gram stream engine-dependent.
+    # Keying every window by (doc_id, md5(text)) gives each document
+    # INSTANCE its own deterministic gram stream and span set; exact
+    # copies share a stream (their grams count >1 globally, which is
+    # the honest read of a literally-duplicated document).
+    tkey = F.md5(F.coalesce(F.col("text"), F.lit("")))
     toks = docs.select(
         "doc_id",
+        tkey.alias("_tkey"),
         F.posexplode(tokens_col(F.col("text"))).alias(
             "pos", "tok"
         ),
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    wdoc = Window.partitionBy("doc_id", "_tkey").orderBy("pos")
     gram = F.concat_ws(
         " ", F.col("tok"), *[F.lead("tok", i).over(wdoc) for i in range(1, n)]
     )
@@ -263,24 +273,25 @@ def duplicate_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     grams = (
         toks.select(
             "doc_id",
+            "_tkey",
             "pos",
             F.md5(gram).alias("ghash"),
             F.lead("tok", n - 1).over(wdoc).alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
-        .select("doc_id", "pos", "ghash")
+        .select("doc_id", "_tkey", "pos", "ghash")
     )
     wg = Window.partitionBy("ghash")
     dup_pos = (
         grams.withColumn("_n", F.count(F.lit(1)).over(wg))
         .filter(F.col("_n") > 1)
-        .select("doc_id", "pos")
+        .select("doc_id", "_tkey", "pos")
     )
 
     # classic interval merge: a span starts a new island iff its start
     # lies past the running max end of all earlier spans in the doc
     prev_end = F.max(F.col("pos") + (n - 1)).over(
-        Window.partitionBy("doc_id")
+        Window.partitionBy("doc_id", "_tkey")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -289,25 +300,26 @@ def duplicate_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
         F.sum(
             F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
         ).over(
-            Window.partitionBy("doc_id")
+            Window.partitionBy("doc_id", "_tkey")
             .orderBy("pos")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    spans = islanded.groupBy("doc_id", "_island").agg(
+    spans = islanded.groupBy("doc_id", "_tkey", "_island").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + (n - 1)).alias("span_end"),
     )
-    per_doc = spans.groupBy("doc_id").agg(
+    per_doc = spans.groupBy("doc_id", "_tkey").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
     )
     totals = docs.select(
         "doc_id",
+        tkey.alias("_tkey"),
         F.size(tokens_col(F.col("text"))).alias("n_tokens"),
     )
     return (
-        totals.join(per_doc, "doc_id", "left")
+        totals.join(per_doc, ["doc_id", "_tkey"], "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -929,44 +929,49 @@ def _dup_spans_oracle(n: int = 8) -> str:
     leads = ", ".join(f"lead(tok, {i}) OVER w" for i in range(1, n))
     return f"""
 WITH arrs AS (
-  SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM documents
+  -- tkey mirrors the Spark instance key: duplicate doc_ids with
+  -- different texts get their own deterministic gram stream
+  SELECT doc_id, md5(coalesce(text, '')) AS tkey,
+         string_split(lower(trim(text)), ' ') AS arr
+  FROM documents
 ),
 toks AS (
-  SELECT doc_id, unnest(range(len(arr))) AS pos, unnest(arr) AS tok FROM arrs
+  SELECT doc_id, tkey, unnest(range(len(arr))) AS pos, unnest(arr) AS tok
+  FROM arrs
 ),
 grams AS (
-  SELECT doc_id, pos, md5(concat_ws(' ', tok, {leads})) AS ghash,
+  SELECT doc_id, tkey, pos, md5(concat_ws(' ', tok, {leads})) AS ghash,
          lead(tok, {n - 1}) OVER w AS _last
   FROM toks
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  WINDOW w AS (PARTITION BY doc_id, tkey ORDER BY pos)
 ),
-g AS (SELECT doc_id, pos, ghash FROM grams WHERE _last IS NOT NULL),
+g AS (SELECT doc_id, tkey, pos, ghash FROM grams WHERE _last IS NOT NULL),
 dup AS (SELECT ghash FROM g GROUP BY ghash HAVING count(*) > 1),
-dup_pos AS (SELECT doc_id, pos FROM g JOIN dup USING (ghash)),
+dup_pos AS (SELECT doc_id, tkey, pos FROM g JOIN dup USING (ghash)),
 islanded AS (
-  SELECT doc_id, pos,
+  SELECT doc_id, tkey, pos,
          sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos
+           OVER (PARTITION BY doc_id, tkey ORDER BY pos
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM (
-    SELECT doc_id, pos,
-           max(pos + {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+    SELECT doc_id, tkey, pos,
+           max(pos + {n - 1}) OVER (PARTITION BY doc_id, tkey ORDER BY pos
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
     FROM dup_pos
   )
 ),
 spans AS (
-  SELECT doc_id, island, min(pos) AS span_start,
+  SELECT doc_id, tkey, island, min(pos) AS span_start,
          max(pos) + {n - 1} AS span_end
-  FROM islanded GROUP BY doc_id, island
+  FROM islanded GROUP BY doc_id, tkey, island
 ),
 per_doc AS (
-  SELECT doc_id, count(*) AS n_dup_spans,
+  SELECT doc_id, tkey, count(*) AS n_dup_spans,
          sum(span_end - span_start + 1) AS dup_tokens
-  FROM spans GROUP BY doc_id
+  FROM spans GROUP BY doc_id, tkey
 ),
 totals AS (
-  SELECT doc_id,
+  SELECT doc_id, md5(coalesce(text, '')) AS tkey,
          len(string_split(lower(trim(text)), ' ')) AS n_tokens
   FROM documents
 )
@@ -975,7 +980,7 @@ SELECT t.doc_id, t.n_tokens,
        CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        CAST(floor(1000000 * coalesce(p.dup_tokens, 0) / t.n_tokens) AS BIGINT)
          AS dup_ppm
-FROM totals t LEFT JOIN per_doc p USING (doc_id)
+FROM totals t LEFT JOIN per_doc p USING (doc_id, tkey)
 """
 
 

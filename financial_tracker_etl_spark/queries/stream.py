@@ -184,7 +184,7 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # sequential double fold in (ts_us, event_id) order on both engines —
 # bit-identical IEEE op sequence, rounded as a final guard
-_EWMA_ORACLE = """
+_EWMA_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id,
          list(value ORDER BY epoch_us(ts), event_id) AS vals
@@ -193,7 +193,7 @@ WITH ordered AS (
 )
 SELECT user_id,
        CAST(len(vals) AS BIGINT) AS n_events,
-       round(list_reduce(vals, (a, b) -> 0.9 * a + 0.1 * b), 6) AS ewma_value
+       {fixtures._pct_round_sql('list_reduce(vals, (a, b) -> 0.9 * a + 0.1 * b)')} AS ewma_value
 FROM ordered
 """
 

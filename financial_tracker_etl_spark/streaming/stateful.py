@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..fixtures import _pct_round
 from .windows import events_stream
 
 EWMA_ALPHA = 0.1
@@ -201,6 +202,13 @@ def ewma_stream(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .select(
-            "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
+            "user_id",
+            "n_events",
+            # magnitude-guarded round, mirrored in the oracle: past
+            # ~1e9 DuckDB's multiply-based round(x,6) perturbs the
+            # double by one ULP while Spark's BigDecimal round doesn't
+            # (round-16 fuzzer, extreme class at the sf0.1 rung — a
+            # planted 1.5e12 decays into an e10-magnitude EWMA)
+            _pct_round(F.col("ewma_value")).alias("ewma_value"),
         )
     )
