@@ -850,7 +850,18 @@ def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     spans = duplicate_span_stats(docs)
-    keep = spans.filter(F.col("dup_ppm") < 500_000).select("doc_id")
+    # span stats are per document INSTANCE since the round-16
+    # instance-key fix (duplicate doc_ids can carry different texts
+    # under fuzz); the curation gate decides per doc_id: drop the id
+    # if ANY instance is mostly repeated spans (max over instances),
+    # which also dedups `keep` so the survivor join cannot fan out.
+    # Identity on unique-id pristine input.
+    keep = (
+        spans.groupBy("doc_id")
+        .agg(F.max("dup_ppm").alias("_mx"))
+        .filter(F.col("_mx") < 500_000)
+        .select("doc_id")
+    )
     survivors = docs.join(keep, "doc_id")
     # shard the SAMPLED rows directly (they already carry doc_id +
     # weight) instead of re-joining onto documents: re-joining
@@ -874,14 +885,21 @@ def _curation_v2_oracle(n: int = 8) -> str:
     return f"""
 WITH {span_cte.rsplit("SELECT t.doc_id", 1)[0].rstrip()},
 span_stats AS (
+  -- per INSTANCE (doc_id, tkey), mirroring the round-16 Spark fix
   SELECT t.doc_id,
          CAST(floor(1000000 * coalesce(p.dup_tokens, 0) / t.n_tokens)
               AS BIGINT) AS dup_ppm
-  FROM totals t LEFT JOIN per_doc p USING (doc_id)
+  FROM totals t LEFT JOIN per_doc p USING (doc_id, tkey)
+),
+keep AS (
+  -- drop the id if ANY instance is mostly repeated spans; also dedups
+  -- the key so the survivor join cannot fan out on duplicate ids
+  SELECT doc_id FROM span_stats GROUP BY doc_id
+  HAVING max(dup_ppm) < 500000
 ),
 survivors AS (
   SELECT d.doc_id, d.n_chars FROM documents d
-  JOIN span_stats s USING (doc_id) WHERE s.dup_ppm < 500000
+  JOIN keep USING (doc_id)
 ),
 cum AS (
   SELECT doc_id, n_chars AS weight,
