@@ -1715,3 +1715,35 @@ def test_hll_shard_merge_emits_empty_sketch_row_on_empty_events(spark):
     r = row[0]
     assert (r.n_exact, r.n_shards_merged, r.n_empty_buckets) == (0, 0, 256)
     assert r.hll_estimate is None
+
+
+def test_span_stats_instance_keyed_on_duplicate_ids(spark):
+    """Round-16 fuzzer (dupes × unicode interaction): duplicate doc_ids
+    whose copies carry DIFFERENT texts used to share one pos-window, so
+    lead()'s gram stream depended on which copy's token won the pos
+    tie — engine- and partitioning-dependent. Windows now key by the
+    document instance (doc_id, md5(text)): each copy reports its own
+    n_tokens/span stats, and the result is invariant under physical
+    repartitioning."""
+    from financial_tracker_etl_spark.ext.chunking import (
+        duplicate_span_stats,
+    )
+
+    rep = "w1 w2 w3 w4 w5 w6 w7 w8 " * 4  # 8-gram repeats -> dup spans
+    docs = spark.createDataFrame(
+        [(1, rep.strip()), (1, "lone"), (2, rep.strip()), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r.doc_id, r.n_tokens)
+    out1 = sorted(duplicate_span_stats(docs).collect(), key=key)
+    out2 = sorted(
+        duplicate_span_stats(docs.repartition(7)).collect(), key=key
+    )
+    assert out1 == out2  # plan-invariant
+    by_key = {key(r): r for r in out1}
+    assert len(out1) == 4  # one row PER INSTANCE, ids preserved
+    # the 1-token copy of doc 1 is its own instance: no spans leak in
+    assert by_key[(1, 1)].dup_tokens == 0
+    # both full copies are fully duplicated (each gram occurs >= 2x)
+    assert by_key[(1, 32)].dup_tokens == 32
+    assert by_key[(2, 32)].dup_tokens == 32
