@@ -45,21 +45,26 @@ def _dsum(c: Column) -> Column:
     the SAME two correctly-rounded ops everywhere — int64→double and
     one division by an exactly-representable 1e4.
 
-    The ×10000 scaling happens PER ROW, not on the sum: Spark's sum
-    over decimal(30,8) is already precision-38, so a post-sum multiply
-    hits the 38-precision cap and silently drops to scale 6 (a round
-    at the 6th decimal that can cross the floor boundary); the per-row
-    product is (36,8) → sum (38,8), exact end-to-end (round-16
-    extreme-numeric class). Headroom: Σ|x|·10⁴ < 9.2e18, i.e. ~6e14
-    of planted-extreme mass per group."""
-    scaled = F.floor(F.sum(_dec(c) * F.lit(10000))).cast("long")
+    The ×10000 scaling must NOT multiply the raw precision-38 sum:
+    Spark's cap would silently drop it to scale 6 (a round at the 6th
+    decimal that can cross the floor boundary — round-16 extreme
+    class). The sum is instead narrowed to (28,8) — exact while
+    |Σ| < 1e20, i.e. ~6e7 rows of planted 1.5e12 extremes per group —
+    so the ×10⁴ lands at (34,8), under the cap and exact. Narrowing
+    POST-sum rather than scaling per row is also the measured fast
+    path: one cast per group instead of one Int128 multiply per row
+    (A/B at sf0.1: 0.92 s vs 1.11 s on the Q1 shape; the per-row form
+    was briefly shipped mid-round-16)."""
+    scaled = F.floor(
+        F.sum(_dec(c)).cast("decimal(28,8)") * F.lit(10000)
+    ).cast("long")
     return scaled.cast("double") / F.lit(10000.0)
 
 
 def _dsum_sql(expr: str) -> str:
     return (
-        f"CAST(CAST(floor(sum({fixtures.money_dec_sql(expr)} * 10000)) "
-        f"AS BIGINT) AS DOUBLE) / 10000.0"
+        f"CAST(CAST(floor(CAST(sum({fixtures.money_dec_sql(expr)}) "
+        f"AS DECIMAL(28,8)) * 10000) AS BIGINT) AS DOUBLE) / 10000.0"
     )
 
 
@@ -146,17 +151,20 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # happens ONCE in the outer aggregation, so regrouping the exact
     # partials per customer is bit-identical to the flat aggregation
     per_order = li.groupBy("l_orderkey").agg(
-        # the partial is already ×10⁴-scaled (per-row (36,8) product):
-        # the outer re-aggregation then never multiplies a precision-38
-        # sum (Spark's cap would round at scale 6 — round-16 fuzzer,
-        # extreme-numeric class)
-        F.sum(
-            _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            * F.lit(10000)
-        ).alias("_rev"),
+        # the partial stays an exact UNscaled decimal sum, narrowed to
+        # (30,8) (runtime-safe: a single order is a handful of items);
+        # the outer sum then narrows to (28,8) before the ×10⁴ so
+        # Spark's precision-38 cap never rounds it at scale 6
+        # (round-16 fuzzer, extreme class; post-sum narrowing is also
+        # the measured fast path — see _dsum)
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("decimal(30,8)")
+        .alias("_rev"),
         F.count(F.lit(1)).alias("_n"),
     )
-    outer_sum = F.floor(F.sum("_rev")).cast("long")
+    outer_sum = F.floor(
+        F.sum("_rev").cast("decimal(28,8)") * F.lit(10000)
+    ).cast("long")
     revenue = (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -923,18 +931,17 @@ def _q_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the grand total sums ALREADY-AGGREGATED brand revenues (a single
     # brand clears 1e10 around TPC-H sf 1 — the round-5 ladder found
-    # the too-narrow cast throwing under ANSI). Scale per row BEFORE
-    # the sum, same as _dsum: (30,8)×10⁴ = (36,8) exact → sum (38,8)
-    # exact; a post-sum ×10⁴ would hit the precision-38 cap and round
-    # at scale 6. Same floor-to-4-decimals double reconstruction as
-    # _dsum so the share division stays bit-identical cross-engine.
+    # the too-narrow cast throwing under ANSI). Same narrow-the-sum-
+    # then-scale shape as _dsum: the (38,8) sum narrows to (28,8) so
+    # the ×10⁴ lands exactly at (34,8) under Spark's precision cap.
+    # Same floor-to-4-decimals double reconstruction as _dsum so the
+    # share division stays bit-identical cross-engine.
     total = rev.agg(
         (
             F.floor(
-                F.sum(
-                    fixtures.money_dec(F.col("brand_revenue"))
-                    * F.lit(10000)
-                )
+                F.sum(fixtures.money_dec(F.col("brand_revenue")))
+                .cast("decimal(28,8)")
+                * F.lit(10000)
             )
             .cast("long")
             .cast("double")
@@ -962,8 +969,9 @@ WITH rev AS (
 )
 SELECT p_brand, brand_revenue,
        {fixtures._pct_round_sql('''brand_revenue /
-             (CAST(CAST(floor(sum(''' + MD_BREV + ''' * 10000) OVER ())
-                   AS BIGINT) AS DOUBLE) / 10000.0) * 100.0''')}
+             (CAST(CAST(floor(CAST(sum(''' + MD_BREV + ''') OVER ()
+                   AS DECIMAL(28,8)) * 10000) AS BIGINT) AS DOUBLE)
+              / 10000.0) * 100.0''')}
          AS revenue_share_pct
 FROM rev
 """
@@ -2277,11 +2285,11 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        # ×10⁴-scaled at the leaf (per-row (36,8) product): the rollup
-        # then sums pre-scaled values at every level, so no post-sum
-        # multiply ever hits Spark's precision-38 scale-loss cap
-        # (round-16 fuzzer, extreme-numeric class)
-        F.sum(_dec(F.col("value")) * F.lit(10000)).alias("_v"),
+        # exact UNscaled decimal partial, narrowed per level so
+        # re-aggregation stays under the precision cap; the ×10⁴
+        # happens once at the top on the narrowed sum (round-16
+        # fuzzer, extreme class; see _dsum for the shape)
+        F.sum(_dec(F.col("value"))).cast("decimal(30,8)").alias("_v"),
     )
     daily = hourly.groupBy(
         (F.col("hour_us") - F.col("hour_us") % _DAY_ROLL_US).alias("day_us"),
@@ -2289,9 +2297,11 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum("n_events").alias("n_events"),
         F.count(F.lit(1)).alias("n_hours_active"),
-        F.sum("_v").alias("_v"),
+        F.sum("_v").cast("decimal(30,8)").alias("_v"),
     )
-    scaled = F.floor(F.sum("_v")).cast("long")
+    scaled = F.floor(
+        F.sum("_v").cast("decimal(28,8)") * F.lit(10000)
+    ).cast("long")
     return daily.groupBy(
         (F.col("day_us") - F.col("day_us") % _WEEK_ROLL_US).alias("week_us"),
         "event_type",
@@ -2445,7 +2455,9 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = bucketed_join(spark, sf_dir)
-    scaled = F.floor(F.sum(F.col("_rev") * F.lit(10000))).cast("long")
+    scaled = F.floor(
+        F.sum("_rev").cast("decimal(28,8)") * F.lit(10000)
+    ).cast("long")
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("_n_items").alias("n_lineitems"),
@@ -2464,8 +2476,8 @@ WITH per_order AS (
 SELECT o_orderpriority,
        count(*) AS n_orders,
        CAST(sum(n_items) AS BIGINT) AS n_lineitems,
-       CAST(CAST(floor(sum(rev * 10000)) AS BIGINT) AS DOUBLE) / 10000.0
-         AS revenue
+       CAST(CAST(floor(CAST(sum(rev) AS DECIMAL(28,8)) * 10000) AS BIGINT)
+            AS DOUBLE) / 10000.0 AS revenue
 FROM orders JOIN per_order ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """
@@ -2493,9 +2505,10 @@ def _q_rolling_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us")
         .rangeBetween(-_WEEK_RANGE_US, 0)
     )
-    scaled = F.floor(F.sum(_dec(F.col("value")) * F.lit(10000)).over(w)).cast(
-        "long"
-    )
+    scaled = F.floor(
+        F.sum(_dec(F.col("value"))).over(w).cast("decimal(28,8)")
+        * F.lit(10000)
+    ).cast("long")
     return ev.select(
         "user_id",
         "ts_us",
@@ -2511,8 +2524,8 @@ SELECT user_id, epoch_us(ts) AS ts_us,
        count(*) OVER w AS n_7d,
        min(value) OVER w AS min_value_7d,
        max(value) OVER w AS max_value_7d,
-       CAST(CAST(floor(sum({MD_VALUE} * 10000) OVER w)
-            AS BIGINT) AS DOUBLE) / 10000.0 AS total_value_7d
+       CAST(CAST(floor(CAST(sum({MD_VALUE}) OVER w AS DECIMAL(28,8))
+            * 10000) AS BIGINT) AS DOUBLE) / 10000.0 AS total_value_7d
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {_WEEK_RANGE_US} PRECEDING AND CURRENT ROW)

@@ -504,15 +504,17 @@ SELECT symbol, date, price,
                    AND lag(price, 1) OVER w <> 0
                   THEN (price - lag(price, 1) OVER w) / lag(price, 1) OVER w * 100.0
              END''')} AS pct_change,
-       CAST(CAST(floor(sum({fixtures.money_dec_sql("price")} * 10000)
+       CAST(CAST(floor(CAST(sum({fixtures.money_dec_sql("price")})
             OVER (PARTITION BY symbol ORDER BY date
-                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS BIGINT)
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            AS DECIMAL(28,8)) * 10000) AS BIGINT)
             AS DOUBLE) / 10000.0
        / count(price) OVER (PARTITION BY symbol ORDER BY date
                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_20,
-       CAST(CAST(floor(sum({fixtures.money_dec_sql("price")} * 10000)
+       CAST(CAST(floor(CAST(sum({fixtures.money_dec_sql("price")})
             OVER (PARTITION BY symbol ORDER BY date
-                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)) AS BIGINT)
+                  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+            AS DECIMAL(28,8)) * 10000) AS BIGINT)
             AS DOUBLE) / 10000.0
        / count(price) OVER (PARTITION BY symbol ORDER BY date
                             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_50,
@@ -838,12 +840,13 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes (new − old), an insert (new − 0); count contributions
     ±1; DECIMAL addition is associative so the fold order never
     matters."""
-    # prices enter ×10⁴-scaled at (36,8): the whole retraction algebra
-    # then runs in scaled space so no post-aggregate multiply ever hits
-    # Spark's precision-38 cap (scale-6 rounding), and the (30,8)
-    # per-row cast absorbs planted 1.5e12 extremes that overflowed the
-    # old DECIMAL(18,8) under ANSI (round-16 fuzzer, extreme class)
-    _p = (fixtures.money_dec(F.col("price")) * F.lit(10000)).alias("p")
+    # the portable (30,8) cast absorbs planted 1.5e12 extremes that
+    # overflowed the old DECIMAL(18,8) under ANSI; the retraction
+    # algebra runs on exact UNscaled decimals and the one ×10⁴ happens
+    # at the end on the (28,8)-narrowed total, under Spark's
+    # precision-38 cap (round-16 fuzzer, extreme class; see
+    # analytics._dsum for the measured shape)
+    _p = fixtures.money_dec(F.col("price")).alias("p")
     old = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
         "symbol", "asset_type", _p
     )
@@ -869,8 +872,8 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.when(F.col("o.symbol").isNotNull(), 1).otherwise(0)
             ).alias("dn"),
             (
-                F.coalesce(F.col("n.p"), F.lit(0).cast("decimal(36,8)"))
-                - F.coalesce(F.col("o.p"), F.lit(0).cast("decimal(36,8)"))
+                F.coalesce(F.col("n.p"), F.lit(0).cast("decimal(30,8)"))
+                - F.coalesce(F.col("o.p"), F.lit(0).cast("decimal(30,8)"))
             ).alias("dp"),
         )
         .groupBy("asset_type")
@@ -890,8 +893,12 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)
     )
-    # _t is already the ×10⁴-scaled maintained sum; floor + rebuild
-    total = (F.floor(F.col("_t")).cast("long").cast("double") / 10000.0)
+    total = (
+        F.floor(F.col("_t").cast("decimal(28,8)") * F.lit(10000))
+        .cast("long")
+        .cast("double")
+        / 10000.0
+    )
     return maintained.select(
         "asset_type", "n_rows", total.alias("total_price")
     )
@@ -901,7 +908,8 @@ _IVM_ORACLE = (
     fixtures.with_ctes(*_SNAPSHOT_CTES)
     + f"""
 SELECT asset_type, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(CAST(floor(sum({fixtures.money_dec_sql("price")} * 10000)) AS BIGINT)
+       CAST(CAST(floor(CAST(sum({fixtures.money_dec_sql("price")})
+            AS DECIMAL(28,8)) * 10000) AS BIGINT)
             AS DOUBLE) / 10000.0 AS total_price
 FROM merged
 GROUP BY asset_type
