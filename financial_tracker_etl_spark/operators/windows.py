@@ -61,8 +61,11 @@ def with_price_analytics(
         from ..fixtures import money_dec
 
         frame = w.rowsBetween(-(n - 1), 0)
+        # narrow the window sum to (28,8) then scale ONCE — exact in
+        # range and the measured fast path (see analytics._dsum)
         scaled = F.floor(
-            F.sum(money_dec(price) * F.lit(10000)).over(frame)
+            F.sum(money_dec(price)).over(frame).cast("decimal(28,8)")
+            * F.lit(10000)
         ).cast("long")
         exact = scaled.cast("double") / F.lit(10000.0)
         return exact / F.count(price).over(frame)
