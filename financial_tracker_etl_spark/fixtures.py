@@ -362,7 +362,12 @@ quotes_raw AS (
          {_cents_sql(_CHG_C)} AS change,
          {_cents_sql(_HIGH_C)} AS high,
          {_cents_sql(_LOW_C)} AS low,
-         CAST(epoch(l_shipdate) AS BIGINT) AS "timestamp"
+         -- floor, not bare CAST: epoch() returns DOUBLE seconds, and a
+         -- planted .999999-microsecond instant rounds UP across the
+         -- second boundary under CAST while Spark's unix_seconds
+         -- floor-divides the microsecond count (round-16 fuzzer,
+         -- timewarp class: 23:59:59.999999 → :59 vs :00)
+         CAST(floor(epoch(l_shipdate)) AS BIGINT) AS "timestamp"
   FROM lineitem
   WHERE l_linenumber = 1
 )

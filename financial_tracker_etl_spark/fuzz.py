@@ -49,6 +49,12 @@ Mutation classes (each independently toggleable for bisection):
   SURVEY §5 pins zero/negative/huge as VALID inputs; round 5 found a
   DECIMAL overflow only at 8× replication — planted extremes find
   that class at 1× (round-15 VERDICT task 5).
+- ``timewarp``  — plant boundary timestamps in events.ts /
+  lineitem.l_shipdate / orders.o_orderdate: epoch zero, a pre-1970
+  instant (negative epoch-us exercises sign-dependent %/division
+  bucketing), a pandas-safe far future, a .999999-microsecond
+  boundary, and a leap day. Event-time fixtures never leave
+  1992-2024, so none of these edges is reachable on pristine data.
 
 Orthogonal axis — ``--empty-table NAME`` (repeatable): after all row
 mutations, truncate the named fact table(s) to ZERO rows. Empty-input
@@ -96,6 +102,7 @@ MUTATIONS = (
     "skew",
     "unicode",
     "extreme",
+    "timewarp",
 )
 
 # fact tables eligible for row-level mutation; dims stay full so the
@@ -204,6 +211,27 @@ EXTREME_COLS: dict[str, tuple[str, ...]] = {
 }
 EXTREME_RATE_COLS = {("lineitem", "l_discount"), ("lineitem", "l_tax")}
 EXTREME_RATE = 0.005
+
+# ``timewarp``: boundary timestamps (round-16 frontier). Epoch zero,
+# a PRE-1970 instant (negative epoch-us: sign-sensitive % bucketing,
+# negative division), a far-future instant (safely inside pandas'
+# 2262 ns ceiling — both compare harnesses round-trip through
+# pandas), a max-microsecond boundary, and a leap day. Event-time
+# fixtures never leave 1992-2024, so every calendar edge here is
+# unreachable on pristine data.
+TIMEWARP_VALUES = (
+    "1970-01-01T00:00:00",
+    "1955-11-05T06:15:00",
+    "2200-12-31T23:59:59.999999",
+    "1999-12-31T23:59:59.999999",
+    "2000-02-29T12:00:00",
+)
+TIMEWARP_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+TIMEWARP_RATE = 0.005
 
 # key families permuted with ONE bijection each, applied to every
 # (table, column) that stores the family (join structure is invariant
@@ -384,6 +412,28 @@ def _apply_extreme(tbl: pa.Table, name: str, seed: int) -> pa.Table:
     return tbl
 
 
+def _apply_timewarp(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+    for col in TIMEWARP_COLS.get(name, ()):
+        n = len(tbl)
+        rng = _rng(seed, "timewarp", name, col)
+        mask = rng.random(n) < TIMEWARP_RATE
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            continue
+        choice = rng.integers(len(TIMEWARP_VALUES), size=idx.size)
+        base = tbl[col].combine_chunks()
+        vals = base.to_numpy(zero_copy_only=False).copy()  # datetime64
+        palette = np.array(TIMEWARP_VALUES, dtype=vals.dtype)
+        vals[idx] = palette[choice]
+        field = tbl.schema.field(col)
+        # planted instants never overwrite a null (nulls class owns
+        # null coverage; mask restores the original validity)
+        valid = pc.is_valid(base).to_numpy(zero_copy_only=False)
+        arr = pa.array(vals, field.type, mask=~valid)
+        tbl = tbl.set_column(tbl.schema.get_field_index(col), field, arr)
+    return tbl
+
+
 def mutate_table(
     tbl: pa.Table,
     name: str,
@@ -393,7 +443,8 @@ def mutate_table(
 ) -> tuple[pa.Table, dict]:
     """Apply the enabled mutation classes to one table, in a fixed
     order (permute → skew → subsample → dupes → nulls → empties →
-    unicode → extreme → shuffle) so class toggling is well-defined.
+    unicode → extreme → timewarp → shuffle) so class toggling is
+    well-defined.
     Returns ``(table, stats)``; stats currently carries
     ``nulls_injected`` (exact, counted inside :func:`_apply_nulls`)."""
     stats = {"nulls_injected": 0}
@@ -429,6 +480,8 @@ def mutate_table(
         tbl = _apply_unicode(tbl, name, seed)
     if "extreme" in mutations:
         tbl = _apply_extreme(tbl, name, seed)
+    if "timewarp" in mutations:
+        tbl = _apply_timewarp(tbl, name, seed)
     if "shuffle" in mutations:
         perm = _rng(seed, "shuffle", name).permutation(len(tbl))
         tbl = tbl.take(pa.array(perm))

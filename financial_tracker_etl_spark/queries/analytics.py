@@ -86,6 +86,17 @@ _CUTOFF = "1998-09-02"
 
 
 _HOUR_US = 3_600_000_000
+
+
+def _hour_floor_us(col: Column) -> Column:
+    """Floor an epoch-us column to its hour boundary with
+    floor-mod semantics — `ts_us - ts_us % H` truncates toward zero,
+    so a PRE-1970 (negative epoch) instant buckets one hour high
+    relative to the oracle's date_trunc('hour'), which floors
+    (round-16 fuzzer, timewarp class). Identical for ts_us >= 0."""
+    return col - ((col % _HOUR_US) + _HOUR_US) % _HOUR_US
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -989,7 +1000,7 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
+            _hour_floor_us(F.col("ts_us")).alias("hour_us"),
             F.col("event_type"),
         )
         .agg(
@@ -1175,7 +1186,9 @@ _ASOF_ORACLE = (
 typed AS (
   SELECT quote_id, symbol,
          CAST(close AS DOUBLE) AS price,
-         TIMESTAMP '1970-01-01 00:00:00' + "timestamp" * INTERVAL 1 SECOND AS updated_at
+         -- to_seconds: BIGINT-safe (a * INTERVAL 1 SECOND multiply
+         -- narrows to INT32 and crashes on year-2200 planted epochs)
+         TIMESTAMP '1970-01-01 00:00:00' + to_seconds("timestamp") AS updated_at
   FROM quotes_raw
   WHERE close IS NOT NULL AND percent_change IS NOT NULL AND change IS NOT NULL
         AND high IS NOT NULL AND low IS NOT NULL
@@ -1645,7 +1658,7 @@ def _q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
+        _hour_floor_us(F.col("ts_us")).alias("hour_us"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
     stats = hourly.groupBy("event_type").agg(
@@ -1890,6 +1903,11 @@ def _q_sessions_anomalous(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = _q_sessions(spark, sf_dir).drop("session_value")
     anom = (
         _q_anomalies(spark, sf_dir)
+        # `div` == the oracle's `//` here: BOTH truncate toward zero
+        # (probed round 16), and hour_us is hour-aligned anyway; the
+        # timewarp-class divergence in this query was the anom hour
+        # SET itself (date_trunc floors, `%`-bucketing truncated —
+        # fixed inside _q_anomalies via _hour_floor_us)
         .select(F.expr(f"hour_us div {_HOUR_US}").alias("hour_bucket"))
         .distinct()
     )
@@ -3148,9 +3166,15 @@ def _q_value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_ref",
         "n_cur",
-        F.expr("_nr div _tr").alias("ref_share_ppm"),
-        F.expr("_nc div _tc").alias("cur_share_ppm"),
-        F.expr("abs(_nr div _tr - _nc div _tc)").alias("abs_drift_ppm"),
+        # NULLIF halves: a warped midpoint (planted far-future/past
+        # event time, round-16 timewarp class) can leave an event_type
+        # with ZERO rows in one half — its share is undefined (NULL on
+        # both engines), not a division crash
+        F.expr("_nr div nullif(_tr, 0)").alias("ref_share_ppm"),
+        F.expr("_nc div nullif(_tc, 0)").alias("cur_share_ppm"),
+        F.expr(
+            "abs(_nr div nullif(_tr, 0) - _nc div nullif(_tc, 0))"
+        ).alias("abs_drift_ppm"),
     )
 
 
@@ -3179,12 +3203,16 @@ counts AS (
   FROM binned GROUP BY event_type, bin
 )
 SELECT event_type, bin, n_ref, n_cur,
-       CAST(n_ref * 1000000 // sum(n_ref) OVER (PARTITION BY event_type)
+       CAST(n_ref * 1000000
+            // NULLIF(sum(n_ref) OVER (PARTITION BY event_type), 0)
             AS BIGINT) AS ref_share_ppm,
-       CAST(n_cur * 1000000 // sum(n_cur) OVER (PARTITION BY event_type)
+       CAST(n_cur * 1000000
+            // NULLIF(sum(n_cur) OVER (PARTITION BY event_type), 0)
             AS BIGINT) AS cur_share_ppm,
-       CAST(abs(n_ref * 1000000 // sum(n_ref) OVER (PARTITION BY event_type)
-                - n_cur * 1000000 // sum(n_cur) OVER (PARTITION BY event_type))
+       CAST(abs(n_ref * 1000000
+                // NULLIF(sum(n_ref) OVER (PARTITION BY event_type), 0)
+                - n_cur * 1000000
+                // NULLIF(sum(n_cur) OVER (PARTITION BY event_type), 0))
             AS BIGINT) AS abs_drift_ppm
 FROM counts
 """

@@ -307,7 +307,11 @@ _TYPED_QUOTES_SQL_BODY = """
          CAST(change AS DOUBLE) AS change,
          CAST(high AS DOUBLE) AS high,
          CAST(low AS DOUBLE) AS low,
-         TIMESTAMP '1970-01-01 00:00:00' + "timestamp" * INTERVAL 1 SECOND AS updated_at
+         -- to_seconds, not * INTERVAL 1 SECOND: DuckDB narrows the
+         -- interval multiplicand to INT32, so a planted year-2200
+         -- epoch (7,289,654,399 s — round-16 timewarp class) crashes
+         -- the multiply; to_seconds takes the BIGINT whole
+         TIMESTAMP '1970-01-01 00:00:00' + to_seconds("timestamp") AS updated_at
   FROM quotes_raw
   WHERE close IS NOT NULL AND percent_change IS NOT NULL AND change IS NOT NULL
         AND high IS NOT NULL AND low IS NOT NULL

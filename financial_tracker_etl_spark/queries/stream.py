@@ -26,6 +26,7 @@ from .. import fixtures
 from ..streaming.jobs import TOPIC_HISTORICAL, TOPIC_INDEX, TOPIC_MARKET
 from ..streaming.pipeline import shared_pipeline
 from ..streaming.windows import (
+    EVENT_TIME_BOUND_SQL,
     SESSION_GAP_US,
     WATERMARK_DELAY_US,
     docs_ingest_stream,
@@ -104,7 +105,8 @@ def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_HOURLY_ORACLE = f"""
-WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value, user_id FROM events),
+WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value, user_id
+            FROM events WHERE {EVENT_TIME_BOUND_SQL}),
 mx AS (SELECT max(ts_us) AS max_us FROM ev)
 SELECT (ts_us - ts_us % {_HOUR_US}) AS hour_us,
        event_type,
@@ -126,7 +128,8 @@ def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each event lands in the two 1h-aligned windows covering it; a window
 # is emitted iff the final watermark passed its end (start + 2h)
 _STREAM_SLIDING_ORACLE = f"""
-WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value
+            FROM events WHERE {EVENT_TIME_BOUND_SQL}),
 mx AS (SELECT max(ts_us) AS max_us FROM ev),
 starts AS (
   SELECT event_type, value,
@@ -150,7 +153,7 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SESSIONS_ORACLE = f"""
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
-            WHERE ts IS NOT NULL),
+            WHERE ts IS NOT NULL AND {EVENT_TIME_BOUND_SQL}),
 mx AS (SELECT max(ts_us) AS max_us FROM ev),
 flags AS (
   SELECT user_id, ts_us,
@@ -188,7 +191,7 @@ _EWMA_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id,
          list(value ORDER BY epoch_us(ts), event_id) AS vals
-  FROM events
+  FROM events WHERE {EVENT_TIME_BOUND_SQL}
   GROUP BY user_id
 )
 SELECT user_id,
@@ -345,15 +348,16 @@ QUERIES: dict[str, QuerySpec] = {
         # (round-15 fuzzer: id-only keying made the surviving payload
         # arrival-order-dependent). Null event times can't enter
         # watermarked dedup state; excluded on both sides.
-        """
+        f"""
 SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-FROM events WHERE ts IS NOT NULL
+FROM events WHERE ts IS NOT NULL AND {EVENT_TIME_BOUND_SQL}
 """,
     ),
     "stream_interval_join": QuerySpec(
         lambda spark, sf_dir: stream_stream_interval_join(spark, sf_dir),
-        """
-WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE {EVENT_TIME_BOUND_SQL})
 SELECT a.user_id,
        a.event_id AS a_event_id,
        b.event_id AS b_event_id,
@@ -366,13 +370,14 @@ FROM e a JOIN e b
     ),
     "stream_static_enrichment": QuerySpec(
         lambda spark, sf_dir: stream_static_enrich(spark, sf_dir),
-        """
+        f"""
 SELECT n_name,
        count(*) AS n_events,
        min(value) AS min_value,
        max(value) AS max_value,
        max(epoch_us(ts)) AS last_ts_us
 FROM events JOIN nation ON user_id % 25 = n_nationkey
+WHERE {EVENT_TIME_BOUND_SQL}
 GROUP BY n_name
 """,
     ),

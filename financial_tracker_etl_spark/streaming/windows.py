@@ -45,6 +45,24 @@ def _staged_events_dir(sf_dir: str) -> str:
     return _STAGE_CACHE[key]
 
 
+# Bounded event-time ingestion (watermark-poisoning guard): ONE
+# corrupt far-future timestamp advances the stream watermark past
+# every genuine event, silently dropping them as late — the classic
+# event-time production failure (round-16 fuzzer, timewarp class: a
+# planted 2200 instant cost real rows in five watermarked twins).
+# Events outside the plausibility window are rejected AT INGEST, the
+# same validation stage that drops malformed payloads (P1); NULL event
+# times keep flowing (their handling is each operator's documented
+# business, pinned in round 15). Every events-based stream oracle
+# states the identical bound (EVENT_TIME_BOUND_SQL).
+EVENT_TIME_LO_US = 631_152_000_000_000  # 1990-01-01 in epoch-us
+EVENT_TIME_HI_US = 4_102_444_800_000_000  # 2100-01-01 in epoch-us
+EVENT_TIME_BOUND_SQL = (
+    f"(ts IS NULL OR (epoch_us(ts) >= {EVENT_TIME_LO_US}"
+    f" AND epoch_us(ts) < {EVENT_TIME_HI_US}))"
+)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import _ensure_session_defaults
 
@@ -58,13 +76,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(batch.schema).parquet(
         _staged_events_dir(sf_dir)
     )
-    return raw.select(
+    # the bound tests the CANONICAL ts_us derivation (the raw column
+    # may surface as ns-longs or timestamp depending on environment —
+    # events_ts_us_col owns that branch)
+    selected = raw.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
         ts_us.alias("ts_us"),
         F.timestamp_micros(ts_us).alias("event_time"),
+    )
+    return selected.filter(
+        F.col("ts_us").isNull()
+        | (
+            (F.col("ts_us") >= F.lit(EVENT_TIME_LO_US))
+            & (F.col("ts_us") < F.lit(EVENT_TIME_HI_US))
+        )
     )
 
 

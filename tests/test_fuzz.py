@@ -125,8 +125,23 @@ def test_key_dtypes_survive_permutation(tmp_path):
 def test_mutation_set_is_the_documented_universe():
     assert MUTATIONS == (
         "shuffle", "subsample", "dupes", "nulls", "empties", "permute",
-        "skew", "unicode", "extreme",
+        "skew", "unicode", "extreme", "timewarp",
     )
+
+
+def test_timewarp_class_plants_boundary_timestamps(tmp_path):
+    import numpy as np
+
+    from financial_tracker_etl_spark.fuzz import TIMEWARP_VALUES
+
+    out = str(tmp_path / "tw")
+    mutate_dir(SF_DIR, out, seed=29, mutations=("timewarp",))
+    ev = pq.read_table(table_path(out, "events"))["ts"].to_pylist()
+    palette = set(np.array(TIMEWARP_VALUES, dtype="datetime64[us]").tolist())
+    planted = [t for t in ev if t in palette]
+    assert planted, "no boundary timestamp planted in events.ts"
+    # timewarp alone injects no nulls
+    assert pq.read_table(table_path(out, "events"))["ts"].null_count == 0
 
 
 def test_empties_class_produces_empty_and_blank_strings(tmp_path):
