@@ -598,3 +598,50 @@ def test_input_dir_override_replays_identical_traffic(spark, tmp_path, pipeline)
     assert {(r["topic"], r["n"]) for r in got_tot} == {
         (r["topic"], r["n"]) for r in want_tot
     }
+
+
+def test_event_time_ingest_bound_drops_warped_rows(spark, tmp_path):
+    """Watermark-poisoning guard (round-16 timewarp class): ONE
+    far-future instant entering the stream advances the watermark past
+    every genuine event and silently drops them as late, so the ingest
+    stage rejects events outside [1990, 2100) — while NULL event times
+    keep flowing (their handling is each operator's documented
+    business, pinned round 15)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from financial_tracker_etl_spark.streaming.windows import (
+        _run_to_table,
+        events_stream,
+    )
+
+    ts = pa.array(
+        [
+            dt.datetime(2200, 6, 1),  # beyond HI: the poisoning instant
+            dt.datetime(1955, 11, 5),  # below LO: pre-epoch noise
+            dt.datetime(1995, 6, 1),  # genuine
+            dt.datetime(2024, 1, 1, 23, 59, 59),  # genuine, near fixture max
+            None,  # null event time: must keep flowing
+        ],
+        pa.timestamp("us"),
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "event_type": ["view", "view", "click", "view", "click"],
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+            "props": ['{"k": 1}'] * 5,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "events.parquet"))
+
+    got = _run_to_table(events_stream(spark, str(sf)), spark, "append")
+    assert sorted(r["event_id"] for r in got.collect()) == [3, 4, 5]
+    # the null-ts row really is the one with ts_us NULL
+    assert got.filter(F.col("ts_us").isNull()).collect()[0]["event_id"] == 5
