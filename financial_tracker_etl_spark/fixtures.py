@@ -313,10 +313,15 @@ def quotes_raw(lineitem: DataFrame) -> DataFrame:
     li = lineitem.filter(F.col("l_linenumber") == 1)
     # measures are integer "cents" formatted as 2-decimal strings —
     # exact arithmetic, so Spark and DuckDB agree bit-for-bit (a
-    # double->decimal cast would diverge at .xx5 rounding boundaries)
+    # double->decimal cast would diverge at .xx5 rounding boundaries).
+    # Sign-total: DIV/% both follow the dividend's sign, so a negative
+    # cents value (an orphaned FK drives the derivation negative —
+    # round-16 orphans class) would otherwise render '-6.-89'; format
+    # the magnitude and prepend the sign instead.
     cents = lambda c: F.expr(  # noqa: E731
-        f"concat(CAST(({c}) DIV 100 AS STRING), '.', "
-        f"lpad(CAST(({c}) % 100 AS STRING), 2, '0'))"
+        f"concat(CASE WHEN ({c}) < 0 THEN '-' ELSE '' END, "
+        f"CAST(abs({c}) DIV 100 AS STRING), '.', "
+        f"lpad(CAST(abs({c}) % 100 AS STRING), 2, '0'))"
     )
     close_c = "(l_partkey * 9973 + l_orderkey * 7) % 10000000"
     pct_c = "(l_partkey * 31 + l_orderkey) % 10000"
@@ -346,9 +351,12 @@ _LOW_C = f"({_CLOSE_C}) - (({_CHG_C}) % (({_CLOSE_C}) + 1))"
 
 
 def _cents_sql(c: str) -> str:
+    # sign-total (see quotes_raw.cents): magnitude formatted, sign
+    # prepended, so negative cents render as valid decimal strings
     return (
-        f"concat(CAST(({c}) // 100 AS VARCHAR), '.', "
-        f"lpad(CAST(({c}) % 100 AS VARCHAR), 2, '0'))"
+        f"concat(CASE WHEN ({c}) < 0 THEN '-' ELSE '' END, "
+        f"CAST(abs({c}) // 100 AS VARCHAR), '.', "
+        f"lpad(CAST(abs({c}) % 100 AS VARCHAR), 2, '0'))"
     )
 
 

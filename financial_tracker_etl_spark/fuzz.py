@@ -55,6 +55,16 @@ Mutation classes (each independently toggleable for bisection):
   bucketing), a pandas-safe far future, a .999999-microsecond
   boundary, and a leap day. Event-time fixtures never leave
   1992-2024, so none of these edges is reachable on pristine data.
+- ``orphans``   — remap ~1% of fact-side FK values onto keys OUTSIDE
+  every observed domain (negative primes and a far-beyond-max value):
+  the late/partial-dimension-load failure a 100 TB ingest actually
+  produces. ``permute`` is a bijection and ``skew``'s hub is an
+  observed value, so referential integrity was never broken before;
+  orphans exercise inner-join drop paths, outer/anti-join miss paths,
+  and sign-sensitive join-key derivations (user_id % 25 goes
+  negative). ``subsample`` makes dangling keys more common but only
+  by REMOVING parents of observed values — it can never plant a
+  negative key.
 
 Orthogonal axis — ``--empty-table NAME`` (repeatable): after all row
 mutations, truncate the named fact table(s) to ZERO rows. Empty-input
@@ -103,6 +113,7 @@ MUTATIONS = (
     "unicode",
     "extreme",
     "timewarp",
+    "orphans",
 )
 
 # fact tables eligible for row-level mutation; dims stay full so the
@@ -232,6 +243,22 @@ TIMEWARP_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
 }
 TIMEWARP_RATE = 0.005
+
+# ``orphans``: fact-side FK columns that may legitimately reference a
+# missing parent under late/partial dim loads. PKs and identity keys
+# (events.event_id, documents.doc_id, embeddings.vec_id) are NOT here:
+# an orphan is a dangling REFERENCE, not a broken identity. Values are
+# outside any observed domain by construction (all fixture keys are
+# positive and far below 1e12); negatives exercise sign-sensitive
+# join-key derivations (user_id % 25), the huge value exercises hash
+# distribution far from the domain.
+ORPHAN_COLS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_partkey", "l_suppkey"),
+    "orders": ("o_custkey",),
+    "events": ("user_id",),
+}
+ORPHAN_VALUES = (-7, -1, 1_000_000_000_007)
+ORPHAN_RATE = 0.01
 
 # key families permuted with ONE bijection each, applied to every
 # (table, column) that stores the family (join structure is invariant
@@ -434,6 +461,27 @@ def _apply_timewarp(tbl: pa.Table, name: str, seed: int) -> pa.Table:
     return tbl
 
 
+def _apply_orphans(tbl: pa.Table, name: str, seed: int) -> pa.Table:
+    for col in ORPHAN_COLS.get(name, ()):
+        n = len(tbl)
+        rng = _rng(seed, "orphans", name, col)
+        mask = rng.random(n) < ORPHAN_RATE
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            continue
+        choice = rng.integers(len(ORPHAN_VALUES), size=idx.size)
+        base = tbl[col].combine_chunks()
+        vals = base.to_numpy(zero_copy_only=False).copy()
+        palette = np.array(ORPHAN_VALUES, dtype=np.int64)
+        vals[idx] = palette[choice]
+        field = tbl.schema.field(col)
+        # nulls-class injections stay null (mask restores validity)
+        valid = pc.is_valid(base).to_numpy(zero_copy_only=False)
+        arr = pa.array(vals, field.type, mask=~valid)
+        tbl = tbl.set_column(tbl.schema.get_field_index(col), field, arr)
+    return tbl
+
+
 def mutate_table(
     tbl: pa.Table,
     name: str,
@@ -443,8 +491,8 @@ def mutate_table(
 ) -> tuple[pa.Table, dict]:
     """Apply the enabled mutation classes to one table, in a fixed
     order (permute → skew → subsample → dupes → nulls → empties →
-    unicode → extreme → timewarp → shuffle) so class toggling is
-    well-defined.
+    unicode → extreme → timewarp → orphans → shuffle) so class
+    toggling is well-defined.
     Returns ``(table, stats)``; stats currently carries
     ``nulls_injected`` (exact, counted inside :func:`_apply_nulls`)."""
     stats = {"nulls_injected": 0}
@@ -482,6 +530,8 @@ def mutate_table(
         tbl = _apply_extreme(tbl, name, seed)
     if "timewarp" in mutations:
         tbl = _apply_timewarp(tbl, name, seed)
+    if "orphans" in mutations:
+        tbl = _apply_orphans(tbl, name, seed)
     if "shuffle" in mutations:
         perm = _rng(seed, "shuffle", name).permutation(len(tbl))
         tbl = tbl.take(pa.array(perm))

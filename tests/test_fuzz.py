@@ -125,7 +125,7 @@ def test_key_dtypes_survive_permutation(tmp_path):
 def test_mutation_set_is_the_documented_universe():
     assert MUTATIONS == (
         "shuffle", "subsample", "dupes", "nulls", "empties", "permute",
-        "skew", "unicode", "extreme", "timewarp",
+        "skew", "unicode", "extreme", "timewarp", "orphans",
     )
 
 
@@ -142,6 +142,31 @@ def test_timewarp_class_plants_boundary_timestamps(tmp_path):
     assert planted, "no boundary timestamp planted in events.ts"
     # timewarp alone injects no nulls
     assert pq.read_table(table_path(out, "events"))["ts"].null_count == 0
+
+
+def test_orphans_class_plants_out_of_domain_fk_values(tmp_path):
+    import numpy as np
+
+    from financial_tracker_etl_spark.fuzz import ORPHAN_COLS, ORPHAN_VALUES
+
+    out = str(tmp_path / "orph")
+    mutate_dir(SF_DIR, out, seed=31, mutations=("orphans",))
+    planted_any = False
+    for tname, cols in ORPHAN_COLS.items():
+        base = pq.read_table(table_path(SF_DIR, tname))
+        mut = pq.read_table(table_path(out, tname))
+        for col in cols:
+            vals = np.asarray(mut[col].to_pylist(), dtype=object)
+            orphaned = [v for v in vals if v in ORPHAN_VALUES]
+            if orphaned:
+                planted_any = True
+            # every planted value is genuinely out of the observed
+            # domain (the class's defining property)
+            domain = set(base[col].to_pylist())
+            assert not domain.intersection(ORPHAN_VALUES)
+            # orphans alone injects no nulls
+            assert mut[col].null_count == 0
+    assert planted_any, "no orphan FK value planted anywhere"
 
 
 def test_empties_class_produces_empty_and_blank_strings(tmp_path):
