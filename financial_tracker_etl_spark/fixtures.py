@@ -54,39 +54,54 @@ def money_dec_sql(expr: str, typ: str = "DECIMAL(30,8)") -> str:
     )
 
 
-# round(x, 6) is only cross-engine-exact while |x|·10^6 stays inside
-# 2^53: beyond that DuckDB's multiply-based double round perturbs the
-# value (observed: round(9495852999999898.0, 6) → …900.0) while
-# Spark's BigDecimal round is the identity. Above the guard, 6
-# decimals are below one ULP anyway, so both engines emit the raw
-# double. The 1e9 guard sits well inside the safe band and must stay
-# textually mirrored between _pct_round() and PCT_ROUND_SQL.
+# Cross-engine d-decimal rounding is the EXPLICIT multiply form on
+# BOTH engines: round(x·10^d)/10^d. Spark's native round(x, d) is
+# BigDecimal-exact on the binary value while DuckDB's is
+# multiply-based, and the two disagree whenever x·10^d rounds onto a
+# representable .5 the exact expansion sits just under — a 1-ULP flip
+# whose probability grows with ULP(x)/10^-d, observed INSIDE the old
+# 1e9 band at x≈7.5e8 (round-16 fuzzer, fresh-seed gen: exact
+# …330.4377 vs product double …330.5). The multiply form makes the
+# result a pure function of the shared IEEE product: identical
+# product double, identical half-away-from-zero integer round
+# (BigDecimal HALF_UP == C round()), identical division. The band
+# keeps huge magnitudes (where 10^-d is below one ULP anyway)
+# emitting the raw double, and must stay textually mirrored between
+# the Column and SQL twins.
 _PCT_ROUND_BAND = 1e9
 
 
 def _pct_round(c: Column) -> Column:
-    return F.when(F.abs(c) < F.lit(_PCT_ROUND_BAND), F.round(c, 6)).otherwise(c)
+    return F.when(
+        F.abs(c) < F.lit(_PCT_ROUND_BAND),
+        F.round(c * F.lit(1000000.0), 0) / F.lit(1000000.0),
+    ).otherwise(c)
 
 
 def _pct_round_sql(expr: str) -> str:
     return (
-        f"(CASE WHEN abs({expr}) < 1000000000.0 THEN round({expr}, 6) "
+        f"(CASE WHEN abs({expr}) < 1000000000.0 "
+        f"THEN round(({expr}) * 1000000.0) / 1000000.0 "
         f"ELSE ({expr}) END)"
     )
 
 
-# same guard at 4 decimals: safe while |x|·10⁴ < 2^53, i.e. ~9e11;
-# 8e11 leaves margin (a planted 1.5e12 s_acctbal crosses it)
+# same contract at 4 decimals (a planted 1.5e12 s_acctbal sits
+# outside the band and passes through raw)
 _R4_BAND = 8e11
 
 
 def _r4(c: Column) -> Column:
-    return F.when(F.abs(c) < F.lit(_R4_BAND), F.round(c, 4)).otherwise(c)
+    return F.when(
+        F.abs(c) < F.lit(_R4_BAND),
+        F.round(c * F.lit(10000.0), 0) / F.lit(10000.0),
+    ).otherwise(c)
 
 
 def _r4_sql(expr: str) -> str:
     return (
-        f"(CASE WHEN abs({expr}) < 800000000000.0 THEN round({expr}, 4) "
+        f"(CASE WHEN abs({expr}) < 800000000000.0 "
+        f"THEN round(({expr}) * 10000.0) / 10000.0 "
         f"ELSE ({expr}) END)"
     )
 
