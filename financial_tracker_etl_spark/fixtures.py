@@ -329,18 +329,22 @@ def quotes_raw(lineitem: DataFrame) -> DataFrame:
     # measures are integer "cents" formatted as 2-decimal strings —
     # exact arithmetic, so Spark and DuckDB agree bit-for-bit (a
     # double->decimal cast would diverge at .xx5 rounding boundaries).
-    # Sign-total: DIV/% both follow the dividend's sign, so a negative
-    # cents value (an orphaned FK drives the derivation negative —
-    # round-16 orphans class) would otherwise render '-6.-89'; format
-    # the magnitude and prepend the sign instead.
+    # The derivations use pmod, so cents are NON-NEGATIVE for any key
+    # (an orphaned negative FK drove `%` negative and the formatter
+    # rendered '-6.-89' — round-16 orphans class; an API payload is
+    # well-formed regardless of which key it dangles from). Keeping
+    # the formatter this small matters: P1's required-field filter is
+    # pushed through this projection and re-inlines every measure
+    # string per null-check, and a fatter formatter (the first
+    # sign-total CASE+abs fix) pushed the generated stage past the
+    # JIT method limit — cdc/upsert walltime +40% (round-16 A/B).
     cents = lambda c: F.expr(  # noqa: E731
-        f"concat(CASE WHEN ({c}) < 0 THEN '-' ELSE '' END, "
-        f"CAST(abs({c}) DIV 100 AS STRING), '.', "
-        f"lpad(CAST(abs({c}) % 100 AS STRING), 2, '0'))"
+        f"concat(CAST(({c}) DIV 100 AS STRING), '.', "
+        f"lpad(CAST(({c}) % 100 AS STRING), 2, '0'))"
     )
-    close_c = "(l_partkey * 9973 + l_orderkey * 7) % 10000000"
-    pct_c = "(l_partkey * 31 + l_orderkey) % 10000"
-    chg_c = "(l_orderkey * 17 + l_partkey) % 100000"
+    close_c = "pmod(l_partkey * 9973 + l_orderkey * 7, 10000000)"
+    pct_c = "pmod(l_partkey * 31 + l_orderkey, 10000)"
+    chg_c = "pmod(l_orderkey * 17 + l_partkey, 100000)"
     high_c = f"({close_c}) + ({chg_c})"
     low_c = f"({close_c}) - (({chg_c}) % (({close_c}) + 1))"
     return li.select(
@@ -358,20 +362,22 @@ def quotes_raw(lineitem: DataFrame) -> DataFrame:
     )
 
 
-_CLOSE_C = "(l_partkey * 9973 + l_orderkey * 7) % 10000000"
-_PCT_C = "(l_partkey * 31 + l_orderkey) % 10000"
-_CHG_C = "(l_orderkey * 17 + l_partkey) % 100000"
+# pmod twins (DuckDB has no pmod; ((x % m) + m) % m — identical to
+# Spark's pmod for m > 0, and a no-op vs plain % for the all-positive
+# pristine keys)
+_CLOSE_C = "((l_partkey * 9973 + l_orderkey * 7) % 10000000 + 10000000) % 10000000"
+_PCT_C = "((l_partkey * 31 + l_orderkey) % 10000 + 10000) % 10000"
+_CHG_C = "((l_orderkey * 17 + l_partkey) % 100000 + 100000) % 100000"
 _HIGH_C = f"({_CLOSE_C}) + ({_CHG_C})"
 _LOW_C = f"({_CLOSE_C}) - (({_CHG_C}) % (({_CLOSE_C}) + 1))"
 
 
 def _cents_sql(c: str) -> str:
-    # sign-total (see quotes_raw.cents): magnitude formatted, sign
-    # prepended, so negative cents render as valid decimal strings
+    # inputs are pmod-bounded non-negative (see quotes_raw.cents), so
+    # the compact truncating form is total
     return (
-        f"concat(CASE WHEN ({c}) < 0 THEN '-' ELSE '' END, "
-        f"CAST(abs({c}) // 100 AS VARCHAR), '.', "
-        f"lpad(CAST(abs({c}) % 100 AS VARCHAR), 2, '0'))"
+        f"concat(CAST(({c}) // 100 AS VARCHAR), '.', "
+        f"lpad(CAST(({c}) % 100 AS VARCHAR), 2, '0'))"
     )
 
 
