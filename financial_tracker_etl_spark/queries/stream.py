@@ -298,16 +298,28 @@ def _q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     schema = spark.read.parquet(feed_dir).schema
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed_dir)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # no stateful operator here, but the foreachBatch merges' inner
+    # shuffles (the state windows) otherwise run at the batch-session
+    # constant per micro-batch; size them from the feed like every
+    # other run-to-completion stream (windows.py rationale)
+    from ..streaming.windows import (
+        scoped_shuffle_partitions,
+        stream_shuffle_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_shuffle_partitions(feed_dir)
+    ):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return state.read_merged().drop("_ver")
 
 

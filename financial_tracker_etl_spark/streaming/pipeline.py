@@ -389,16 +389,25 @@ def run_routed_pipeline(
         finally:
             classified.unpersist()
 
-    query = (
-        spark.readStream.schema(REQUEST_SCHEMA)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .json(input_dir)
-        .writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # per-micro-batch jobs (the classify counts, each job's merge)
+    # shuffle MB-scale batches: size their partitions from the staged
+    # traffic instead of the batch-session constant (windows.py
+    # rationale; the stream plan itself is stateless foreachBatch)
+    from .windows import scoped_shuffle_partitions, stream_shuffle_partitions
+
+    with scoped_shuffle_partitions(
+        spark, stream_shuffle_partitions(input_dir)
+    ):
+        query = (
+            spark.readStream.schema(REQUEST_SCHEMA)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .json(input_dir)
+            .writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
 
     # completion payload shape mirrors the reference's
     # (reference: etl/jobs/fetch_market_data/fetch_market_data.py:110-115):

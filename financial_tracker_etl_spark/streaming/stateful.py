@@ -182,14 +182,23 @@ def ewma_stream(
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("append").parquet(sink)
 
-    q = (
-        updated.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # stateful shuffle sized from the source (see windows.py: the
+    # partition count pins the state-store instance count; 32 instances
+    # on MB-scale state paid ~2x wall in fixed commit cost)
+    from ..catalog import table_path
+    from .windows import scoped_shuffle_partitions, stream_shuffle_partitions
+
+    with scoped_shuffle_partitions(
+        spark, stream_shuffle_partitions(table_path(sf_dir, "events"))
+    ):
+        q = (
+            updated.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update-mode emits one row per key per batch; the last batch's row
     # is the final state — with a single AvailableNow batch it is the
     # only row. Keep max-n per key to be robust to multi-batch replays.

@@ -17,8 +17,10 @@ O(stream).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -63,6 +65,10 @@ EVENT_TIME_BOUND_SQL = (
 )
 
 
+def _events_partitions(sf_dir: str) -> int:
+    return stream_shuffle_partitions(table_path(sf_dir, "events"))
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import _ensure_session_defaults
 
@@ -96,7 +102,111 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_table(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+# --- stateful-shuffle sizing (round-16 optimization) -----------------------
+#
+# A stateful streaming operator pins spark.sql.shuffle.partitions into its
+# checkpoint at first run: that count IS the number of state-store
+# instances forever (AQE cannot coalesce stateful plans). Inheriting the
+# batch-side constant (32 here) gave every MB-scale stream 32 — and the
+# symmetric-hash interval join 4 stores per partition = 128 instances —
+# whose per-commit fixed cost dominated wall time (measured at sf0.1:
+# stream_stream_interval_join 25.5 s at 32 partitions vs 7.3 s at 4;
+# commitTimeMs 336 s total across 128 instances vs 5.2 s across 16).
+# So the state partition count is derived from the run's SOURCE size —
+# the guide-§2 "scale-adaptive, not a constant tuned for either local
+# mode or the cluster" rule — with:
+#
+# - a target of 64 MB of source bytes per state partition (conservative
+#   upper proxy for state bytes: join buffers hold at most the
+#   watermark-bounded source, window/dedup state is smaller),
+# - a floor of min(4, cores) so a tiny stream never serializes on one
+#   straggler task (measured: 1 partition pays 2-3x over 4),
+# - a cap of the session's parallelism (a cluster deployment that wants
+#   more pins SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS from capacity
+#   planning: expected_state_bytes / target_per_store).
+#
+# SPARK_GRAFT_SHUFFLE_PARTITIONS (the partition-count-invariance
+# harness pin) still wins over the derivation: results must never
+# depend on this count, and the invariance differentials must be able
+# to force streams onto 7/90 partitions like every batch query.
+
+STREAM_STATE_TARGET_BYTES = 64 << 20
+
+
+def stream_shuffle_partitions(*src_paths: str) -> int:
+    """State-partition count for a run-to-completion stream whose
+    source files live at ``src_paths`` (files or directories)."""
+    pinned = os.environ.get(
+        "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"
+    ) or os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if pinned:
+        return max(1, int(pinned))
+    total = 0
+    for p in src_paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p, followlinks=True):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    from ..session import default_parallelism
+
+    cores = max(1, default_parallelism())
+    target = int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_TARGET_PARTITION_BYTES",
+            str(STREAM_STATE_TARGET_BYTES),
+        )
+    )
+    derived = -(-total // target)  # ceil
+    return int(min(max(derived, min(4, cores)), cores))
+
+
+def unload_state_stores(spark: SparkSession) -> None:
+    """Unload every state-store provider this executor has loaded.
+
+    Each run-to-completion stream here uses a throwaway checkpoint, so
+    the providers it leaves behind are orphans: nothing will ever read
+    them again, yet HDFSBackedStateStoreProvider keeps its recent state
+    maps ON HEAP in the loadedProviders registry and the background
+    maintenance task keeps snapshotting them — across a long session
+    (verify's 150 queries, a fuzz campaign) that is unbounded pinned
+    memory and steady background churn. StateStore.stop() unloads all
+    providers and halts maintenance; the next streaming query lazily
+    restarts both (Spark uses exactly this call between its own test
+    suites). A long-lived production query never hits this path — its
+    one checkpoint's providers are live, not orphaned."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # non-fatal: providers stay loaded, as before
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
+    """Set spark.sql.shuffle.partitions for the duration of one
+    run-to-completion stream (the conf is read when the stream plans its
+    first batch), restoring the session value afterwards so batch
+    queries keep their own sizing."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _run_to_table(
+    df: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming aggregation to completion (AvailableNow) into a
     parquet sink and hand back the materialized result. Append mode
     writes directly; complete mode goes through foreachBatch overwrite
@@ -114,12 +224,18 @@ def _run_to_table(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         writer = writer.foreachBatch(overwrite)
     else:
         writer = writer.format("parquet").option("path", sink)
-    q = (
-        writer.option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with contextlib.ExitStack() as stack:
+        if shuffle_partitions is not None:
+            stack.enter_context(
+                scoped_shuffle_partitions(spark, shuffle_partitions)
+            )
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    unload_state_stores(spark)
     return df.sparkSession.read.parquet(sink)
 
 
@@ -147,7 +263,7 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         "first_user",
     )
-    return _run_to_table(out, spark, "append")
+    return _run_to_table(out, spark, "append", _events_partitions(sf_dir))
 
 
 def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +293,7 @@ def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
-    return _run_to_table(out, spark, "append")
+    return _run_to_table(out, spark, "append", _events_partitions(sf_dir))
 
 
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +323,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("event_id", "user_id", "event_type", "ts_us")
     )
-    return _run_to_table(out, spark, "append")
+    return _run_to_table(out, spark, "append", _events_partitions(sf_dir))
 
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +348,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.max("ts_us").alias("last_ts_us"),
     )
-    return _run_to_table(agg, spark, "complete")
+    return _run_to_table(agg, spark, "complete", _events_partitions(sf_dir))
 
 
 def stream_stream_interval_join(
@@ -280,7 +396,7 @@ def stream_stream_interval_join(
         "b_event_id",
         (F.col("b_ts_us") - F.col("a_ts_us")).alias("delta_us"),
     )
-    return _run_to_table(out, spark, "append")
+    return _run_to_table(out, spark, "append", _events_partitions(sf_dir))
 
 
 def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +424,7 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         "user_id", "session_start_us", "session_end_us", "n_events"
     )
-    return _run_to_table(out, spark, "append")
+    return _run_to_table(out, spark, "append", _events_partitions(sf_dir))
 
 
 _DOC_STAGE_CACHE: dict[str, str] = {}
@@ -358,7 +474,12 @@ def docs_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("n_tokens"),
     ).filter(F.col("n_tokens") >= 5)
     deduped = enriched.dropDuplicates(["source", "fingerprint"])
-    survivors = _run_to_table(deduped, spark, "append")
+    survivors = _run_to_table(
+        deduped,
+        spark,
+        "append",
+        stream_shuffle_partitions(table_path(sf_dir, "documents")),
+    )
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_unique_docs"),
         F.sum("n_tokens").alias("total_tokens"),

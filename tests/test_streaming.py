@@ -645,3 +645,59 @@ def test_event_time_ingest_bound_drops_warped_rows(spark, tmp_path):
     assert sorted(r["event_id"] for r in got.collect()) == [3, 4, 5]
     # the null-ts row really is the one with ts_us NULL
     assert got.filter(F.col("ts_us").isNull()).collect()[0]["event_id"] == 5
+
+
+def test_stream_shuffle_partitions_sizing(tmp_path, monkeypatch):
+    """Round-16 optimization: stateful-stream shuffle partitions derive
+    from source bytes (64 MB/state partition), with a min(4, cores)
+    floor, a cores cap, and the partition-invariance env pin winning
+    over the derivation (results must never depend on this count)."""
+    from financial_tracker_etl_spark.streaming.windows import (
+        STREAM_STATE_TARGET_BYTES,
+        stream_shuffle_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    # tiny source: the floor (min(4, cores)) applies, never 1
+    assert stream_shuffle_partitions(str(small)) == 4
+
+    # ceil(bytes / target): fake a 3.2 GB source via the target override
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TARGET_PARTITION_BYTES", "128")
+    assert stream_shuffle_partitions(str(small)) == 8  # ceil(1024/128)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_TARGET_PARTITION_BYTES")
+
+    # cores cap: a source far above cores*target still yields <= cores
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TARGET_PARTITION_BYTES", "1")
+    assert stream_shuffle_partitions(str(small)) == 32
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_TARGET_PARTITION_BYTES")
+
+    # directory walk sums files, skipping dot/underscore metadata
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * STREAM_STATE_TARGET_BYTES)
+    (d / "part-1.parquet").write_bytes(b"x" * 10)
+    (d / "_SUCCESS").write_bytes(b"x" * (10 * STREAM_STATE_TARGET_BYTES))
+    assert stream_shuffle_partitions(str(d)) == 4  # ceil(64MB+10/64MB)=2 -> floor 4
+
+    # invariance pin wins over the derivation
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "7")
+    assert stream_shuffle_partitions(str(d)) == 7
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "90")
+    assert stream_shuffle_partitions(str(d)) == 90
+
+
+def test_scoped_shuffle_partitions_restores(spark):
+    from financial_tracker_etl_spark.streaming.windows import (
+        scoped_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with scoped_shuffle_partitions(spark, 5):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == before
