@@ -33,6 +33,7 @@ from ..ext.text import (
     with_quality_score,
     with_token_stats,
 )
+from ..ext import materialize_release
 from . import QuerySpec
 
 _TOKS = "string_split(lower(trim(text)), ' ')"
@@ -2012,11 +2013,30 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both components are candidate-bounded (LSH buckets, shared
     shingles); the final join is pair-keyed. No all-pairs step.
-    """
+
+    Round-16 (guide §3.2 "reduce the big side before shuffling it"):
+    the lexical side is only ever read through the LEFT join from the
+    semantic pairs, so its shingle self-join is pre-filtered to the
+    docs that appear in at least one semantic pair (broadcast
+    semi-join on the pair endpoints — 1,301 of 5,000 docs at sf0.1).
+    Per-pair Jaccard depends only on the two docs' own shingle sets,
+    so dropping never-matching docs is result-identical (verified
+    bit-equal); at corpus scale it bounds the lexical-verify cost by
+    the semantic candidate volume instead of the whole corpus.
+    ``sem`` is already materialized by its own materialize_release, so
+    the two reads below share one computation."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     sem = cosine_near_dup_pairs(emb, threshold=0.35)
-    lex = shingle_jaccard_pairs(docs).select("doc1", "doc2", "jaccard")
+    # one explode, not a two-branch union: every reference to the
+    # (cached) sem frame re-inlines its whole subtree into the logical
+    # plan, and the union doubled it — measured 938 kB of formatted
+    # plan vs 86 kB with the single-reference form
+    sem_docs = sem.select(
+        F.explode(F.array("vec1", "vec2")).alias("doc_id")
+    ).distinct()
+    cand_docs = docs.join(F.broadcast(sem_docs), "doc_id", "left_semi")
+    lex = shingle_jaccard_pairs(cand_docs).select("doc1", "doc2", "jaccard")
     joined = sem.join(
         lex,
         (sem.vec1 == lex.doc1) & (sem.vec2 == lex.doc2),
@@ -2863,29 +2883,42 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements exact/near-dedup: a partial-copy document survives
     dedup but is flagged here.
 
-    Scale shape: shingle explode → ONE shuffle on the shingle key,
-    where a whole-partition window min computes each shingle's
-    first-occurrence doc in the same pass (the earlier groupBy→join-back
-    formulation computed the explode twice and shuffled the
-    corpus-sized shingle stream a second time for the join) → one
-    doc-key aggregation. Never all-pairs."""
-    from pyspark.sql import Window
-
+    Scale shape (round-16 rewrite, guide §2.3 "aggregate before you
+    shuffle"): the per-doc shingle count is just ``size(shingles)`` —
+    no shuffle at all — so the only corpus-sized shuffle left is
+    ``groupBy(sh).agg(min(doc_id))``, which (unlike the previous
+    whole-partition window min) gets MAP-SIDE partial aggregation: the
+    exchange carries one (shingle, min_doc) pair per map-partition-
+    distinct shingle instead of every exploded occurrence, and the
+    window's full sort of the shingle strings disappears. Each
+    shingle's owner then folds to a doc-cardinality ``n_novel`` count
+    and joins back at doc grain (tiny). The staged shingle sets feed
+    both consumers via one persisted pass (materialize_release
+    contract, as winnow_overlap_pairs); measured 6.2 s → 2.0 s at
+    sf0.1 with bit-identical output. Never all-pairs."""
     from ..ext.quality import doc_shingle_sets
 
     docs = load_table(spark, sf_dir, "documents")
-    exploded = doc_shingle_sets(docs).select(
-        "doc_id", F.explode("shingles").alias("sh")
+    sets = doc_shingle_sets(docs).persist()
+    n_sh = sets.filter(F.size("shingles") > 0).select(
+        "doc_id", F.size("shingles").cast("long").alias("n_shingles")
     )
-    first_doc = F.min("doc_id").over(Window.partitionBy("sh"))
-    return (
-        exploded.withColumn("first_doc", first_doc)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+    firsts = (
+        sets.select("doc_id", F.explode("shingles").alias("sh"))
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    out = (
+        n_sh.join(novel, n_sh.doc_id == novel.first_doc, "left")
+        .select(
+            n_sh.doc_id.alias("doc_id"),
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
         )
         .select(
             "doc_id",
@@ -2896,6 +2929,7 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return materialize_release(out, sets)
 
 
 _NOVELTY_ORACLE = f"""

@@ -363,21 +363,48 @@ def run_routed_pipeline(
                 (r["topic"], r["_status"]): r["count"]
                 for r in classified.groupBy("topic", "_status").count().collect()
             }
-            for job in jobs:
-                if counts.get((job.topic, "valid")):
-                    states[job.topic].merge(
-                        job.transform(
-                            classified.filter(
-                                (F.col("topic") == job.topic)
-                                & (F.col("_status") == "valid")
-                            ).select(
-                                *[
-                                    f"r.{f.name}"
-                                    for f in job.payload_schema.fields
-                                ]
-                            )
+
+            def merge_one(job) -> None:
+                states[job.topic].merge(
+                    job.transform(
+                        classified.filter(
+                            (F.col("topic") == job.topic)
+                            & (F.col("_status") == "valid")
+                        ).select(
+                            *[
+                                f"r.{f.name}"
+                                for f in job.payload_schema.fields
+                            ]
                         )
                     )
+                )
+
+            # the per-topic merges are independent Spark jobs into
+            # disjoint state dirs, gated sequentially only by this loop
+            # — submit them from a small thread pool so one merge's
+            # straggler tail back-fills with the next merge's tasks
+            # (guide §2.6 "overlap independent jobs"; FIFO scheduling
+            # gives exactly the back-fill behaviour). Each thread reads
+            # the shared cached `classified`; merges never touch each
+            # other's paths, and completion rows are recorded on this
+            # thread afterwards.
+            to_merge = [
+                job for job in jobs if counts.get((job.topic, "valid"))
+            ]
+            if len(to_merge) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                from pyspark import inheritable_thread_target
+
+                with ThreadPoolExecutor(max_workers=len(to_merge)) as pool:
+                    list(
+                        pool.map(
+                            inheritable_thread_target(merge_one), to_merge
+                        )
+                    )
+            elif to_merge:
+                merge_one(to_merge[0])
+            for job in jobs:
                 completion_by_key[(job.topic, int(batch_id))] = (
                     job.topic,
                     int(batch_id),
