@@ -13,6 +13,7 @@ from financial_tracker_etl_spark.ext.dedup import (
     minhash_near_dups,
     shingle_jaccard_pairs,
     simhash_fingerprints,
+    simhash_near_dup_pairs,
 )
 from financial_tracker_etl_spark.ext.similarity import (
     topk_cosine_bruteforce,
@@ -86,6 +87,28 @@ def test_simhash_near_dups_have_close_fingerprints(spark):
     for r in gold:
         ham = bin((fp[r.doc1] ^ fp[r.doc2]) & (2**64 - 1)).count("1")
         assert ham <= 16, f"near-dup pair {r.doc1},{r.doc2} hamming {ham}"
+
+
+def test_simhash_pairs_match_allpairs_scan(spark):
+    """Round-16 optimization moved the hamming filter BEFORE the
+    candidate distinct (it shrinks the pair-proportional exchange
+    ~5x). The blocked+filtered result must stay identical to a
+    brute-force all-pairs hamming scan — the lossless-blocking
+    contract the operator documents."""
+    docs = load_table(spark, SF_DIR, "documents")
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fp)
+    expect = {
+        (a, b, bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in simhash_near_dup_pairs(docs).collect()
+    }
+    assert got == expect
 
 
 def test_multimodal_real_decode_is_explicit_stub():
