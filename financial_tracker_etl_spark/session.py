@@ -100,6 +100,26 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Let the planner pick shuffled-hash join when its size checks
+        # pass instead of always preferring sort-merge (guide §3.1/§9):
+        # SHJ skips both sides' sorts. Strategy choice never changes
+        # results; the full-outer state diffs (snapshot_diff /
+        # apply_changes) are the measured winners (r16 ledger: cdc
+        # 2.19→2.08 s median, 4 SMJ → 2 SMJ + 2 SHJ at sf0.1). The AQE
+        # threshold bounds the runtime SMJ→SHJ rewrite to partitions
+        # whose build side fits comfortably in task memory — 64 MB,
+        # i.e. the AQE advisory partition size, NOT a local[32] tune:
+        # with size-coalesced partitions the build side is bounded at
+        # any data scale, which is exactly the OOM guard the guide
+        # calls out. Both parameterised for cluster overrides.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "67108864"),
+        )
         # compiled-codegen class cache: the 100-entry default thrashes in
         # any multi-query session — one bench draw's ~18 other queries
         # generate >100 codegen units, evicting each query's compiled
