@@ -432,6 +432,64 @@ def test_tombstone_state_deletes_survive_replay_and_compaction(spark, tmp_path):
     assert got == {"AAA": 11.0, "BBB": 20.0}
 
 
+def test_tombstone_combined_flag_merge_equals_split_merges(spark, tmp_path):
+    """The r16 stream_cdc_apply optimization folds each micro-batch's
+    updates AND deletes into ONE merge with the tombstone flag computed
+    inline, instead of merge(updates) + merge_deletes(deletes). Pin the
+    equivalence: both forms leave the identical logical state, for a
+    batch mixing inserts, updates and deletes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.streaming.state import TombstoneLogState
+
+    seed = spark.createDataFrame(
+        [("AAA", 10.0, 0), ("BBB", 20.0, 0), ("CCC", 30.0, 0)],
+        "symbol string, price double, ver long",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("AAA", 11.0, 1, "updated"),
+            ("BBB", None, 1, "deleted"),
+            ("DDD", 40.0, 1, "inserted"),
+        ],
+        "symbol string, price double, ver long, change_type string",
+    )
+
+    def run(split: bool) -> list[tuple]:
+        state = TombstoneLogState(
+            spark,
+            os.path.join(str(tmp_path), f"state_{split}"),
+            keys=["symbol"],
+            version_cols=["ver"],
+        )
+        state.merge(seed)
+        if split:
+            state.merge(
+                batch.filter(F.col("change_type") != "deleted").drop(
+                    "change_type"
+                )
+            )
+            state.merge_deletes(
+                batch.filter(F.col("change_type") == "deleted").drop(
+                    "change_type"
+                )
+            )
+        else:
+            state.merge(
+                batch.withColumn(
+                    TombstoneLogState.TOMBSTONE,
+                    F.col("change_type") == "deleted",
+                ).drop("change_type")
+            )
+        return sorted(map(tuple, state.read_merged().collect()))
+
+    combined, split_form = run(False), run(True)
+    assert combined == split_form
+    assert [r[0] for r in combined] == ["AAA", "CCC", "DDD"]
+
+
 def test_tombstone_state_null_deleted_flag_means_not_deleted(spark, tmp_path):
     """A feed that CARRIES the _deleted column but leaves it NULL (the
     unionByName(allowMissingColumns=True) shape) means 'not deleted':
