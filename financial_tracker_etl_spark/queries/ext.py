@@ -2900,16 +2900,36 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sets = doc_shingle_sets(docs).persist()
-    n_sh = sets.filter(F.size("shingles") > 0).select(
-        "doc_id", F.size("shingles").cast("long").alias("n_shingles")
+    # MULTISET semantics per doc_id (round-16 full-registry fuzz find:
+    # the 'dupes'/'nulls' classes produce several rows per doc_id, and
+    # the oracle counts shingle OCCURRENCES across those rows — the
+    # first size(shingles) rewrite kept one output row per INPUT ROW
+    # and counted ownership once per distinct shingle, diverging 427
+    # vs 422 rows on the seed-1 mutation; the fixed fixtures' unique
+    # doc_ids masked it). n_shingles = sum of per-row set sizes;
+    # n_novel = ownership counted with the owner's row multiplicity.
+    # Both aggregations stay partial-aggregation-friendly (plain
+    # sum/count/min — never a whole-partition window), which is the
+    # Change-2 point; on unique-doc_id data this is bit-identical to
+    # the per-row form.
+    n_sh = (
+        sets.filter(F.size("shingles") > 0)
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("shingles")).cast("long").alias("n_shingles"))
     )
-    firsts = (
+    per_doc = (
         sets.select("doc_id", F.explode("shingles").alias("sh"))
-        .groupBy("sh")
-        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("sh", "doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    firsts = per_doc.groupBy("sh").agg(
+        F.min("doc_id").alias("first_doc"),
+        # multiplicity of the shingle in its OWNER doc's rows ((sh,
+        # doc_id) is unique after the groupBy, so min_by is total)
+        F.min_by("m", "doc_id").alias("m_owner"),
     )
     novel = firsts.groupBy("first_doc").agg(
-        F.count(F.lit(1)).alias("n_novel")
+        F.sum("m_owner").alias("n_novel")
     )
     out = (
         n_sh.join(novel, n_sh.doc_id == novel.first_doc, "left")

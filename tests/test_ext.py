@@ -1770,3 +1770,57 @@ def test_span_stats_instance_keyed_on_duplicate_ids(spark):
     # both full copies are fully duplicated (each gram occurs >= 2x)
     assert by_key[(1, 32)].dup_tokens == 32
     assert by_key[(2, 32)].dup_tokens == 32
+
+
+def test_novelty_scores_multiset_semantics_on_duplicate_doc_ids(
+    spark, tmp_path
+):
+    """Round-16 fuzz find: with several rows per doc_id (the 'dupes'/
+    'nulls' mutation shape), ngram_novelty_scores must aggregate
+    shingle OCCURRENCES per doc_id — n_shingles sums the per-row set
+    sizes, and an owned shingle counts once per owner row — exactly
+    the oracle's exploded-occurrence GROUP BY. The first size-based
+    rewrite emitted one row per INPUT ROW and undercounted ownership,
+    so this pins the repaired multiset form on a corpus with (a) an
+    exact duplicate pair, (b) a doc whose two rows differ in text, and
+    (c) a short row that contributes nothing."""
+    import os
+
+    from financial_tracker_etl_spark.queries import registry
+
+    rows = [
+        # doc 1: two IDENTICAL rows; owns its 2 distinct shingles
+        # (first occurrence), each counted TWICE (once per row)
+        (1, "a b c d e f", "en", "s1", 11),
+        (1, "a b c d e f", "en", "s1", 11),
+        # doc 2: same text, later arrival: 2 shingles, 0 novel
+        (2, "a b c d e f", "en", "s1", 11),
+        # doc 3: two rows with DIFFERENT text; row 2 shares one
+        # shingle with docs 1/2
+        (3, "p q r s t", "en", "s1", 9),
+        (3, "a b c d e x", "en", "s1", 11),
+        # doc 3's short second row shape: doc 4 has a <5-token row
+        # (dropped) plus nothing else -> absent from the output
+        (4, "x y", "en", "s1", 3),
+    ]
+    d = os.path.join(str(tmp_path), "sf_dup")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+        for r in registry()["ngram_novelty_scores"].fn(spark, d).collect()
+    }
+    # doc 1: rows 2x{abcde, bcdef} -> n_shingles 4; owns both shingles,
+    # multiplicity 2 each -> n_novel 4 -> ppm 1_000_000
+    # doc 2: {abcde, bcdef} -> 2; both first seen in doc 1 -> 0 novel
+    # doc 3: {pqrst} + {abcde, bcdex} -> 3; owns pqrst and bcdex (abcde
+    # belongs to doc 1) -> 2 novel -> 666_666 ppm
+    # doc 4: only a short row -> no output row
+    assert out == {
+        1: (4, 4, 1_000_000),
+        2: (2, 0, 0),
+        3: (3, 2, 666_666),
+    }
