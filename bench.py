@@ -134,6 +134,7 @@ def build_records(
     loadavg_per_draw: list[list[float]],
     loadavg_at_end: list[float],
     steal_pct_per_draw: list[float | None] | None = None,
+    cpus_effective: int | None = None,
 ) -> tuple[dict, dict]:
     """The two stdout records (legacy-final, extended-preceding) from
     raw per-draw timings. Pure, so the output contract is testable:
@@ -162,6 +163,13 @@ def build_records(
         "tail_median_total_sec": round(sum(med[n] for n in tail), 3),
         "tail_min_total_sec": round(sum(mn[n] for n in tail), 3),
         "sf": sf,
+        # the parallelism the session ACTUALLY ran with (sc.default-
+        # Parallelism under local[$SPARK_GRAFT_CPUS]) — makes the
+        # driver's cross-core-count scaling runs self-explaining: a
+        # ratio ≈1 with two different cpus_effective values is a
+        # fixed-cost-dominated SF, not an ignored core count
+        # (round-16 judge task 1, `suspect_cpus_ignored`).
+        "cpus_effective": cpus_effective,
         "loadavg_at_launch": loadavg_at_launch,
         # worst per-draw hypervisor steal: the one-number box-state
         # verdict (≳2-3% during a saturated draw = host contention —
@@ -176,6 +184,7 @@ def build_records(
     }
     extended = {
         "metric": "headline_queries_extended",
+        "cpus_effective": cpus_effective,
         "queries_median": med,
         "queries_min": mn,
         "loadavg_per_draw": loadavg_per_draw,
@@ -214,6 +223,9 @@ def main() -> None:
     load_at_launch = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark("bench")
+    # observed (not requested) parallelism: local[$SPARK_GRAFT_CPUS]
+    # sets this, so recording it proves the contract was honored
+    cpus_effective = spark.sparkContext.defaultParallelism
     reg = registry()
     # headline = the stable 14-query set benched since round 1 (its
     # total is the cross-round comparable); tail = the newest heavy
@@ -269,6 +281,7 @@ def main() -> None:
         loadavg_per_draw=loadavg_per_draw,
         loadavg_at_end=loadavg_at_end,
         steal_pct_per_draw=steal_pct_per_draw,
+        cpus_effective=cpus_effective,
     )
 
     # full record → gitignored sidecar, so the per-query medians stay

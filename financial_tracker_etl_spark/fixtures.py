@@ -221,7 +221,9 @@ assets_request AS (
 """
 
 
-def market_data_monthly(lineitem: DataFrame) -> DataFrame:
+def market_data_monthly(
+    lineitem: DataFrame, cluster_by_symbol: bool = False
+) -> DataFrame:
     """Monthly time-series table, key (symbol, date, asset_type)
     (FIXTURES.md §6; reference:
     etl/jobs/fetch_historical_market_data/fetch_historical_market_data.py:92-103).
@@ -229,7 +231,34 @@ def market_data_monthly(lineitem: DataFrame) -> DataFrame:
     Odd partkeys only, so roughly half the requested symbols are
     entirely absent and the rest have natural month gaps — the coverage
     patterns gap detection (J3) must handle.
-    """
+
+    ``cluster_by_symbol=True`` produces the IDENTICAL rows (same
+    groups — symbol is injective in partkey, asset_type is constant
+    per symbol — same max), but plans the aggregation under
+    symbol-only hash partitioning (explicit repartition before the
+    groupBy; HashPartitioning(symbol) satisfies the grouping's
+    ClusteredDistribution because it is a subset of the keys). A
+    consumer that next windows/aggregates BY SYMBOL then needs NO
+    second exchange — one shuffle total instead of two (guide §2.4
+    "two operations keyed the same way share one exchange"). The
+    default keeps the partial-aggregation shape for consumers keyed
+    some other way. Trade-off, measured at sf0.1: rows per
+    (partkey, month) group ≈ 1, so the default's map-side partial agg
+    reduces almost nothing and its second exchange just re-moves the
+    same ~300k rows (r17 ledger, doc_price_indicators)."""
+    if cluster_by_symbol:
+        pre = lineitem.filter((F.col("l_partkey") % 2) == 1).select(
+            symbol_col("SYM", F.col("l_partkey")).alias("symbol"),
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("date"),
+            asset_type_col(F.col("l_partkey")).alias("asset_type"),
+            F.col("l_extendedprice"),
+        )
+        return (
+            pre.repartition("symbol")
+            .groupBy("symbol", "date", "asset_type")
+            .agg(F.max("l_extendedprice").alias("price"))
+            .select("symbol", "price", "date", "asset_type")
+        )
     return (
         lineitem.filter((F.col("l_partkey") % 2) == 1)
         .groupBy(

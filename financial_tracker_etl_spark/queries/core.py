@@ -474,7 +474,13 @@ FROM (
 
 
 def _q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    monthly = fixtures.market_data_monthly(load_table(spark, sf_dir, "lineitem"))
+    # cluster_by_symbol: the window passes partition by symbol, so the
+    # symbol-clustered aggregation shares ITS exchange with them — one
+    # exchange total instead of two (guide §2.4; r17 ledger, plan diff
+    # in plans/r17/doc_price_indicators_{before,after}.txt)
+    monthly = fixtures.market_data_monthly(
+        load_table(spark, sf_dir, "lineitem"), cluster_by_symbol=True
+    )
     out = with_price_analytics(monthly)
     # rounding pins cross-engine float equality for the windowed means
     return out.select(
