@@ -138,6 +138,14 @@ def minhash_signatures(
 
 
 def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    # expression trees built as SQL strings, ONE py4j round-trip per
+    # lane instead of ~6 Column-API calls each: the k=32 min-agg
+    # listcomp alone cost ~0.5 s of driver-side py4j chatter PER QUERY
+    # CALL (r17 cProfile: 4.7k gateway round-trips, ~1.6 s of the
+    # 4.6 s wall spent constructing the DAG, not computing). The
+    # parsed expressions are identical to the Column-API originals
+    # (same literal typing and promotions), pinned by the unchanged
+    # DuckDB oracle hash.
     d = F.md5(F.col("shingle"))
     lanes = sh.select(
         "doc_id",
@@ -149,9 +157,7 @@ def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
     )
     mins = lanes.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.col("_a") + F.lit(j) * F.col("_b")) % F.lit(MINHASH_PRIME)
-            ).alias(f"_m{j}")
+            F.expr(f"min((_a + {j} * _b) % {MINHASH_PRIME}) AS _m{j}")
             for j in range(k)
         ]
     )
@@ -188,29 +194,30 @@ def minhash_near_dups(
     from pyspark import StorageLevel
 
     sh = doc_shingles(df, n, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = _signatures_from_shingles(sh, k)
+    # the signature table is consumed by BOTH sides of the banding
+    # self-join below: unpersisted, the k-way min-aggregation over the
+    # corpus shingle rows executes twice per run (r17 plan audit: two
+    # identical Exchange+HashAggregate subtrees under the self-join).
+    # O(docs × k) rows — small next to the shingle cache it derives from.
+    sig = _signatures_from_shingles(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
 
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast(
-                                    "string"
-                                )
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    # one py4j round-trip for the whole band array (see
+    # _signatures_from_shingles — same driver-side construction-cost
+    # rationale; parsed expression identical to the Column original)
+    band_array = "array({})".format(
+        ", ".join(
+            "struct({} AS band, concat_ws(',', {}) AS bucket)".format(
+                b,
+                ", ".join(
+                    f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+                    for r in range(rows_per_band)
+                ),
             )
-        ).alias("bb"),
+            for b in range(bands)
+        )
+    )
+    banded = sig.select(
+        "doc_id", F.explode(F.expr(band_array)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
     x = banded.alias("x")
@@ -262,7 +269,7 @@ def minhash_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return materialize_release(pairs, sh)
+    return materialize_release(pairs, sh, sig)
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5: fits a signed 64-bit on both engines
@@ -295,34 +302,38 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
     hashed = exploded.select("doc_id", h.alias("_h"))
+    # every per-bit expression is built as ONE SQL string instead of a
+    # ~6-call Column composition: the 60-bit vote listcomp plus the
+    # 60-term fingerprint fold cost ~10k py4j round-trips (= seconds
+    # of DRIVER wall per query call, r17 cProfile) while the parsed
+    # trees are identical — same literal typing (int 1/0 promote to
+    # long exactly as F.lit did), same left-associated addition over
+    # disjoint bit values, pinned by the unchanged DuckDB oracles.
     g = hashed.groupBy("doc_id").agg(
         F.count("_h").alias("_n"),
         *[
-            F.coalesce(
-                F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))),
-                F.lit(0),
-            ).alias(f"_s{i}")
+            F.expr(f"coalesce(sum(shiftright(_h, {i}) & 1), 0) AS _s{i}")
             for i in range(SIMHASH_BITS)
         ],
     )
-    fp = None
-    for i in range(SIMHASH_BITS):
-        # disjoint bit positions: arithmetic + is bitwise OR here
-        bit = F.when(
-            F.col(f"_s{i}") * 2 > F.col("_n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
-    out = g.select("doc_id", fp.alias("simhash"))
+    # disjoint bit positions: arithmetic + is bitwise OR here
+    fp = " + ".join(
+        f"(CASE WHEN _s{i} * 2 > _n THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+    out = g.select("doc_id", F.expr(f"({fp}) AS simhash"))
     width = SIMHASH_BITS // SIMHASH_CHUNKS
-    for c in range(SIMHASH_CHUNKS):
-        out = out.withColumn(
-            f"chunk{c}",
-            F.shiftright(F.col("simhash"), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .cast("long"),
-        )
-    return out
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.expr(
+                f"cast(shiftright(simhash, {c * width}) & {(1 << width) - 1}"
+                f" as bigint) AS chunk{c}"
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ],
+    )
 
 
 def simhash_near_dup_pairs(
