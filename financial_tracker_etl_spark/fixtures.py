@@ -391,6 +391,67 @@ def quotes_raw(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def quotes_typed(lineitem: DataFrame) -> DataFrame:
+    """Typed realtime quotes — the provably bit-identical FAST TWIN of
+    ``quotes_raw → split_valid → cast_measures`` (the P4 pipeline),
+    going straight from the integer cents to doubles without building
+    the decimal strings.
+
+    Equivalence (r17 optimization):
+
+    - values: every measure is exactly ``n / 100.0`` for a pmod-bounded
+      integer ``n`` (close < 1e7, pct < 1e4, chg < 1e5, high < 1.01e7,
+      low in [0, 1e7)). ``CAST('<n div 100>.<n%100 zero-padded>' AS
+      DOUBLE)`` and ``n / 100.0`` are both the correctly-rounded IEEE
+      double of the exact rational n/100 (n < 2^53), hence the same
+      bits — brute-force verified over the full reachable domain
+      [0, 10.1e6], 0 mismatches, and pinned cross-engine by the
+      unchanged oracles of every consumer plus
+      tests/test_queries.py::test_quotes_typed_equals_string_cast_path.
+    - rows: ``close IS NOT NULL`` ⟺ partkey/orderkey non-null AND
+      partkey % 37 != 0 (the concat of non-null pmod parts is never
+      null); likewise percent_change with % 41. change/high/low are
+      null only on null keys. So the valid-row filter reduces to the
+      cheap key predicate below.
+
+    Why it exists: the string formatter is the fixture CONTRACT for the
+    string-typed payload consumers (P1 validation, P5 envelopes, the
+    streaming JSON traffic) and for P4, the query whose declared
+    semantics ARE the cast — those keep ``quotes_raw``. But the P4
+    filter is pushed below the projection and re-inlines every measure
+    string per null-check, so each downstream consumer of the TYPED
+    rows paid the 5-string build roughly twice per row plus the
+    parse-back; measured 1.4 s of upsert_market_data's 2.0 s at sf0.1
+    (r17 ledger)."""
+    li = lineitem.filter(F.col("l_linenumber") == 1)
+    close_c = "pmod(l_partkey * 9973 + l_orderkey * 7, 10000000)"
+    pct_c = "pmod(l_partkey * 31 + l_orderkey, 10000)"
+    chg_c = "pmod(l_orderkey * 17 + l_partkey, 100000)"
+    high_c = f"({close_c}) + ({chg_c})"
+    low_c = f"({close_c}) - (({chg_c}) % (({close_c}) + 1))"
+    valid = li.filter(
+        F.col("l_partkey").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        & ((F.col("l_partkey") % 37) != 0)
+        & ((F.col("l_partkey") % 41) != 0)
+    )
+    return valid.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("quote_id"),
+        symbol_col("SYM", F.col("l_partkey")).alias("symbol"),
+        asset_type_col(F.col("l_partkey")).alias("asset_type"),
+        F.expr(f"({close_c}) / 100.0D").alias("price"),
+        F.expr(f"({pct_c}) / 100.0D").alias("percent_change"),
+        F.expr(f"({chg_c}) / 100.0D").alias("change"),
+        F.expr(f"({high_c}) / 100.0D").alias("high"),
+        F.expr(f"({low_c}) / 100.0D").alias("low"),
+        F.timestamp_seconds(
+            F.unix_seconds(F.col("l_shipdate").cast("timestamp"))
+        )
+        .cast("timestamp_ntz")
+        .alias("updated_at"),
+    )
+
+
 # pmod twins (DuckDB has no pmod; ((x % m) + m) % m — identical to
 # Spark's pmod for m > 0, and a no-op vs plain % for the all-positive
 # pristine keys)

@@ -1151,10 +1151,10 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is DuckDB's native ASOF LEFT JOIN."""
     from ..operators.asof import asof_join
     from ..operators.windows import last_per_group
-    from .core import _typed_quotes
 
+    # bit-identical fast twin of _typed_quotes (fixtures.quotes_typed proof)
     quotes = last_per_group(
-        _typed_quotes(spark, sf_dir),
+        fixtures.quotes_typed(load_table(spark, sf_dir, "lineitem")),
         ["symbol", "updated_at"],
         [F.col("quote_id").desc()],
     ).select("symbol", "updated_at", F.col("price"))

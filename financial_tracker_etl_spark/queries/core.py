@@ -396,7 +396,12 @@ def _q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (.explain verified; the two-stage plan shuffled the same key
     twice)."""
     current = fixtures.market_data(load_table(spark, sf_dir, "lineitem"))
-    updates = _typed_quotes(spark, sf_dir).withColumnRenamed("quote_id", "_ver")
+    # quotes_typed: bit-identical fast twin of _typed_quotes (see its
+    # fixtures.py proof) — the string-build-then-parse path cost 1.4 s
+    # of this query's 2.0 s at sf0.1 (r17 ledger)
+    updates = fixtures.quotes_typed(
+        load_table(spark, sf_dir, "lineitem")
+    ).withColumnRenamed("quote_id", "_ver")
     merged = upsert_last_write_wins(
         current.select(*_MD_COLS).withColumn("_ver", F.lit(-1).cast("long")),
         updates.select(*_MD_COLS, "_ver"),
@@ -1084,7 +1089,10 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.state import VersionedLogState
 
-    typed = _typed_quotes(spark, sf_dir).withColumnRenamed("quote_id", "_ver")
+    # bit-identical fast twin of _typed_quotes (fixtures.quotes_typed proof)
+    typed = fixtures.quotes_typed(
+        load_table(spark, sf_dir, "lineitem")
+    ).withColumnRenamed("quote_id", "_ver")
     state = VersionedLogState(
         spark,
         tempfile.mkdtemp(prefix="ftes_timetravel_"),
@@ -1127,7 +1135,10 @@ FROM (
 def _q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    quotes = _typed_quotes(spark, sf_dir).select("symbol", "price")
+    # bit-identical fast twin of _typed_quotes (fixtures.quotes_typed proof)
+    quotes = fixtures.quotes_typed(
+        load_table(spark, sf_dir, "lineitem")
+    ).select("symbol", "price")
     state = fixtures.market_data(load_table(spark, sf_dir, "lineitem")).select(
         "symbol", "price"
     )

@@ -894,3 +894,36 @@ def test_salted_window_count_equals_plain_window(spark):
         ),
         key=_key,
     )
+
+
+def test_quotes_typed_equals_string_cast_path(spark):
+    """fixtures.quotes_typed is the arithmetic fast twin of the P4
+    string pipeline (quotes_raw -> split_valid -> cast_measures): its
+    rows must be BIT-identical, including which rows survive the
+    valid filter (r17 optimization; proof in the fixture docstring —
+    CAST('<n div 100>.<n%100>' AS DOUBLE) == n / 100.0 for the whole
+    pmod-bounded domain, brute-force checked to 10.1e6)."""
+    import math
+    import os
+
+    from financial_tracker_etl_spark import fixtures
+    from financial_tracker_etl_spark.catalog import load_table
+    from financial_tracker_etl_spark.queries.core import _typed_quotes
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    slow = _typed_quotes(spark, sf_dir)
+    fast = fixtures.quotes_typed(load_table(spark, sf_dir, "lineitem"))
+    assert fast.columns == slow.columns
+    assert fast.schema == slow.schema
+    a = sorted(map(tuple, slow.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float):
+                # bit-for-bit, not approx: the twin claim is exactness
+                assert math.isnan(vb) if math.isnan(va) else va == vb, (ra, rb)
+            else:
+                assert va == vb, (ra, rb)
