@@ -20,6 +20,8 @@ aggregate to windows/sessions the final watermark closed
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fixtures
@@ -231,16 +233,38 @@ _CDC_FEED_STAGE: dict[tuple, str] = {}
 _CDC_SEED_STAGE: dict[tuple, str] = {}
 
 
+def _reap_cdc_stage_dirs() -> None:
+    """Interpreter-exit cleanup of the per-(app, sf) staged CDC dirs
+    (r16 advisory: the memoized tempdirs were never reclaimed, and a
+    long pytest/verify session strands one pair per sf). Results stay
+    readable for the whole process lifetime; the memos are keyed on
+    applicationId so nothing outlives the JVM that wrote them anyway.
+    Local-mode assumption (documented on the stagers): local[*] writes
+    land on the driver's filesystem, where this reaper runs."""
+    import shutil
+
+    for memo in (_CDC_FEED_STAGE, _CDC_SEED_STAGE):
+        for d in memo.values():
+            shutil.rmtree(d, ignore_errors=True)
+        memo.clear()
+
+
+atexit.register(_reap_cdc_stage_dirs)
+
+
 def _staged_cdc_seed(spark: SparkSession, sf_dir: str) -> str:
     """Old-snapshot seed delta (version 0, no tombstones) materialized
     ONCE per (app, sf) as a parquet drop directory — the prior-DB-
     contents fixture, the same harness role pipeline._seed_market_state
     plays for the routed pipeline's market state. Rows are exactly what
     ``state.merge(old.withColumn("_ver", 0))`` used to append (same
-    column order, same types, same 4-file coalesce), so copying these
-    files in as the state's first delta leaves the merged state
-    bit-identical while the per-run 600k-row groupBy moves to the
-    fixture side."""
+    column order, same types, same 4-file coalesce), so seeding these
+    files in as the state's first delta (state.seed_from_files) leaves
+    the merged state bit-identical while the per-run 600k-row groupBy
+    moves to the fixture side. Driver-side staging assumes local-mode
+    writes land on the driver's filesystem (same assumption as
+    _CDC_FEED_STAGE / pipeline._seed_market_state); dirs are reaped at
+    interpreter exit by _reap_cdc_stage_dirs."""
     import os
     import tempfile
 
@@ -300,7 +324,6 @@ def _q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Final logical state must equal the batch ``cdc_apply_roundtrip``
     target exactly — ST2 extended to the DELETE path."""
     import os
-    import shutil
     import tempfile
 
     from ..streaming.state import TombstoneLogState
@@ -313,14 +336,10 @@ def _q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["symbol", "asset_type"],
         version_cols=["_ver"],
     )
-    # seed delta = staged old snapshot copied in (see _staged_cdc_seed)
-    seed_dir = _staged_cdc_seed(spark, sf_dir)
-    os.makedirs(state.path, exist_ok=True)
-    for f in os.listdir(seed_dir):
-        if f.endswith(".parquet"):
-            shutil.copy(
-                os.path.join(seed_dir, f), os.path.join(state.path, f)
-            )
+    # seed delta = staged old snapshot bootstrapped in via the state's
+    # own layout-owning method (validates keys/versions/tombstone flag
+    # and counts the delta — see _staged_cdc_seed / seed_from_files)
+    state.seed_from_files(_staged_cdc_seed(spark, sf_dir))
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         # ONE append per micro-batch: updates/inserts and deletes fold
@@ -332,8 +351,16 @@ def _q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the mid-run compaction rewrite the 9-merge sequence triggered
         # is gone (compaction preserves the logical state; skipping it
         # cannot change read_merged).
+        # Explicit change_type whitelist (r16 advisory): snapshot_diff
+        # emits exactly these three (its CASE is total and 'unchanged'
+        # is filtered at staging), so this is row-identical today — it
+        # guards a future feed source whose NULL/unknown change_type
+        # would otherwise silently become a live update.
         state.merge(
-            batch.withColumn("_ver", F.lit(1))
+            batch.filter(
+                F.col("change_type").isin("inserted", "updated", "deleted")
+            )
+            .withColumn("_ver", F.lit(1))
             .withColumn(
                 TombstoneLogState.TOMBSTONE,
                 F.col("change_type") == "deleted",

@@ -106,12 +106,19 @@ def get_spark(app_name: str = "financial-tracker-etl-spark") -> SparkSession:
         # results; the full-outer state diffs (snapshot_diff /
         # apply_changes) are the measured winners (r16 ledger: cdc
         # 2.19→2.08 s median, 4 SMJ → 2 SMJ + 2 SHJ at sf0.1). The AQE
-        # threshold bounds the runtime SMJ→SHJ rewrite to partitions
-        # whose build side fits comfortably in task memory — 64 MB,
-        # i.e. the AQE advisory partition size, NOT a local[32] tune:
-        # with size-coalesced partitions the build side is bounded at
-        # any data scale, which is exactly the OOM guard the guide
-        # calls out. Both parameterised for cluster overrides.
+        # threshold bounds only the RUNTIME SMJ→SHJ rewrite (real
+        # post-shuffle sizes, 64 MB = the advisory partition size).
+        # The STATIC pick this flag enables is ESTIMATE-driven
+        # (canBuildLocalHashMap on plan statistics) and is NOT bounded
+        # by the AQE threshold — a badly misestimated build side (e.g.
+        # post-filter, post-UDF) can in principle hand a partition a
+        # hash map that does not fit, where SMJ would have spilled
+        # (r16 advisory). Accepted here deliberately: this engine's
+        # SHJ winners join fixture-derived state whose estimates come
+        # straight from parquet scans, and the env override below is
+        # the escape hatch for a deployment whose estimates lie —
+        # set SPARK_GRAFT_PREFER_SMJ=true to fall back to
+        # sort-merge-first and keep only the bounded AQE rewrite.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),

@@ -215,10 +215,16 @@ def _seed_market_state(
             os.rename(tmp, base)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(state.path, exist_ok=True)
-    for f in os.listdir(base):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(base, f), os.path.join(state.path, f))
+    # bootstrap via the state's own layout-owning method (validates
+    # keys/version columns, counts the delta — r16 advisory on raw
+    # shutil.copy seeding). A re-run over an existing work_dir skips
+    # the bootstrap: the state already holds this exact seed delta
+    # (the old raw copy overwrote the same-named identical files, a
+    # no-op; the merges themselves are replay-idempotent).
+    if not state.exists() or not any(
+        f.endswith(".parquet") for f in os.listdir(state.path)
+    ):
+        state.seed_from_files(base)
 
 
 @dataclass

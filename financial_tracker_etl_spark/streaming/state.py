@@ -115,6 +115,58 @@ class LogStructuredState(KeyedParquetState):
         if self._n_deltas >= self.compact_every:
             self.compact()
 
+    def seed_from_files(self, src_dir: str) -> None:
+        """Bootstrap an EMPTY state from a pre-staged parquet delta by
+        file copy — the fixture fast path for "prior DB contents"
+        seeds that are a pure function of the testdata and staged once
+        per scale factor.
+
+        This method OWNS the store's flat-directory layout (raw
+        ``shutil.copy`` at call sites coupled the queries to it and
+        bypassed the delta accounting — r16 advisory): it validates
+        that the seed carries every key and version column, counts the
+        seed as one delta toward ``compact_every``, and refuses a
+        non-empty target (a seed is a bootstrap, not a merge). The
+        files must be rows ``merge()`` itself would have appended —
+        for the tombstone store that includes a non-null tombstone
+        flag column, which the override below checks.
+
+        Local-mode assumption (same as the staging that produces these
+        files): the seed files and the state dir are on the driver's
+        filesystem."""
+        if self.exists() and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"seed_from_files on non-empty state {self.path!r}: "
+                "seeding is a bootstrap; use merge() for updates"
+            )
+        seed_fields = {
+            f.name for f in self.spark.read.parquet(src_dir).schema.fields
+        }
+        missing = [
+            c
+            for c in (*self.keys, *self.version_cols, *self._seed_required())
+            if c not in seed_fields
+        ]
+        if missing:
+            raise ValueError(
+                f"seed at {src_dir!r} lacks required column(s) {missing}; "
+                f"state schema needs keys {self.keys} + versions "
+                f"{self.version_cols}"
+            )
+        os.makedirs(self.path, exist_ok=True)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src_dir, f), os.path.join(self.path, f)
+                )
+        self._n_deltas += 1
+
+    def _seed_required(self) -> tuple[str, ...]:
+        """Extra columns a seed delta must carry (subclass hook)."""
+        return ()
+
     def compact(self) -> None:
         merged = self._dedupe(self.read())
         tmp = self.path + "._next"
@@ -263,6 +315,12 @@ class TombstoneLogState(LogStructuredState):
         (keys + version columns; value columns may be null) and wins
         against any lower-versioned update for its key."""
         self.merge(rows.withColumn(self.TOMBSTONE, F.lit(True)))
+
+    def _seed_required(self) -> tuple[str, ...]:
+        # a seed written without the tombstone flag would silently
+        # corrupt: read_merged's ~_deleted filter drops rows whose
+        # flag is NULL (r16 advisory on the raw-copy seeding path)
+        return (self.TOMBSTONE,)
 
     def read_merged(self) -> DataFrame:
         return (

@@ -1824,3 +1824,49 @@ def test_novelty_scores_multiset_semantics_on_duplicate_doc_ids(
         2: (2, 0, 0),
         3: (3, 2, 666_666),
     }
+
+
+def test_contamination_broadcast_guard_both_ways(spark):
+    """r16 judge task 6: the benchmark-side broadcast hint is
+    size-guarded. A small benchmark side keeps the forced broadcast
+    (the realistic eval-set shape); a benchmark side whose Catalyst
+    estimate exceeds the cap loses the hint so the planner is free to
+    shuffle-join — result-identical by construction, and the 100 TB
+    corpus-sized-"benchmark" shape can no longer OOM the driver."""
+    from pyspark.sql import functions as F
+
+    from financial_tracker_etl_spark.ext.quality import (
+        CONTAM_BROADCAST_CAP_BYTES,
+        _estimated_plan_bytes,
+        contamination_check,
+    )
+
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    # the small side must be storage-backed: a LocalRelation has no
+    # stats (sizeInBytes = Long.MaxValue), which the guard reads as
+    # too-big by design
+    small_dir = tempfile.mkdtemp(prefix="ftes_contam_guard_")
+    spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(small_dir)
+    small_bench = spark.read.parquet(small_dir)
+    assert 0 <= _estimated_plan_bytes(small_bench) <= CONTAM_BROADCAST_CAP_BYTES
+    plan_small = contamination_check(
+        docs, small_bench
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_small.lower()
+
+    # a benchmark side with a huge estimate: range() stats are exact
+    big = spark.range(10_000_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon").alias("text"),
+    )
+    assert _estimated_plan_bytes(big) > CONTAM_BROADCAST_CAP_BYTES
+    plan_big = contamination_check(
+        docs, big
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan_big.lower()
