@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_path
 from ..ext.dedup import (
     minhash_near_dups,
     shingle_jaccard_pairs,
@@ -341,12 +341,24 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_id = component min). Oracle is a DuckDB recursive
     CTE computing the same transitive closure."""
     from ..ext.cluster import connected_components
+    from ..streaming.windows import (
+        scoped_shuffle_partitions,
+        stream_shuffle_partitions,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # pairs are materialized (persist+count) INSIDE shingle_jaccard_
+    # pairs at the session partitioning — only the label-propagation
+    # loop runs under the source-bytes-derived count (the label vector
+    # is O(docs); 32 near-empty tasks per round otherwise — same
+    # rationale and pins as _q_purchase_pagerank, r17)
     edges = shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
-    return connected_components(edges).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    with scoped_shuffle_partitions(
+        spark,
+        stream_shuffle_partitions(table_path(sf_dir, "documents")),
+    ):
+        components = connected_components(edges)
+    return components.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 _CLUSTERS_ORACLE = """
@@ -1085,12 +1097,24 @@ def _q_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext.sampling.leakage_safe_splits)."""
     from ..ext.cluster import connected_components
     from ..ext.sampling import leakage_safe_splits
+    from ..streaming.windows import (
+        scoped_shuffle_partitions,
+        stream_shuffle_partitions,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # label-propagation loop under source-bytes-derived partitions —
+    # same rationale/pins as _q_dedup_clusters (r17); the pair
+    # generation materializes inside shingle_jaccard_pairs before the
+    # scope opens
     edges = shingle_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.4)
-    clusters = connected_components(edges).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    with scoped_shuffle_partitions(
+        spark,
+        stream_shuffle_partitions(table_path(sf_dir, "documents")),
+    ):
+        clusters = connected_components(edges).select(
+            F.col("node").alias("doc_id"), "cluster_id"
+        )
     return leakage_safe_splits(docs, clusters)
 
 
